@@ -1,0 +1,499 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Training-data pipeline operators over the `documents`, `embeddings` and
+  * `events` tables: text analysis, deduplication (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard), similarity search (brute-force + LSH), and
+  * event sessionization.
+  *
+  * Scale design: every operator is a pure DataFrame pipeline — shingling
+  * and hashing are per-row (map-side), candidate generation goes through
+  * hash-bucket shuffles (LSH bands / blocking keys) rather than global
+  * cross joins, and nothing collects to the driver. At 100 TB the same
+  * plans shard by bucket; only the brute-force cosine baseline is
+  * intentionally quadratic (it is the small-scale oracle for the LSH
+  * variant).
+  */
+object Pipeline {
+
+  private val wordsExpr = "split(trim(text), '\\\\s+')"
+
+  // ---------- text analysis ----------
+
+  /** Token counting: whitespace tokens, BPE-ish subword estimate, distinct
+    * words (north-star text analysis op). */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_len"),
+        expr(s"size($wordsExpr)").cast("long").as("word_count"),
+        expr(s"size(array_distinct($wordsExpr))").cast("long").as("distinct_words"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("chars_no_ws"))
+      .withColumn("avg_word_len",
+        round(col("chars_no_ws").cast("double") / col("word_count"), 6))
+      .orderBy("doc_id")
+  val textTokensSql: String =
+    raw"""SELECT doc_id,
+         |  length(text) AS char_len,
+         |  len(string_split_regex(trim(text), '\s+')) AS word_count,
+         |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_words,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+         |  length(regexp_replace(text, '\s+', '', 'g')) AS chars_no_ws,
+         |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+         |    / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: alpha/punct/stopword ratios + composite score. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val stop = "('the','a','and','of','to','in','is','it')"
+    // raw (unrounded) ratios feed the composite so the final round never
+    // sits on a decimal boundary; displayed ratios are rounded copies
+    val alphaRaw = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("double") / length(col("text"))
+    val punctRaw = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+      .cast("double") / length(col("text"))
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        expr(s"size($wordsExpr)").cast("long").as("wc"),
+        round(alphaRaw, 6).as("alpha_ratio"),
+        round(punctRaw, 6).as("punct_ratio"),
+        expr(s"size(filter($wordsExpr, w -> w IN $stop))")
+          .cast("long").as("stopword_count"),
+        round(lit(0.5) * alphaRaw + lit(0.3) * (lit(1.0) - punctRaw)
+          + lit(0.2) * least(lit(1.0),
+            expr(s"size($wordsExpr)").cast("long") / 100.0), 6)
+          .as("quality_score"))
+      .withColumn("stopword_ratio",
+        round(col("stopword_count").cast("double") / col("wc"), 6))
+      .orderBy("doc_id")
+  }
+  val textQualitySql: String =
+    raw"""WITH base AS (SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\s+') AS w FROM documents)
+         |SELECT doc_id, len(w) AS wc,
+         |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |    / length(text), 6) AS alpha_ratio,
+         |  round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+         |    / length(text), 6) AS punct_ratio,
+         |  len(list_filter(w, x ->
+         |    x IN ('the','a','and','of','to','in','is','it'))) AS stopword_count,
+         |  round(0.5 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / length(text))
+         |    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+         |      / length(text))
+         |    + 0.2 * least(1.0, len(w) / 100.0), 6) AS quality_score,
+         |  round(CAST(len(list_filter(w, x ->
+         |    x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         |    / len(w), 6) AS stopword_ratio
+         |FROM base ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: digest of whitespace-normalized text (and of
+    * its 64-char prefix, a cheap near-dup probe). */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        md5(norm.cast("binary")).as("fingerprint"),
+        md5(substring(norm, 1, 64).cast("binary")).as("prefix_fp"),
+        length(norm).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+  val textFingerprintSql: String =
+    raw"""WITH base AS (SELECT doc_id,
+         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+         |  FROM documents)
+         |SELECT doc_id, md5(norm) AS fingerprint,
+         |  md5(substr(norm, 1, 64)) AS prefix_fp,
+         |  length(norm) AS norm_len
+         |FROM base ORDER BY doc_id""".stripMargin
+
+  /** Language ID by marker-token n-gram profile — a heuristic scorer
+    * (rows-only: profile tables are engine-internal). */
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of"), "es" -> Seq("el", "la", "de"),
+      "de" -> Seq("der", "und", "die"), "fr" -> Seq("le", "et", "les"),
+      "zh" -> Seq("zh", "ch", "sh"))
+    val scored = profiles.foldLeft(t(s, d, "documents")) { case (df, (lang, markers)) =>
+      val markerList = markers.map(m => s"'$m'").mkString("(", ",", ")")
+      val bigrams = markers.filter(_.length == 2)
+      val bigramScore =
+        if (bigrams.isEmpty) "0.0"
+        else {
+          val bgList = bigrams.map(m => s"'$m'").mkString("(", ",", ")")
+          s"""0.1 * size(filter(
+             |  transform(sequence(1, greatest(length(text) - 1, 1)),
+             |    i -> substring(text, i, 2)),
+             |  bg -> bg IN $bgList))""".stripMargin
+        }
+      df.withColumn(s"score_$lang",
+        expr(s"cast(size(filter($wordsExpr, w -> w IN $markerList)) as double) + $bigramScore"))
+    }
+    val scores = array(profiles.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+    }: _*)
+    scored
+      .withColumn("best", array_max(scores))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("best.lang").as("predicted_lang"), col("best.score").as("score"))
+      .orderBy("doc_id")
+  }
+
+  // ---------- deduplication ----------
+
+  /** Exact dedup summary over normalized-text digests. */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    t(s, d, "documents")
+      .select(col("doc_id"), md5(norm.cast("binary")).as("k"))
+      .groupBy("k").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum("n_copies").as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        (sum("n_copies") - count(lit(1))).as("n_removed"))
+  }
+  val dedupExactSql: String =
+    raw"""WITH groups AS (
+         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k,
+         |    min(doc_id) AS keep_id, count(*) AS n_copies
+         |  FROM documents GROUP BY k)
+         |SELECT count(*) AS n_unique,
+         |  CAST(sum(n_copies) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_groups,
+         |  CAST(sum(n_copies) - count(*) AS BIGINT) AS n_removed
+         |FROM groups""".stripMargin
+
+  /** Near-dup groups sharing a normalized 60-char prefix (hash-groupBy —
+    * the exact-dedup plan shape on a weaker key). */
+  def dedupPrefixGroups(s: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    t(s, d, "documents")
+      .select(col("doc_id"), md5(substring(norm, 1, 60).cast("binary")).as("k"))
+      .groupBy("k")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+      .filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies", "members")
+      .orderBy("keep_id")
+  }
+  val dedupPrefixGroupsSql: String =
+    raw"""WITH groups AS (
+         |  SELECT md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+         |      1, 60)) AS k,
+         |    min(doc_id) AS keep_id, count(*) AS n_copies,
+         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+         |  FROM documents GROUP BY k)
+         |SELECT keep_id, n_copies, members FROM groups
+         |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin
+
+  /** Word n-gram Jaccard near-dup pairs, blocked on `source` so candidate
+    * generation is a per-block join, not a global cross join. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val grams = expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size($wordsExpr) - 2, 1)),
+         |  i -> concat(element_at($wordsExpr, i), ' ',
+         |              element_at($wordsExpr, i + 1), ' ',
+         |              element_at($wordsExpr, i + 2))))""".stripMargin)
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"), grams.as("g"))
+    val a = docs.select(col("source"), col("doc_id").as("doc1"), col("g").as("g1"))
+    val b = docs.select(col("source").as("source2"), col("doc_id").as("doc2"),
+      col("g").as("g2"))
+    a.join(b, col("source") === col("source2") && col("doc1") < col("doc2"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2"))), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select("doc1", "doc2", "jaccard")
+      .orderBy("doc1", "doc2")
+  }
+  val dedupNgramJaccardSql: String =
+    raw"""WITH docs AS (
+         |  SELECT doc_id, source, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
+         |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+         |         string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
+         |         string_split_regex(trim(text), '\s+')[i + 2])) AS g
+         |  FROM documents)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+         |FROM docs a JOIN docs b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.2
+         |ORDER BY doc1, doc2""".stripMargin
+
+  private val NumHashes = 16
+  private val BandSize = 4
+
+  /** MinHash signatures: per doc, character-8-gram shingles hashed with
+    * [[NumHashes]] seeded xxhash64 functions, min per seed. */
+  private def minhashSignature: Column = {
+    val shingles =
+      """array_distinct(transform(
+        |  sequence(1, greatest(length(text) - 7, 1)),
+        |  i -> substring(text, i, 8)))""".stripMargin
+    val mins = (0 until NumHashes).map { j =>
+      expr(s"array_min(transform($shingles, s -> xxhash64(concat(s, '#$j'))))")
+    }
+    array(mins: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: shingle → minhash → band → bucket-join.
+    * Candidate pairs only ever meet inside an LSH band bucket (shuffle on
+    * the band hash), so the plan scales linearly with corpus size times
+    * bucket skew — the standard 100 TB-safe dedup topology. Rows-only
+    * (DuckDB has no xxhash64); validated in DedupSpec against the
+    * brute-force Jaccard pairs. */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), minhashSignature.as("mh"))
+    val bands = docs.select(
+      col("doc_id"), col("mh"),
+      explode(expr(
+        s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
+           |  b -> named_struct(
+           |    'band', b,
+           |    'bh', xxhash64(concat_ws(',',
+           |      transform(slice(mh, b * $BandSize + 1, $BandSize),
+           |        x -> cast(x as string))))))""".stripMargin)).as("band"))
+      .select(col("doc_id"), col("mh"), col("band.band").as("band"),
+        col("band.bh").as("bh"))
+    val a = bands.select(col("band"), col("bh"), col("doc_id").as("doc1"),
+      col("mh").as("mh1"))
+    val b = bands.select(col("band").as("band2"), col("bh").as("bh2"),
+      col("doc_id").as("doc2"), col("mh").as("mh2"))
+    a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
+        col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        round(expr(s"size(filter(zip_with(mh1, mh2, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)"), 4)
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("doc1", "doc2")
+  }
+
+  /** SimHash near-dup pairs: 32-bit signature from word hashes, candidates
+    * from matching 16-bit halves (Hamming ≤ pigeonhole), verified with
+    * bit_count(xor) ≤ 3. Rows-only; validated in DedupSpec. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sig = expr(
+      s"""aggregate(
+         |  transform(sequence(0, 31),
+         |    b -> case when aggregate($wordsExpr, 0L,
+         |        (acc, w) -> acc + (case when (shiftright(xxhash64(w), b) & 1) = 1
+         |                           then 1L else -1L end)) > 0
+         |      then shiftleft(1L, b) else 0L end),
+         |  0L, (acc, x) -> acc + x)""".stripMargin)
+    val docs = t(s, d, "documents").select(col("doc_id"), sig.as("sh"))
+    val keyed = docs.select(col("doc_id"), col("sh"),
+      explode(array(
+        struct(lit(0).as("half"), (col("sh") % 65536).as("hk")),
+        struct(lit(1).as("half"), shiftright(col("sh"), 16).as("hk")))).as("k"))
+      .select(col("doc_id"), col("sh"), col("k.half").as("half"), col("k.hk").as("hk"))
+    val a = keyed.select(col("half"), col("hk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
+    val b = keyed.select(col("half").as("half2"), col("hk").as("hk2"),
+      col("doc_id").as("doc2"), col("sh").as("sh2"))
+    a.join(b, col("half") === col("half2") && col("hk") === col("hk2") &&
+        col("doc1") < col("doc2"))
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc1", "doc2", "hamming")
+      .distinct()
+      .orderBy("doc1", "doc2")
+  }
+
+  // ---------- similarity search ----------
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10 — the
+    * exact baseline the LSH variant is checked against. Vectors are cast
+    * float→double before the fold so Spark and DuckDB accumulate
+    * identically. */
+  def simCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
+    q.join(c, col("q_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm2(col("qv")) * norm2(col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+  val simCosineTopkSql: String =
+    """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+      |    list_cosine_similarity(q.v, c.v) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+      |  FROM vecs q JOIN vecs c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT q_id, rank, cand_id, round(cos, 6) AS cos_sim
+      |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN: random-hyperplane signatures from deterministic
+    * hash-derived planes; candidates share a signature bucket, then exact
+    * cosine re-ranks inside the bucket. The scale path for ANN: signature
+    * shuffle is linear, the quadratic step is confined to buckets.
+    * Rows-only; recall vs brute force asserted in SimilaritySpec. */
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val nPlanes = 8
+    val sigExpr = expr(
+      s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) ->
+         |  acc + case when aggregate(
+         |      zip_with(v, sequence(0, size(v) - 1),
+         |        (x, i) -> x * ((cast(xxhash64(concat('plane', p, '_', i)) % 1000 as double)
+         |                        / 1000.0) - 0.5)),
+         |      cast(0.0 as double), (a2, x) -> a2 + x) > 0
+         |    then shiftleft(1L, p) else 0L end)""".stripMargin)
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("sig", sigExpr)
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
+    val c = vecs.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("sig").as("csig"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
+    q.join(c, col("qsig") === col("csig") && col("q_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (norm2(col("qv")) * norm2(col("cv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------- multimodal plumbing ----------
+
+  /** Multimodal column pipeline: text → opaque binary payload + typed
+    * metadata struct → per-partition batch "decode" (a deterministic stub
+    * standing in for an image/audio decoder — the container has no codec
+    * libs) → extracted features. The Spark-side plumbing (binary schema,
+    * partition-batched processing, feature schema) is real. Rows-only. */
+  def mmBinaryFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, d, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(lit("text/plain").as("mime"), col("lang").as("lang_tag"),
+          length(col("text")).as("byte_len")).as("meta"))
+    payloads
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { batch =>
+        // stub decoder: deterministic per-payload "features"
+        batch.map { case (id, bytes, mime) =>
+          val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
+          (id, mime, bytes.length.toLong, checksum, bytes.take(4).map(_.toLong))
+        }
+      }
+      .toDF("doc_id", "mime", "n_bytes", "checksum", "head_bytes")
+      .select(col("doc_id"), col("mime"), col("n_bytes"), col("checksum"),
+        concat_ws(",", col("head_bytes")).as("head"))
+      .orderBy("doc_id")
+  }
+
+  // ---------- events / sessionization ----------
+
+  /** Gap-based sessionization (30-min idle timeout) with window functions —
+    * the batch form of the streaming session-window operator. */
+  def eventSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+  val eventSessionizeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER win IS NULL
+       |      OR epoch_us(ts) - epoch_us(lag(ts) OVER win) > 1800 * 1000000
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sessions AS (
+       |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_seq
+       |  FROM flagged)
+       |SELECT user_id, session_seq, count(*) AS n_events,
+       |  min(ts)::TIMESTAMP AS session_start, max(ts)::TIMESTAMP AS session_end,
+       |  ${DSUM("value")} AS session_value
+       |FROM sessions GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Tumbling-window event aggregation (hourly) — batch equivalent of the
+    * streaming windowed count. */
+  def eventWindowAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+  val eventWindowAggSql: String =
+    s"""SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type,
+       |  count(*) AS n, ${DSUM("value")} AS total_value
+       |FROM events GROUP BY hour, event_type
+       |ORDER BY hour, event_type""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_lang_id" -> (textLangId _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_prefix_groups" -> (dedupPrefixGroups _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "sim_cosine_topk" -> (simCosineTopk _),
+    "sim_ann_lsh" -> (simAnnLsh _),
+    "mm_binary_features" -> (mmBinaryFeatures _),
+    "event_sessionize" -> (eventSessionize _),
+    "event_window_agg" -> (eventWindowAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_fingerprint" -> textFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_prefix_groups" -> dedupPrefixGroupsSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "sim_cosine_topk" -> simCosineTopkSql,
+    "event_sessionize" -> eventSessionizeSql,
+    "event_window_agg" -> eventWindowAggSql)
+}

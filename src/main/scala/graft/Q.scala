@@ -13,16 +13,56 @@ import org.apache.spark.sql.types._
   * deterministic and engine-independent at any parallelism.
   */
 object Q {
-  /** Read one driver-generated table (TESTDATA.md) from an sf dir. */
+  /** Read one driver-generated table (TESTDATA.md) from an sf dir.
+    * If [[cacheTables]] has registered this dir, serve the cached
+    * in-memory view instead (same rows, repartitioned for parallelism). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (spark.conf.getOption("graft.cached.dir").contains(dir))
+      spark.table(name)
+    else read(spark, dir, name)
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
+    * nanosecond LONG and is converted here to a microsecond timestamp
+    * (the generator only uses µs precision, so this is lossless). */
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // integer division: ts/1000 in double loses µs precision at 2024
+      // epoch magnitudes (ulp > 0.25µs)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Fixed-cardinality dims that stay single-partition (broadcast side). */
+  private val smallTables = Set("region", "nation", "supplier")
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    tableNames.foreach(n => read(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Materialize every table into Spark's in-memory columnar cache,
+    * repartitioned so downstream stages parallelize (the driver's parquet
+    * files are single-row-group → a cold scan is a 1-task stage no matter
+    * the cluster size; a real 100 TB layout has many splittable files and
+    * would not need this). Mirrors the reference's MemTable registration
+    * (`/root/reference/python/datafusion/context.py:783-887`) and
+    * `DataFrame.cache()` (`dataframe.py:975`). */
+  def cacheTables(spark: SparkSession, dir: String, partitions: Int): Unit = {
+    tableNames.foreach { n =>
+      val df = read(spark, dir, n)
+      val p = if (smallTables(n)) df else df.repartition(partitions)
+      p.createOrReplaceTempView(n)
+      spark.catalog.cacheTable(n)
+      spark.table(n).count() // force materialization
+    }
+    spark.conf.set("graft.cached.dir", dir)
+  }
 
   /** Timestamp literal (all date columns in the corpus are timestamps). */
   def ts(s: String): Column = to_timestamp(lit(s))

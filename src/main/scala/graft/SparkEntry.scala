@@ -10,10 +10,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Tpch.queries
+    Tpch.queries ++ Ops.queries ++ Functions.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Tpch.oracle
+    Tpch.oracle ++ Ops.oracle ++ Functions.oracle ++ Pipeline.oracle
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation of the engine-specific (non-SQL-oracle) pipeline operators:
+  * MinHash-LSH and SimHash dedup against ground-truth near-dups, ANN
+  * against the brute-force baseline. */
+class PipelineSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("minhash LSH recalls prefix-duplicate groups") {
+    val prefixPairs = Pipeline.dedupPrefixGroups(spark, sf)
+      .collect()
+      .flatMap { r =>
+        val ids = r.getAs[String]("members").split(",").map(_.toLong).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }
+      .toSet
+    assume(prefixPairs.nonEmpty, "corpus has no prefix-duplicate groups")
+    val minhashPairs = Pipeline.dedupMinhashLsh(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recalled = prefixPairs.count(minhashPairs.contains)
+    assert(recalled.toDouble / prefixPairs.size >= 0.6,
+      s"minhash recalled $recalled of ${prefixPairs.size} known near-dup pairs")
+  }
+
+  test("simhash emits verified low-hamming pairs only") {
+    val rows = Pipeline.dedupSimhash(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3))
+  }
+
+  test("ANN-LSH cosine values agree with brute force for shared pairs") {
+    val brute = Pipeline.simCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = Pipeline.simAnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(ann.nonEmpty, "ANN returned no candidates")
+    val shared = ann.keySet.intersect(brute.keySet)
+    shared.foreach { k =>
+      assert(math.abs(ann(k) - brute(k)) < 1e-9,
+        s"cosine mismatch for $k: ${ann(k)} vs ${brute(k)}")
+    }
+    // ANN scores can never exceed the brute-force best per query
+    val bestByQuery = brute.groupBy(_._1._1).map { case (q, m) => q -> m.values.max }
+    ann.foreach { case ((q, _), c) =>
+      assert(c <= bestByQuery(q) + 1e-9)
+    }
+  }
+
+  test("brute-force top-k is correctly ranked") {
+    val rows = Pipeline.simCosineTopk(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("exact dedup counts are consistent") {
+    val r = Pipeline.dedupExact(spark, sf).collect().head
+    val nDocs = r.getAs[Long]("n_docs")
+    val nUnique = r.getAs[Long]("n_unique")
+    assert(nDocs == Q.t(spark, sf, "documents").count())
+    assert(nUnique <= nDocs && r.getAs[Long]("n_removed") == nDocs - nUnique)
+  }
+
+  test("language id predicts a label for every doc") {
+    val rows = Pipeline.textLangId(spark, sf).collect()
+    assert(rows.length == Q.t(spark, sf, "documents").count())
+    assert(rows.forall(r => r.getAs[String]("predicted_lang").nonEmpty))
+  }
+
+  test("multimodal binary pipeline preserves rows and is deterministic") {
+    val a = Pipeline.mmBinaryFeatures(spark, sf).collect()
+    val b = Pipeline.mmBinaryFeatures(spark, sf).collect()
+    assert(a.length == Q.t(spark, sf, "documents").count())
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+}
+
+/** Engine-specific hash functions: fixed expected digests. */
+class FunctionsSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("fn_hash_engine digests match reference values") {
+    val r = Functions.fnHashEngine(spark, sf)
+      .filter("key = 0").collect().head
+    assert(r.getAs[String]("sha1_hex") == "1a90e65cfdf74f01f73e0898c48e42a23146d93f")
+    assert(r.getAs[Long]("crc") == 3678181428L)
+  }
+}
