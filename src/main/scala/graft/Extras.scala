@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Q._
+
+/** Remaining SURVEY.md §2 surface: sources/sinks beyond parquet (§2.1-2.2),
+  * approx aggregates, UDF/UDAF (§2.12), and the native vector kernels
+  * (§2.9 distance functions, backed by graft.functions.VectorKernels).
+  */
+object Extras {
+
+  private def tmpDir(name: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+    dir
+  }
+
+  /** CSV round-trip: write with header/delimiter options, read back with an
+    * explicit schema (reference read_csv/write_csv, context.py:1831,
+    * dataframe.py:1482). */
+  def scanCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("nation_csv")
+    t(s, d, "nation").coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("delimiter", "|").csv(dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema)
+      .option("header", "true").option("delimiter", "|").csv(dir)
+      .orderBy("n_nationkey")
+  }
+  val scanCsvRoundtripSql: String =
+    "SELECT * FROM nation ORDER BY n_nationkey"
+
+  /** NDJSON round-trip (reference read_json/write_json, context.py:1787). */
+  def scanJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("region_json")
+    t(s, d, "region").coalesce(1).write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    s.read.schema(schema).json(dir).orderBy("r_regionkey")
+  }
+  val scanJsonRoundtripSql: String =
+    "SELECT * FROM region ORDER BY r_regionkey"
+
+  /** Hive-style partitioned write + partition-discovering read (reference
+    * DataFrameWriteOptions partition_by, dataframe.py:1899; partitioned
+    * scan context.py:1062). */
+  def writePartitioned(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("orders_part")
+    t(s, d, "orders").filter(col("o_orderkey") < 1000)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+  val writePartitionedSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n, ${DSUM("o_totalprice")} AS total
+       |FROM orders WHERE o_orderkey < 1000
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** SQL DDL + DML: CREATE TABLE / INSERT OVERWRITE / SELECT (reference
+    * DmlStatement + write_table, expr.py:95-187, dataframe.py:1659). */
+  def sqlInsert(s: SparkSession, d: String): DataFrame = {
+    registerAll(s, d)
+    val loc = tmpDir("ins_table")
+    s.sql("DROP TABLE IF EXISTS graft_ins")
+    s.sql(s"CREATE TABLE graft_ins (k BIGINT, seg STRING) USING PARQUET LOCATION '$loc'")
+    s.sql(
+      """INSERT OVERWRITE graft_ins
+        |SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 50""".stripMargin)
+    s.sql("SELECT seg, count(*) AS n, min(k) AS first_k FROM graft_ins GROUP BY seg ORDER BY seg")
+  }
+  val sqlInsertSql: String =
+    """SELECT c_mktsegment AS seg, count(*) AS n, min(c_custkey) AS first_k
+      |FROM customer WHERE c_custkey < 50
+      |GROUP BY seg ORDER BY seg""".stripMargin
+
+  /** Sketch aggregates (reference approx_distinct functions/__init__.py:4926,
+    * approx_median :4966, approx_percentile_cont :5001). Rows-only: HLL and
+    * KLL sketches are engine-specific; exactness is asserted in ExtrasSpec
+    * against exact counterparts. */
+  def aggApprox(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        median(col("l_extendedprice")).as("exact_median"))
+      .orderBy("l_returnflag")
+
+  /** describe()/summary() (reference dataframe.py:417) — rows-only (string
+    * matrix, layout is engine-specific). */
+  def rowopDescribe(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select("p_size", "p_retailprice").describe()
+
+  /** Native codegen'd vector kernels vs the DuckDB list functions
+    * (cosine/inner-product/L2/L1 — reference functions/__init__.py:3584,
+    * 3638, 4535). Every embedding scored against the vec_id=0 probe. */
+  def fnVector(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions._
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"))
+    vecs.filter(col("vec_id") < 50).join(broadcast(probe))
+      .select(
+        col("vec_id"),
+        round(cosine_sim(col("v"), col("pv")), 6).as("cos_sim"),
+        round(lit(1.0) - cosine_sim(col("v"), col("pv")), 6).as("cos_dist"),
+        round(inner_product(col("v"), col("pv")), 4).as("dot"),
+        round(l2_distance(col("v"), col("pv")), 6).as("l2"),
+        round(aggregate(zip_with(col("v"), col("pv"), (x, y) => abs(x - y)),
+          lit(0.0), (acc, x) => acc + x), 6).as("l1"))
+      .orderBy("vec_id")
+  }
+  val fnVectorSql: String =
+    """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |probe AS (SELECT v AS pv FROM vecs WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_cosine_similarity(v, pv), 6) AS cos_sim,
+      |  round(1.0 - list_cosine_similarity(v, pv), 6) AS cos_dist,
+      |  round(list_dot_product(v, pv), 4) AS dot,
+      |  round(list_distance(v, pv), 6) AS l2,
+      |  round(CAST(list_sum(list_transform(generate_series(1, len(v)),
+      |    i -> abs(v[i] - pv[i]))) AS DOUBLE), 6) AS l1
+      |FROM vecs, probe WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+
+  /** Typed scaled-long-sum Aggregator: order-independent exact UDAF. */
+  object ScaledSum extends Aggregator[Double, Long, Double] {
+    override def zero: Long = 0L
+    override def reduce(acc: Long, x: Double): Long = acc + math.round(x * 100)
+    override def merge(a: Long, b: Long): Long = a + b
+    override def finish(acc: Long): Double = acc / 100.0
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** UDF + UDAF surface (reference udf/udaf, user_defined.py:128-706):
+    * a deterministic scalar UDF and a typed Aggregator whose buffer is a
+    * scaled long (update/merge = the reference Accumulator contract),
+    * both SQL-registered and oracle-checkable. */
+  def udfSurface(s: SparkSession, d: String): DataFrame = {
+    val score = udf((bal: Double, seg: String) =>
+      if (seg == "BUILDING") bal * 2 else bal)
+    s.udf.register("graft_scaled_sum", udaf(ScaledSum))
+    t(s, d, "customer")
+      .withColumn("score", score(col("c_acctbal"), col("c_mktsegment")))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("graft_scaled_sum(score)").as("sum_score"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+  val udfSurfaceSql: String =
+    """SELECT c_mktsegment,
+      |  CAST(sum(CAST(round((CASE WHEN c_mktsegment = 'BUILDING'
+      |    THEN c_acctbal * 2 ELSE c_acctbal END) * 100) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS sum_score,
+      |  count(*) AS n
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
+    "scan_json_roundtrip" -> (scanJsonRoundtrip _),
+    "write_partitioned" -> (writePartitioned _),
+    "sql_insert" -> (sqlInsert _),
+    "agg_approx" -> (aggApprox _),
+    "rowop_describe" -> (rowopDescribe _),
+    "fn_vector" -> (fnVector _),
+    "udf_surface" -> (udfSurface _))
+
+  val oracle: Map[String, String] = Map(
+    "scan_csv_roundtrip" -> scanCsvRoundtripSql,
+    "scan_json_roundtrip" -> scanJsonRoundtripSql,
+    "write_partitioned" -> writePartitionedSql,
+    "sql_insert" -> sqlInsertSql,
+    "fn_vector" -> fnVectorSql,
+    "udf_surface" -> udfSurfaceSql)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+
+/** Native vector kernels: codegen path vs interpreted vs HOF formulation. */
+class KernelsSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  private lazy val vecs = {
+    GraftFunctions.register(spark)
+    Q.t(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .limit(50)
+      .cache()
+  }
+
+  test("cosine_sim matches the HOF formulation") {
+    val hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val probe = vecs.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val rows = vecs.join(broadcast(probe))
+      .select(
+        GraftFunctions.cosine_sim(col("v"), col("pv")).as("native"),
+        (hofDot(col("v"), col("pv")) /
+          (sqrt(hofDot(col("v"), col("v"))) * sqrt(hofDot(col("pv"), col("pv")))))
+          .as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("kernels agree between codegen and interpreted execution") {
+    val probe = vecs.filter(col("vec_id") === 1).select(col("v").as("pv"))
+    def run(): Array[Double] =
+      vecs.join(broadcast(probe))
+        .select(GraftFunctions.l2_distance(col("v"), col("pv")))
+        .collect().map(_.getDouble(0))
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(withCodegen.sameElements(interpreted))
+  }
+
+  test("inner_product of a vector with itself is its squared norm") {
+    val rows = vecs
+      .select(
+        GraftFunctions.inner_product(col("v"), col("v")).as("dot"),
+        GraftFunctions.l2_distance(col("v"),
+          transform(col("v"), _ * 0.0)).as("norm"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(math.sqrt(r.getDouble(0)) - r.getDouble(1)) < 1e-9)
+    }
+  }
+}
+
+/** Rows-only extras: sketch aggregates vs exact, describe shape. */
+class ExtrasSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("approx aggregates land near their exact counterparts") {
+    Extras.aggApprox(spark, sf).collect().foreach { r =>
+      val approxN = r.getAs[Long]("approx_orders").toDouble
+      val exactN = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approxN - exactN) / exactN < 0.1,
+        s"HLL off by >10%: $approxN vs $exactN")
+      val approxM = r.getAs[Double]("approx_median")
+      val exactM = r.getAs[Double]("exact_median")
+      assert(math.abs(approxM - exactM) / exactM < 0.05,
+        s"approx median off by >5%: $approxM vs $exactM")
+    }
+  }
+
+  test("describe produces the five summary rows") {
+    val labels = Extras.rowopDescribe(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(labels == Set("count", "mean", "stddev", "min", "max"))
+  }
+}
