@@ -168,7 +168,25 @@ object Extras {
       |  count(*) AS n
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** DSv2 connector (graft.sources.GenTableProvider) driven through the
+    * correctness gate: filters/projection push into the custom scan; the
+    * oracle reproduces the deterministic generator with a series table. */
+  def dsv2Pushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.GenTableProvider")
+      .option("rows", "10000").load()
+      .filter(col("id") >= 2000 && col("id") < 8000 && col("grp") < 10)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), dsum(col("val")).as("total_val"))
+      .orderBy("grp")
+  val dsv2PushdownSql: String =
+    s"""SELECT CAST(i % 50 AS INT) AS grp, count(*) AS n,
+       |  ${DSUM("(i * 31 % 997) / 10.0")} AS total_val
+       |FROM generate_series(0, 9999) t(i)
+       |WHERE i >= 2000 AND i < 8000 AND i % 50 < 10
+       |GROUP BY grp ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsv2_pushdown" -> (dsv2Pushdown _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "scan_json_roundtrip" -> (scanJsonRoundtrip _),
     "write_partitioned" -> (writePartitioned _),
@@ -179,6 +197,7 @@ object Extras {
     "udf_surface" -> (udfSurface _))
 
   val oracle: Map[String, String] = Map(
+    "dsv2_pushdown" -> dsv2PushdownSql,
     "scan_csv_roundtrip" -> scanCsvRoundtripSql,
     "scan_json_roundtrip" -> scanJsonRoundtripSql,
     "write_partitioned" -> writePartitionedSql,

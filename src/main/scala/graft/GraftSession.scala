@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.Command
+
+/** SQL execution gate (reference `SQLOptions`,
+  * `/root/reference/python/datafusion/context.py:469-530`): allow/deny
+  * DDL, DML and statements before execution. */
+case class SQLOptions(
+    allowDDL: Boolean = true,
+    allowDML: Boolean = true,
+    allowStatements: Boolean = true) {
+  def withDDL(allow: Boolean): SQLOptions = copy(allowDDL = allow)
+  def withDML(allow: Boolean): SQLOptions = copy(allowDML = allow)
+  def withStatements(allow: Boolean): SQLOptions = copy(allowStatements = allow)
+}
+
+/** Session facade mirroring the reference's `SessionContext`
+  * (`/root/reference/python/datafusion/context.py:532`): table
+  * registration per format, SQL with named parameters and a DDL/DML gate,
+  * and in-memory frame construction — all thin wrappers over
+  * `SparkSession`, which supplies catalog, optimizer and execution. */
+class GraftSession(val spark: SparkSession) {
+
+  /** ctx.sql(query, options, param_values) — parameters use Spark's
+    * `:name` binding; the gate classifies the parsed plan before running. */
+  def sql(query: String, params: Map[String, Any] = Map.empty,
+      options: SQLOptions = SQLOptions()): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+    classify(plan) match {
+      case "ddl" if !options.allowDDL =>
+        throw new IllegalStateException(s"DDL not allowed by SQLOptions: $query")
+      case "dml" if !options.allowDML =>
+        throw new IllegalStateException(s"DML not allowed by SQLOptions: $query")
+      case "statement" if !options.allowStatements =>
+        throw new IllegalStateException(s"statement not allowed by SQLOptions: $query")
+      case _ =>
+    }
+    if (params.isEmpty) spark.sql(query) else spark.sql(query, params)
+  }
+
+  private def classify(plan: LogicalPlan): String = plan match {
+    case _: InsertIntoStatement => "dml"
+    case c: Command =>
+      val n = c.nodeName
+      if (n.contains("Insert") || n.contains("Delete") || n.contains("Update")
+        || n.contains("Merge")) "dml"
+      else if (n.contains("Set") || n.contains("Reset")) "statement"
+      else "ddl"
+    case _ => "query"
+  }
+
+  // --- registration surface (reference register_*, context.py:1062-1297) ---
+  def registerParquet(name: String, path: String): Unit =
+    spark.read.parquet(path).createOrReplaceTempView(name)
+  def registerCsv(name: String, path: String,
+      options: Map[String, String] = Map("header" -> "true")): Unit =
+    spark.read.options(options).csv(path).createOrReplaceTempView(name)
+  def registerJson(name: String, path: String): Unit =
+    spark.read.json(path).createOrReplaceTempView(name)
+  def registerView(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+  def deregister(name: String): Unit =
+    spark.catalog.dropTempView(name)
+
+  def table(name: String): DataFrame = spark.table(name)
+  def tableNames: Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq
+
+  /** from_pydict/from_pylist analog (context.py:783-887). */
+  def fromSeq[T <: Product : reflect.runtime.universe.TypeTag](
+      rows: Seq[T], name: Option[String] = None): DataFrame = {
+    val df = spark.createDataFrame(rows)
+    name.foreach(df.createOrReplaceTempView)
+    df
+  }
+}

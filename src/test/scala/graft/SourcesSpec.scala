@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GenTable
+
+/** DSv2 connector: correctness + evidence that pushdown actually pruned. */
+class SourcesSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  private def gen(rows: Int) =
+    spark.read.format("graft.sources.GenTableProvider")
+      .option("rows", rows.toString).load()
+
+  test("full scan returns the generated relation") {
+    val rows = gen(1000).collect()
+    assert(rows.length == 1000)
+    val r = rows.find(_.getLong(0) == 123L).get
+    assert(r.getInt(1) == (123 % 50) && r.getDouble(2) == (123L * 31 % 997) / 10.0)
+  }
+
+  test("id predicates prune partitions at the source") {
+    GenTable.rowsScanned.set(0)
+    val n = gen(10000).filter(col("id") < 100).count()
+    assert(n == 100)
+    assert(GenTable.rowsScanned.get() < 2000,
+      s"scanned ${GenTable.rowsScanned.get()} rows — id pushdown did not prune")
+  }
+
+  test("non-id predicates are evaluated at the source") {
+    GenTable.rowsScanned.set(0)
+    val n = gen(10000).filter(col("grp") === 7).count()
+    assert(n == 200)
+    assert(GenTable.rowsScanned.get() == 200,
+      s"reader emitted ${GenTable.rowsScanned.get()} rows — grp filter not pushed")
+  }
+
+  test("pushed filters and pruned columns appear in the scan description") {
+    val df = gen(1000).filter(col("id") >= 500).select("id", "val")
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThanOrEqual(id,500)"), scan)
+    assert(scan.contains("columns=[id, val]"), scan)
+  }
+
+  test("row counts not divisible by the partition count lose no rows") {
+    for (n <- Seq(1, 7, 100, 10001)) {
+      val df = gen(n)
+      assert(df.count() == n, s"rows=$n")
+      assert(df.agg(sum("id")).collect().head.getLong(0) == n.toLong * (n - 1) / 2)
+    }
+  }
+
+  test("aggregation over the connector matches the closed form") {
+    val got = gen(1000).groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 20) && got.size == 50)
+  }
+}
+
+/** Session facade: SQLOptions gating + registration surface. */
+class GraftSessionSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  private lazy val ctx = new GraftSession(spark)
+
+  test("sql with named parameters") {
+    ctx.registerParquet("gs_nation", s"$sf/nation.parquet")
+    val n = ctx.sql(
+      "SELECT count(*) AS n FROM gs_nation WHERE n_regionkey = :rk",
+      Map("rk" -> 2)).collect().head.getLong(0)
+    assert(n == 5)
+  }
+
+  test("SQLOptions denies DDL when asked") {
+    val e = intercept[IllegalStateException] {
+      ctx.sql("CREATE TABLE gs_t (a INT) USING PARQUET",
+        options = SQLOptions().withDDL(false))
+    }
+    assert(e.getMessage.contains("DDL not allowed"))
+  }
+
+  test("SQLOptions denies DML when asked") {
+    val e = intercept[IllegalStateException] {
+      ctx.sql("INSERT INTO gs_nation VALUES (99, 'X', 0)",
+        options = SQLOptions().withDML(false))
+    }
+    assert(e.getMessage.contains("DML not allowed"))
+  }
+
+  test("SQLOptions denies SET statements when asked") {
+    val e = intercept[IllegalStateException] {
+      ctx.sql("SET spark.sql.shuffle.partitions = 1",
+        options = SQLOptions().withStatements(false))
+    }
+    assert(e.getMessage.contains("statement not allowed"))
+    // and the conf was not changed
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+  }
+
+  test("queries pass through an all-deny gate") {
+    val strict = SQLOptions(allowDDL = false, allowDML = false, allowStatements = false)
+    assert(ctx.sql("SELECT 1 AS one", options = strict).collect().head.getInt(0) == 1)
+  }
+
+  test("fromSeq registers an in-memory frame") {
+    val df = ctx.fromSeq(Seq((1, "a"), (2, "b")), Some("gs_mem"))
+    assert(df.count() == 2)
+    assert(ctx.sql("SELECT count(*) n FROM gs_mem").collect().head.getLong(0) == 2)
+    ctx.deregister("gs_mem")
+  }
+}
