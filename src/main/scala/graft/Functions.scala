@@ -471,6 +471,48 @@ object Functions {
       |  CAST((n_nationkey >> 1) & 1 AS BIGINT) AS bget
       |FROM nation ORDER BY key""".stripMargin
 
+  /** digest(expr, algo) dispatch (reference functions/__init__.py:742). */
+  def digest(c: Column, algo: String): Column = algo match {
+    case "md5" => md5(c.cast("binary"))
+    case "sha1" => sha1(c.cast("binary"))
+    case "sha224" => sha2(c.cast("binary"), 224)
+    case "sha256" => sha2(c.cast("binary"), 256)
+    case "sha384" => sha2(c.cast("binary"), 384)
+    case "sha512" => sha2(c.cast("binary"), 512)
+    case "crc32" => crc32(c.cast("binary"))
+    case other => throw new IllegalArgumentException(s"unknown digest algo: $other")
+  }
+
+  def fnMisc(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .select(
+        col("n_nationkey").as("key"),
+        overlay(col("n_name"), lit("##"), lit(3), lit(2)).as("ovl"),
+        digest(col("n_name"), "md5").as("dg_md5"),
+        digest(col("n_name"), "sha256").as("dg_sha256"),
+        substring_index(col("n_name"), "_", 1).as("before_us"),
+        format_string("%s-%03d", col("n_name"), col("n_nationkey")).as("fmt"),
+        expr("elt(1 + n_nationkey % 2, 'even', 'odd')").as("parity"),
+        locate("_", col("n_name"), 2).cast("long").as("us_from2"),
+        concat(lit("["), expr("space(2)"), lit("]")).as("spaced"),
+        make_timestamp(lit(2024), lit(3), col("n_nationkey") % 28 + 1,
+          lit(10), lit(30), lit(0.0)).as("mk_ts"))
+      .orderBy("key")
+  val fnMiscSql: String =
+    """SELECT n_nationkey AS key,
+      |  substr(n_name, 1, 2) || '##' || substr(n_name, 5) AS ovl,
+      |  md5(n_name) AS dg_md5,
+      |  sha256(n_name) AS dg_sha256,
+      |  string_split(n_name, '_')[1] AS before_us,
+      |  printf('%s-%03d', n_name, n_nationkey) AS fmt,
+      |  (['even', 'odd'])[1 + n_nationkey % 2] AS parity,
+      |  CAST(CASE WHEN instr(substr(n_name, 2), '_') = 0 THEN 0
+      |            ELSE instr(substr(n_name, 2), '_') + 1 END AS BIGINT)
+      |    AS us_from2,
+      |  '[  ]' AS spaced,
+      |  make_timestamp(2024, 3, n_nationkey % 28 + 1, 10, 30, 0.0) AS mk_ts
+      |FROM nation ORDER BY key""".stripMargin
+
   /** Engine-specific hashes (xxhash64, crc32, murmur3, sha1) have no DuckDB
     * equivalent — checked rows-only by the driver, value-checked in the
     * ScalaTest suite against fixed expected digests. */
@@ -500,6 +542,7 @@ object Functions {
     "fn_struct_map" -> (fnStructMap _),
     "fn_json" -> (fnJson _),
     "fn_bitwise" -> (fnBitwise _),
+    "fn_misc" -> (fnMisc _),
     "fn_hash_engine" -> (fnHashEngine _))
 
   val oracle: Map[String, String] = Map(
@@ -516,5 +559,6 @@ object Functions {
     "fn_hof" -> fnHofSql,
     "fn_struct_map" -> fnStructMapSql,
     "fn_json" -> fnJsonSql,
-    "fn_bitwise" -> fnBitwiseSql)
+    "fn_bitwise" -> fnBitwiseSql,
+    "fn_misc" -> fnMiscSql)
 }
