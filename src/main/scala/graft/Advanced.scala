@@ -175,7 +175,34 @@ object Advanced {
       |  len(a) AS dims
       |FROM base ORDER BY key""".stripMargin
 
+  /** Weighted percentile via the custom TypedImperativeAggregate
+    * (graft.functions.WeightedPercentile); the oracle computes the same
+    * weighted lower percentile with a cumulative-weight window. */
+  def aggWeightedPercentile(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WeightedPercentile.register(s)
+    t(s, d, "lineitem").createOrReplaceTempView("li_wp")
+    s.sql(
+      """SELECT l_returnflag AS flag,
+        |  percentile_weighted(l_extendedprice, l_quantity, 0.25) AS p25,
+        |  percentile_weighted(l_extendedprice, l_quantity, 0.5) AS p50,
+        |  percentile_weighted(l_extendedprice, l_quantity, 0.9) AS p90
+        |FROM li_wp GROUP BY l_returnflag ORDER BY flag""".stripMargin)
+  }
+  val aggWeightedPercentileSql: String =
+    """WITH ordered AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v, l_quantity AS wt,
+      |    sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM lineitem)
+      |SELECT flag,
+      |  min(v) FILTER (WHERE cum >= 0.25 * total) AS p25,
+      |  min(v) FILTER (WHERE cum >= 0.5 * total) AS p50,
+      |  min(v) FILTER (WHERE cum >= 0.9 * total) AS p90
+      |FROM ordered GROUP BY flag ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_percentile" -> (aggWeightedPercentile _),
     "win_groups_frame" -> (winGroupsFrame _),
     "win_ema" -> (winEma _),
     "rec_reachability" -> (recReachability _),
@@ -183,6 +210,7 @@ object Advanced {
     "fn_array3" -> (fnArray3 _))
 
   val oracle: Map[String, String] = Map(
+    "agg_weighted_percentile" -> aggWeightedPercentileSql,
     "win_groups_frame" -> winGroupsFrameSql,
     "win_ema" -> winEmaSql,
     "rec_reachability" -> recReachabilitySql,

@@ -85,3 +85,44 @@ class ExtrasSpec extends AnyFunSuite {
     assert(labels == Set("count", "mean", "stddev", "min", "max"))
   }
 }
+
+/** Custom TypedImperativeAggregate: weighted percentile. */
+class WeightedPercentileSpec extends AnyFunSuite {
+  import SparkSpec._
+  import graft.functions.WeightedPercentile
+
+  test("hand-computed weighted median") {
+    WeightedPercentile.register(spark)
+    import spark.implicits._
+    // values 10,20,30 with weights 1,1,8 → p50 sits inside the 30-mass
+    Seq((10.0, 1.0), (20.0, 1.0), (30.0, 8.0)).toDF("v", "w")
+      .createOrReplaceTempView("wp_t")
+    val r = spark.sql("SELECT percentile_weighted(v, w, 0.5) FROM wp_t")
+      .collect().head.getDouble(0)
+    assert(r == 30.0)
+    // uniform weights reduce to the plain lower percentile
+    val u = spark.sql("SELECT percentile_weighted(v, 1.0, 0.5) FROM wp_t")
+      .collect().head.getDouble(0)
+    assert(u == 20.0)
+  }
+
+  test("result is invariant under partitioning (update/merge contract)") {
+    WeightedPercentile.register(spark)
+    val li = Q.t(spark, sf, "lineitem")
+    def run(parts: Int): Double = {
+      li.repartition(parts).createOrReplaceTempView("wp_li")
+      spark.sql("SELECT percentile_weighted(l_extendedprice, l_quantity, 0.7) FROM wp_li")
+        .collect().head.getDouble(0)
+    }
+    assert(run(1) == run(13))
+  }
+
+  test("empty input evaluates to null") {
+    WeightedPercentile.register(spark)
+    Q.t(spark, sf, "lineitem").filter("l_quantity < 0")
+      .createOrReplaceTempView("wp_empty")
+    val r = spark.sql("SELECT percentile_weighted(l_extendedprice, l_quantity, 0.5) FROM wp_empty")
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+}
