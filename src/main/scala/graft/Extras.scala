@@ -132,6 +132,21 @@ object Extras {
       |    i -> abs(v[i] - pv[i]))) AS DOUBLE), 6) AS l1
       |FROM vecs, probe WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
 
+  /** UDTF surface (reference udtf/TableFunction, user_defined.py:1124-1250):
+    * a table function `(args) → DataFrame`, SQL-callable after view
+    * registration — the Scala-API shape of a user-defined table function. */
+  def seriesTable(s: SparkSession, start: Long, stop: Long, step: Long): DataFrame =
+    s.range(start, stop, step)
+      .select(col("id"), (col("id") * col("id")).as("squared"))
+
+  def udtfSeries(s: SparkSession, d: String): DataFrame = {
+    seriesTable(s, 0, 100, 7).createOrReplaceTempView("graft_series")
+    s.sql("SELECT id, squared FROM graft_series ORDER BY id")
+  }
+  val udtfSeriesSql: String =
+    """SELECT CAST(i AS BIGINT) AS id, CAST(i * i AS BIGINT) AS squared
+      |FROM generate_series(0, 99, 7) t(i) ORDER BY id""".stripMargin
+
   /** Typed scaled-long-sum Aggregator: order-independent exact UDAF. */
   object ScaledSum extends Aggregator[Double, Long, Double] {
     override def zero: Long = 0L
@@ -194,7 +209,8 @@ object Extras {
     "agg_approx" -> (aggApprox _),
     "rowop_describe" -> (rowopDescribe _),
     "fn_vector" -> (fnVector _),
-    "udf_surface" -> (udfSurface _))
+    "udf_surface" -> (udfSurface _),
+    "udtf_series" -> (udtfSeries _))
 
   val oracle: Map[String, String] = Map(
     "dsv2_pushdown" -> dsv2PushdownSql,
@@ -203,5 +219,6 @@ object Extras {
     "write_partitioned" -> writePartitionedSql,
     "sql_insert" -> sqlInsertSql,
     "fn_vector" -> fnVectorSql,
-    "udf_surface" -> udfSurfaceSql)
+    "udf_surface" -> udfSurfaceSql,
+    "udtf_series" -> udtfSeriesSql)
 }

@@ -383,6 +383,30 @@ object Pipeline {
       .orderBy("q_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (threshold 0.95) — brute force
+    * at test scale, the exact baseline for [[simAnnLsh]]'s bucketed path.
+    * At 100 TB the identical query runs with the LSH signature join
+    * replacing the triangular self-join. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val a = vecs.select(col("vec_id").as("id1"), col("v").as("v1"))
+    val b = vecs.select(col("vec_id").as("id2"), col("v").as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", dot(col("v1"), col("v2")) /
+        (norm2(col("v1")) * norm2(col("v2"))))
+      .filter(col("cos") >= 0.95)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("id1", "id2")
+  }
+  val dedupEmbeddingSql: String =
+    """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+      |ORDER BY id1, id2""".stripMargin
+
   // ---------- multimodal plumbing ----------
 
   /** Multimodal column pipeline: text → opaque binary payload + typed
@@ -480,6 +504,7 @@ object Pipeline {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "mm_binary_features" -> (mmBinaryFeatures _),
@@ -493,6 +518,7 @@ object Pipeline {
     "dedup_exact" -> dedupExactSql,
     "dedup_prefix_groups" -> dedupPrefixGroupsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
     "sim_cosine_topk" -> simCosineTopkSql,
     "event_sessionize" -> eventSessionizeSql,
     "event_window_agg" -> eventWindowAggSql)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Structured Streaming over the events table: file source → watermark →
@@ -42,5 +42,62 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed.nonEmpty)
     assert(streamed == batch)
+  }
+
+  test("stateful streaming: mapGroupsWithState per-user counts match batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val counts = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (uid, n)
+      }
+    val q = counts.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("user_counts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("user_counts")
+      .groupBy("_1").agg(max("_2").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Q.t(spark, sf, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+}
+
+/** Plan audits across the whole headline suite: no accidental cartesian
+  * products, lineitem filters reach the scan. */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("no TPC-H query plans a CartesianProduct") {
+    val offenders = Tpch.benchOrder.filter { q =>
+      Tpch.queries(q)(spark, sf).queryExecution.executedPlan
+        .toString.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("date-filtered queries push predicates into the parquet scan") {
+    for (q <- Seq("q1", "q6", "q14")) {
+      val plan = Tpch.queries(q)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+        s"$q scan lacks pushed l_shipdate filter")
+    }
   }
 }
