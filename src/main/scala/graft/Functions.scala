@@ -513,6 +513,27 @@ object Functions {
       |  make_timestamp(2024, 3, n_nationkey % 28 + 1, 10, 30, 0.0) AS mk_ts
       |FROM nation ORDER BY key""".stripMargin
 
+  /** Bitmap functions (reference spark-namespace bitmap_count /
+    * bit_position / bucket_number, functions/spark.py:295-323): position
+    * arithmetic oracle-checked directly; bitmap_count over a constructed
+    * bitmap equals distinct slot count. */
+  def fnBitmap(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(c_custkey + 1)))")
+          .as("distinct_slots"),
+        min(expr("bitmap_bit_position(c_custkey + 1)")).as("min_pos"),
+        max(expr("bitmap_bucket_number(c_custkey + 1)")).as("max_bucket"))
+      .orderBy("c_mktsegment")
+  val fnBitmapSql: String =
+    """SELECT c_mktsegment, count(*) AS n_keys,
+      |  count(DISTINCT c_custkey % 32768) AS distinct_slots,
+      |  min(c_custkey % 32768) AS min_pos,
+      |  max(CAST(floor(c_custkey / 32768) + 1 AS BIGINT)) AS max_bucket
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Engine-specific hashes (xxhash64, crc32, murmur3, sha1) have no DuckDB
     * equivalent — checked rows-only by the driver, value-checked in the
     * ScalaTest suite against fixed expected digests. */
@@ -543,6 +564,7 @@ object Functions {
     "fn_json" -> (fnJson _),
     "fn_bitwise" -> (fnBitwise _),
     "fn_misc" -> (fnMisc _),
+    "fn_bitmap" -> (fnBitmap _),
     "fn_hash_engine" -> (fnHashEngine _))
 
   val oracle: Map[String, String] = Map(
@@ -560,5 +582,6 @@ object Functions {
     "fn_struct_map" -> fnStructMapSql,
     "fn_json" -> fnJsonSql,
     "fn_bitwise" -> fnBitwiseSql,
-    "fn_misc" -> fnMiscSql)
+    "fn_misc" -> fnMiscSql,
+    "fn_bitmap" -> fnBitmapSql)
 }

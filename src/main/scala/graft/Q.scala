@@ -77,6 +77,21 @@ object Q {
   def davg(c: Column): Column =
     sum(c.cast(DecimalType(30, 6))).cast(DoubleType) / count(c)
 
+  /** Skew-safe equi-join: the big (skewed) side spreads each key over
+    * `salts` deterministic sub-keys derived from full row content; the
+    * small side replicates ×salts. Standard hot-key mitigation when AQE
+    * skew handling isn't enough at 100 TB — result is identical to the
+    * plain join, but no reducer receives a whole hot key. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val l = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong))
+        .cast("int"))
+    val r = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   // --- DuckDB oracle SQL fragments mirroring the helpers above ---
   def DSUM(e: String): String =
     s"CAST(sum(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"

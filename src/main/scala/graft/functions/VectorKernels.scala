@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, If, IsNull, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
@@ -156,11 +156,15 @@ object GraftFunctions {
     "inner_product" -> binary("inner_product")(InnerProduct),
     "l2_distance" -> binary("l2_distance")(L2Distance))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(KernelSimplify))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ KernelSimplify
+  }
 
   /** Column-API entry points (SQL names resolve via [[register]]). */
   def cosine_sim(a: Column, b: Column): Column =
@@ -171,14 +175,36 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("l2_distance", a, b)
 }
 
+/** Algebraic simplification for the vector kernels — an engine-owned
+  * Catalyst optimizer rule (the reference's pluggable-optimizer-rule
+  * surface, `/root/reference/python/datafusion/context.py:1738`):
+  * `cosine_sim(v, v)` → 1.0 and `l2_distance(v, v)` → 0.0 for any
+  * deterministic `v`, preserving null-in-null-out semantics. */
+object KernelSimplify
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b)
+          if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal.create(null, DoubleType), Literal(1.0))
+      case L2Distance(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal.create(null, DoubleType), Literal(0.0))
+    }
+}
+
 /** `spark.sql.extensions=graft.functions.GraftExtensions` wiring, the
   * deployment-time analog of [[GraftFunctions.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[VectorKernel].getName, name),
         builder))
     }
+    e.injectOptimizerRule(_ => KernelSimplify)
+  }
 }

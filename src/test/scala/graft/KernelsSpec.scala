@@ -126,3 +126,34 @@ class WeightedPercentileSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 }
+
+/** Salted-join utility and the injected kernel-simplification rule. */
+class ScaleUtilitiesSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("salted join equals plain join") {
+    val li = Q.t(spark, sf, "lineitem")
+    val part = Q.t(spark, sf, "part")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = li.join(part, Seq("l_partkey"))
+      .groupBy("p_brand").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Q.saltedJoin(li, part, "l_partkey", 8)
+      .groupBy("p_brand").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("KernelSimplify folds self-similarity at the optimizer") {
+    GraftFunctions.register(spark)
+    val df = Q.t(spark, sf, "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .select(GraftFunctions.cosine_sim(col("v"), col("v")).as("c"),
+        GraftFunctions.l2_distance(col("v"), col("v")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosine_sim") && !optimized.contains("l2_distance"),
+      optimized)
+    val rows = df.collect()
+    assert(rows.forall(r => r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0))
+  }
+}
