@@ -116,8 +116,10 @@ final case class Frame(df: DataFrame) {
   def partitionCount: Int = df.rdd.getNumPartitions
   /** Per-operator metrics after execution (reference metrics.rs:27-77).
     * AQE wrapper nodes hide the materialized plan behind accessors rather
-    * than `children` — unwrap them explicitly. */
-  def metrics: Map[String, Map[String, Long]] = {
+    * than `children` — unwrap them explicitly. Returned as an ordered Seq:
+    * plans routinely contain the same operator twice (two Exchanges, two
+    * HashAggregates), so a nodeName-keyed Map would silently drop entries. */
+  def metricsSeq: Seq[(String, Map[String, Long])] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def walk(p: SparkPlan): Seq[(String, Map[String, Long])] = p match {
@@ -129,7 +131,17 @@ final case class Frame(df: DataFrame) {
         (p.nodeName -> p.metrics.map { case (k, m) => k -> m.value }.toMap) +:
           p.children.flatMap(walk)
     }
-    walk(df.queryExecution.executedPlan).toMap
+    walk(df.queryExecution.executedPlan)
+  }
+  /** Map view keyed by `nodeName#<occurrence>` so repeated operators keep
+    * distinct entries ("HashAggregate#0", "HashAggregate#1", …). */
+  def metrics: Map[String, Map[String, Long]] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    metricsSeq.map { case (name, m) =>
+      val i = counts.getOrElse(name, 0)
+      counts(name) = i + 1
+      s"$name#$i" -> m
+    }.toMap
   }
 }
 

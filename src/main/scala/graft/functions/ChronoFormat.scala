@@ -15,8 +15,11 @@ object ChronoFormat {
     'H' -> "HH", 'k' -> "H", 'I' -> "hh", 'l' -> "h", 'M' -> "mm",
     'S' -> "ss", 'f' -> "SSSSSSSSS", 'p' -> "a", 'j' -> "DDD",
     'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
-    'C' -> "yy", 'G' -> "YYYY", 'V' -> "ww", 'u' -> "e",
-    'z' -> "xx", 'Z' -> "zz", 's' -> "")
+    'G' -> "YYYY", 'V' -> "ww", 'u' -> "e",
+    'z' -> "xx", 'Z' -> "zz")
+  // %C (century) and %s (epoch seconds) have no Java pattern equivalent and
+  // deliberately fall through to the unsupported-specifier error below —
+  // a wrong-valued mapping would silently corrupt output.
 
   def toJava(chrono: String): String = {
     val out = new StringBuilder

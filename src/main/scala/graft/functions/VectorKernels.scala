@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSessionExtensions
@@ -42,14 +42,32 @@ abstract class VectorKernel extends BinaryExpression {
   protected def loopBody(ctx: CodegenContext, a: String, b: String, n: String,
       result: String): String
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  /** Mismatched lengths are an error, matching the reference engine's
+    * behavior (DataFusion raises on unequal vector lengths) — indexing past
+    * the shorter array would be an out-of-bounds unsafe read. */
+  protected final def checkLengths(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: vector length mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    checkLengths(av, bv)
+    compute(av, bv)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       s"""
          |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector length mismatch: " + $n + " vs " + $b.numElements());
+         |}
          |${loopBody(ctx, a, b, n, ev.value.toString)}
        """.stripMargin
     })
@@ -140,6 +158,50 @@ case class L2Distance(left: Expression, right: Expression) extends VectorKernel 
     copy(left = newLeft, right = newRight)
 }
 
+/** `cosine_sim(v, v)` reduced to a single accumulator pass — the target of
+  * the [[KernelSimplify]] rewrite. With identical arguments the binary
+  * kernel's three accumulators (`dot`, `na`, `nb`) run the same sequential
+  * loop and are bitwise equal, so `ip / (sqrt(ip) * sqrt(ip))` with
+  * `ip = Σx²` reproduces its result exactly, including NaN for zero/NaN
+  * vectors (Java double semantics — Catalyst's ANSI `Divide` would throw on
+  * the 0/0 case, so this cannot be expressed by composing built-ins). */
+case class CosineSelf(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "cosine_self"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var ip = 0.0; var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getDouble(i); ip += x * x; i += 1 }
+    ip / (math.sqrt(ip) * math.sqrt(ip))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val ip = ctx.freshName("ip")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $ip = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i); $ip += $x * $x;
+         |}
+         |${ev.value} = $ip / (Math.sqrt($ip) * Math.sqrt($ip));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registry wiring: session-local registration plus a
   * [[SparkSessionExtensions]] hook for `--conf spark.sql.extensions`. */
 object GraftFunctions {
@@ -177,9 +239,17 @@ object GraftFunctions {
 
 /** Algebraic simplification for the vector kernels — an engine-owned
   * Catalyst optimizer rule (the reference's pluggable-optimizer-rule
-  * surface, `/root/reference/python/datafusion/context.py:1738`):
-  * `cosine_sim(v, v)` → 1.0 and `l2_distance(v, v)` → 0.0 for any
-  * deterministic `v`, preserving null-in-null-out semantics. */
+  * surface, `/root/reference/python/datafusion/context.py:1738`).
+  *
+  * `cosine_sim(v, v)` rewrites to the one-pass [[CosineSelf]] kernel, which
+  * is bitwise-exact against the binary kernel (NOT a fold to `1.0`: for
+  * `ip = 2`, `sqrt(2)² = 2.0000000000000004` so the kernel itself returns
+  * `0.9999999999999998`, and a zero/NaN vector yields NaN — a constant fold
+  * would change results, as would ANSI `Divide`, which throws on 0/0).
+  *
+  * `l2_distance(v, v)` is NOT folded to `0.0`: the kernel returns NaN when
+  * `v` contains NaN/Inf, and no cheap expression distinguishes that without
+  * a second per-element pass — the fold would change results. */
 object KernelSimplify
   extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
@@ -189,9 +259,7 @@ object KernelSimplify
     plan.transformAllExpressions {
       case CosineSimilarity(a, b)
           if a.deterministic && a.semanticEquals(b) =>
-        If(IsNull(a), Literal.create(null, DoubleType), Literal(1.0))
-      case L2Distance(a, b) if a.deterministic && a.semanticEquals(b) =>
-        If(IsNull(a), Literal.create(null, DoubleType), Literal(0.0))
+        CosineSelf(a)
     }
 }
 

@@ -46,10 +46,14 @@ case class ExponentialMovingAverage(child: Expression, alphaExpr: Expression)
   override def aggBufferAttributes: Seq[AttributeReference] = Seq(ema)
   override lazy val initialValues: Seq[Expression] =
     Seq(Literal.create(null, DoubleType))
+  /** Null semantics: a null input carries the previous state forward (the
+    * average skips nulls) rather than nulling the state and restarting —
+    * matching how the reference's sliding evaluators treat missing values. */
   override lazy val updateExpressions: Seq[Expression] = {
     val x = Cast(child, DoubleType)
-    Seq(If(IsNull(ema), x,
-      Add(Multiply(Literal(alpha), x), Multiply(Literal(1.0 - alpha), ema))))
+    Seq(If(IsNull(x), ema,
+      If(IsNull(ema), x,
+        Add(Multiply(Literal(alpha), x), Multiply(Literal(1.0 - alpha), ema)))))
   }
   override lazy val evaluateExpression: Expression = ema
 

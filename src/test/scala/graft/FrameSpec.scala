@@ -64,6 +64,9 @@ class FrameSpec extends AnyFunSuite {
     f.count()
     val m = f.metrics
     assert(m.nonEmpty && m.values.exists(_.nonEmpty))
+    // partial+final aggregation repeats the operator — both entries must survive
+    assert(m.keys.count(_.startsWith("HashAggregate#")) >= 2, m.keys.toSeq.sorted)
+    assert(f.metricsSeq.size == m.size)
     assert(f.partitionCount > 0)
   }
 

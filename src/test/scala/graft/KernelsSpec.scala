@@ -144,16 +144,57 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("KernelSimplify folds self-similarity at the optimizer") {
+  test("KernelSimplify rewrites cosine self-similarity exactly") {
     GraftFunctions.register(spark)
-    val df = Q.t(spark, sf, "embeddings")
+    val base = Q.t(spark, sf, "embeddings")
       .select(transform(col("embedding"), _.cast("double")).as("v"))
-      .select(GraftFunctions.cosine_sim(col("v"), col("v")).as("c"),
-        GraftFunctions.l2_distance(col("v"), col("v")).as("d"))
+      .limit(40).cache()
+    val df = base.select(GraftFunctions.cosine_sim(col("v"), col("v")).as("c"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("cosine_sim") && !optimized.contains("l2_distance"),
+    assert(!optimized.contains("cosine_sim") && optimized.contains("cosine_self"),
       optimized)
-    val rows = df.collect()
-    assert(rows.forall(r => r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0))
+    val folded = df.collect().map(_.getDouble(0))
+    // bitwise-identical to the unrewritten kernel — the rule must not change results
+    val saved = spark.experimental.extraOptimizations
+    val raw = try {
+      spark.experimental.extraOptimizations = Nil
+      base.select(GraftFunctions.cosine_sim(col("v"), col("v")).as("c"))
+        .collect().map(_.getDouble(0))
+    } finally spark.experimental.extraOptimizations = saved
+    assert(folded.map(java.lang.Double.doubleToLongBits).toSeq ==
+      raw.map(java.lang.Double.doubleToLongBits).toSeq)
+    // zero vector: kernel semantics are NaN (0/0); the rewrite must preserve that
+    val zc = base.limit(1)
+      .select(transform(col("v"), _ * 0.0).as("v"))
+      .select(GraftFunctions.cosine_sim(col("v"), col("v")).as("c"))
+      .collect()(0).getDouble(0)
+    assert(zc.isNaN)
+    // l2_distance(v, v) is deliberately NOT folded (NaN/Inf inputs)
+    val l2Plan = base.select(GraftFunctions.l2_distance(col("v"), col("v")))
+      .queryExecution.optimizedPlan.toString
+    assert(l2Plan.contains("l2_distance"), l2Plan)
+  }
+
+  test("ema skips null inputs, carrying the previous state") {
+    graft.functions.WindowKernels.register(spark)
+    val rows = spark.sql(
+      """SELECT i, ema(x, 0.3d) OVER (ORDER BY i) AS e FROM VALUES
+        |  (1, 10.0d), (2, CAST(NULL AS DOUBLE)), (3, 20.0d) AS t(i, x)
+        |ORDER BY i""".stripMargin).collect()
+    assert(rows(0).getDouble(1) == 10.0)
+    assert(rows(1).getDouble(1) == 10.0) // null input must not null the state
+    assert(math.abs(rows(2).getDouble(1) - (0.3 * 20.0 + 0.7 * 10.0)) < 1e-12)
+  }
+
+  test("kernels reject mismatched vector lengths") {
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)) AS c")
+    val e = intercept[Exception](df.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("length mismatch")), e.toString)
   }
 }
