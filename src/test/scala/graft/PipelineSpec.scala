@@ -57,6 +57,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("banded ngram-jaccard equals the brute-force pair set") {
+    val banded = Pipeline.dedupNgramJaccard(spark, sf).collect().map(_.toString).toSeq
+    val brute = Pipeline.dedupNgramJaccardBrute(spark, sf).collect().map(_.toString).toSeq
+    assert(banded == brute)
+  }
+
+  test("banded embedding dedup equals brute force on synthetic near-dups") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val rows = (0 until 40).map { id =>
+      val v =
+        if (id < 6) base.zipWithIndex.map { case (x, i) =>
+          (x + 0.004 * id * ((i % 3) - 1)).toFloat } // tight near-dup cluster
+        else Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (id.toLong, v)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = Pipeline.dedupEmbeddingBrute(spark, dir).collect().map(_.toString).toSeq
+    val banded = Pipeline.dedupEmbedding(spark, dir).collect().map(_.toString).toSeq
+    assert(brute.nonEmpty, "synthetic corpus produced no near-dup pairs")
+    assert(banded == brute)
+  }
+
+  test("plan audit: default dedup plans contain no nested-loop or cartesian join") {
+    Seq(Pipeline.dedupEmbedding(spark, sf), Pipeline.dedupNgramJaccard(spark, sf))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"), plan)
+      }
+  }
+
   test("exact dedup counts are consistent") {
     val r = Pipeline.dedupExact(spark, sf).collect().head
     val nDocs = r.getAs[Long]("n_docs")
