@@ -47,6 +47,55 @@ object Extras {
   val scanJsonRoundtripSql: String =
     "SELECT * FROM region ORDER BY r_regionkey"
 
+  /** Arrow IPC round-trip (reference `__arrow_c_stream__` export,
+    * dataframe.py:1780-1816, and `read_arrow`/`from_arrow` ingestion,
+    * context.py:2025/839): export one Arrow IPC stream file per partition,
+    * re-ingest the directory, and reduce — the oracle runs the same
+    * reduction on the original parquet, so a pass proves the Arrow boundary
+    * is lossless for long/timestamp/double/string columns. */
+  def scanArrowRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftarrow.ArrowBridge
+    val dir = tmpDir("orders_arrow")
+    val src = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+      .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+    ArrowBridge.writeArrowFiles(src, dir, maxRecordsPerBatch = 500)
+    ArrowBridge.readArrowFiles(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderkey")).as("last_key"))
+      .orderBy("o_orderstatus")
+  }
+  val scanArrowRoundtripSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n, ${DSUM("o_totalprice")} AS total,
+       |  min(o_orderdate)::TIMESTAMP AS first_date,
+       |  max(o_orderkey) AS last_key
+       |FROM orders WHERE o_orderkey < 2000
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Avro round-trip (reference read_avro, context.py:1994): write one
+    * Avro container file per partition via the Avro Java core (see
+    * graft.sources.AvroIO — the spark-avro connector jar is not packaged
+    * here), re-ingest with header-inferred schema, reduce, and compare to
+    * the oracle's reduction of the original parquet. Exercises long,
+    * timestamp (micros logical type), double and string columns. */
+  def scanAvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("customer_avro")
+    val src = t(s, d, "customer").filter(col("c_custkey") < 1500)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    graft.sources.AvroIO.writeAvro(src, dir)
+    graft.sources.AvroIO.readAvro(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"),
+        min(col("c_name")).as("first_name"), max(col("c_custkey")).as("last_key"))
+      .orderBy("c_mktsegment")
+  }
+  val scanAvroRoundtripSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n, ${DSUM("c_acctbal")} AS total_bal,
+       |  min(c_name) AS first_name, max(c_custkey) AS last_key
+       |FROM customer WHERE c_custkey < 1500
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Hive-style partitioned write + partition-discovering read (reference
     * DataFrameWriteOptions partition_by, dataframe.py:1899; partitioned
     * scan context.py:1062). */
@@ -204,6 +253,8 @@ object Extras {
     "dsv2_pushdown" -> (dsv2Pushdown _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "scan_json_roundtrip" -> (scanJsonRoundtrip _),
+    "scan_arrow_roundtrip" -> (scanArrowRoundtrip _),
+    "scan_avro_roundtrip" -> (scanAvroRoundtrip _),
     "write_partitioned" -> (writePartitioned _),
     "sql_insert" -> (sqlInsert _),
     "agg_approx" -> (aggApprox _),
@@ -216,6 +267,8 @@ object Extras {
     "dsv2_pushdown" -> dsv2PushdownSql,
     "scan_csv_roundtrip" -> scanCsvRoundtripSql,
     "scan_json_roundtrip" -> scanJsonRoundtripSql,
+    "scan_arrow_roundtrip" -> scanArrowRoundtripSql,
+    "scan_avro_roundtrip" -> scanAvroRoundtripSql,
     "write_partitioned" -> writePartitionedSql,
     "sql_insert" -> sqlInsertSql,
     "fn_vector" -> fnVectorSql,

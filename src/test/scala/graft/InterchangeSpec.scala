@@ -44,6 +44,38 @@ class InterchangeSpec extends AnyFunSuite {
       .sameElements(Q.t(spark, sf, "part").schema.fieldNames.sorted))
   }
 
+  test("arrow IPC round-trip preserves schema, rows and partitioning") {
+    import org.apache.spark.sql.graftarrow.ArrowBridge
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow").toString
+    val src = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+      .repartition(3)
+    val written = ArrowBridge.writeArrowFiles(src, dir, maxRecordsPerBatch = 100)
+    assert(written == src.count())
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrows"))
+    assert(files.length == 3) // one IPC stream per partition
+    val back = ArrowBridge.readArrowFiles(spark, dir)
+    assert(back.schema == src.schema) // incl. timestamp + nullability
+    assert(back.rdd.getNumPartitions == 3) // one ingest task per file
+    val a = src.orderBy("o_orderkey").collect().map(_.toString).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("avro round-trip preserves schema and rows incl. timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    val src = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+      .repartition(2)
+    graft.sources.AvroIO.writeAvro(src, dir)
+    val back = graft.sources.AvroIO.readAvro(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    val a = src.orderBy("o_orderkey").collect().map(_.toString).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("catalog introspection: SHOW TABLES and DESCRIBE") {
     val ctx = new GraftSession(spark)
     ctx.registerParquet("ic_nation", s"$sf/nation.parquet")
