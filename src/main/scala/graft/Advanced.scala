@@ -4,6 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
 
+/** Input row for the retractable sliding-window operator (top-level so the
+  * product encoder derives cleanly). */
+case class RetractEv(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, value: Double)
+
 /** The "hard items" of SURVEY.md §7.3: GROUPS window frames (rewrite),
   * UDWF-style custom window function, recursive CTEs (fixpoint loop),
   * Chrono→Java `to_char` translation, and the array gap functions. */
@@ -78,6 +83,49 @@ object Advanced {
       |SELECT o_custkey, o_orderkey, round(v, 9) AS price_ema
       |FROM ema ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Sliding-frame aggregation through the retractable-accumulator
+    * contract (reference `retract_batch`, user_defined.py:358-706; SURVEY
+    * §2.12): moving 4-row sum per user over event time, computed in ONE
+    * pass per group — each row update()s the state and the row leaving the
+    * frame retract()s it, the behavior `retract_batch` exists to enable.
+    * Runs distributed via groupByKey + flatMapGroups (Spark's typed
+    * custom-state shape); groups are sorted in executor memory, which at
+    * 100 TB becomes a secondary sort (repartition + sortWithinPartitions)
+    * with identical per-group logic. Oracle: the equivalent
+    * `ROWS BETWEEN 3 PRECEDING AND CURRENT ROW` window in DuckDB —
+    * exact because the state is decimal (graft.functions.MovingDecimalSum). */
+  def winMovingRetract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.MovingDecimalSum
+    val frame = 4
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[RetractEv]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val rows = it.toArray.sortBy(r => (r.ts.getTime, r.event_id))
+        val inFrame = scala.collection.mutable.Queue.empty[Double]
+        var state = MovingDecimalSum.zero
+        rows.iterator.map { r =>
+          state = MovingDecimalSum.update(state, r.value)
+          inFrame.enqueue(r.value)
+          if (inFrame.size > frame)
+            state = MovingDecimalSum.retract(state, inFrame.dequeue())
+          (uid, r.event_id, MovingDecimalSum.evaluate(state), inFrame.size.toLong)
+        }
+      }
+      .toDF("user_id", "event_id", "mov_sum", "n_frame")
+      .orderBy("user_id", "event_id")
+  }
+  val winMovingRetractSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS mov_sum,
+      |  count(*) OVER w AS n_frame
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Recursive CTE (reference RecursiveQuery node, SURVEY.md §2.13):
     * no Spark support → distributed union-until-fixpoint loop. Each
     * iteration is a distributed join; only the 1-row convergence check
@@ -89,16 +137,22 @@ object Advanced {
         ((col("n_nationkey") * 7 + 3) % 25).cast("long").as("dst"))
       .cache()
     var reach = s.range(1).select(lit(0L).as("node"))
-    var lastCount = 0L
+    // one job per iteration: the convergence count is computed once and
+    // reused for the loop condition; superseded checkpoints are freed
+    var cur = reach.count()
+    var lastCount = -1L
     var iter = 0
-    while (reach.count() != lastCount && iter < 30) {
-      lastCount = reach.count()
+    while (cur != lastCount && iter < 30) {
+      lastCount = cur
+      val prev = reach
       reach = reach
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"))
         .union(reach)
         .distinct()
         .localCheckpoint() // truncate the growing lineage each iteration
+      cur = reach.count()
+      if (iter > 0) prev.queryExecution.toRdd.unpersist(blocking = false)
       iter += 1
     }
     reach.orderBy("node")
@@ -205,6 +259,7 @@ object Advanced {
     "agg_weighted_percentile" -> (aggWeightedPercentile _),
     "win_groups_frame" -> (winGroupsFrame _),
     "win_ema" -> (winEma _),
+    "win_moving_retract" -> (winMovingRetract _),
     "rec_reachability" -> (recReachability _),
     "fn_to_char" -> (fnToChar _),
     "fn_array3" -> (fnArray3 _))
@@ -213,6 +268,7 @@ object Advanced {
     "agg_weighted_percentile" -> aggWeightedPercentileSql,
     "win_groups_frame" -> winGroupsFrameSql,
     "win_ema" -> winEmaSql,
+    "win_moving_retract" -> winMovingRetractSql,
     "rec_reachability" -> recReachabilitySql,
     "fn_to_char" -> fnToCharSql,
     "fn_array3" -> fnArray3Sql)

@@ -186,6 +186,40 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
     assert(math.abs(rows(2).getDouble(1) - (0.3 * 20.0 + 0.7 * 10.0)) < 1e-12)
   }
 
+  test("retractable accumulator: update+retract returns to the prior state") {
+    import graft.functions.MovingDecimalSum
+    val s0 = MovingDecimalSum.zero
+    val s1 = MovingDecimalSum.update(s0, 12.34)
+    val s2 = MovingDecimalSum.update(s1, 56.78)
+    assert(MovingDecimalSum.retract(s2, 12.34)
+      .compareTo(MovingDecimalSum.update(s0, 56.78)) == 0)
+    assert(MovingDecimalSum.retract(s1, 12.34).compareTo(s0) == 0)
+    assert(MovingDecimalSum.evaluate(
+      MovingDecimalSum.merge(s1, MovingDecimalSum.update(s0, 0.66))) == 13.0)
+  }
+
+  test("retractable sliding sum equals Spark's built-in frame and is partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val result = Advanced.winMovingRetract(spark, sf).collect().map(_.toString).toSeq
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 0)
+    val builtin = Q.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(30,6)")).over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("n_frame"))
+      .orderBy("user_id", "event_id")
+      .collect().map(_.toString).toSeq
+    assert(result == builtin)
+    // partition invariance: groupByKey reshuffles regardless of input layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_retract").toString
+    // Q.read expects events.ts as nanosecond longs (TESTDATA layout)
+    Q.t(spark, sf, "events").repartition(7)
+      .withColumn("ts", (unix_micros(col("ts")) * 1000L).cast("long"))
+      .write.parquet(s"$dir/events.parquet")
+    val reshuffled = Advanced.winMovingRetract(spark, dir).collect().map(_.toString).toSeq
+    assert(reshuffled == result)
+  }
+
   test("kernels reject mismatched vector lengths") {
     GraftFunctions.register(spark)
     val df = spark.sql(
