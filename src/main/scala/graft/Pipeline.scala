@@ -270,25 +270,34 @@ object Pipeline {
   private val NumHashes = 16
   private val BandSize = 4
 
+  /** 60-bit hash lane from the first 15 hex chars of md5 — deliberately
+    * expressible in BOTH engines (Spark `conv(substr(md5,…),16,10)`,
+    * DuckDB `('0x' || substr(md5,…))::BIGINT`) so the LSH operators below
+    * get full DuckDB oracles instead of rows-only checks. */
+  private def md5Lane(sparkExpr: String): String =
+    s"cast(conv(substring(md5($sparkExpr), 1, 15), 16, 10) as bigint)"
+  private def md5LaneDuck(duckExpr: String): String =
+    s"(('0x' || substr(md5($duckExpr), 1, 15))::BIGINT)"
+
   /** MinHash signatures: per doc, character-8-gram shingles hashed with
-    * [[NumHashes]] seeded xxhash64 functions, min per seed. */
+    * [[NumHashes]] seeded md5 lanes, min per seed. */
   private def minhashSignature: Column = {
     val shingles =
       """array_distinct(transform(
         |  sequence(1, greatest(length(text) - 7, 1)),
         |  i -> substring(text, i, 8)))""".stripMargin
     val mins = (0 until NumHashes).map { j =>
-      expr(s"array_min(transform($shingles, s -> xxhash64(concat(s, '#$j'))))")
+      expr(s"array_min(transform($shingles, s -> ${md5Lane(s"concat(s, '#$j')")}))")
     }
     array(mins: _*)
   }
 
   /** MinHash + LSH near-dup pairs: shingle → minhash → band → bucket-join.
     * Candidate pairs only ever meet inside an LSH band bucket (shuffle on
-    * the band hash), so the plan scales linearly with corpus size times
-    * bucket skew — the standard 100 TB-safe dedup topology. Rows-only
-    * (DuckDB has no xxhash64); validated in DedupSpec against the
-    * brute-force Jaccard pairs. */
+    * the band key), so the plan scales linearly with corpus size times
+    * bucket skew — the standard 100 TB-safe dedup topology. The band key
+    * is the joined text of the band's lanes (portable), and the lanes are
+    * md5-derived, so the DuckDB oracle reproduces the banding exactly. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), minhashSignature.as("mh"))
@@ -298,9 +307,9 @@ object Pipeline {
         s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
            |  b -> named_struct(
            |    'band', b,
-           |    'bh', xxhash64(concat_ws(',',
+           |    'bh', concat_ws(',',
            |      transform(slice(mh, b * $BandSize + 1, $BandSize),
-           |        x -> cast(x as string))))))""".stripMargin)).as("band"))
+           |        x -> cast(x as string)))))""".stripMargin)).as("band"))
       .select(col("doc_id"), col("mh"), col("band.band").as("band"),
         col("band.bh").as("bh"))
     val a = bands.select(col("band"), col("bh"), col("doc_id").as("doc1"),
@@ -316,16 +325,40 @@ object Pipeline {
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("doc1", "doc2")
   }
+  val dedupMinhashLshSql: String = {
+    val shingles =
+      raw"""list_distinct(list_transform(
+           |    generate_series(1, greatest(length(text) - 7, 1)),
+           |    i -> substr(text, i, 8)))""".stripMargin
+    val lanes = (0 until NumHashes).map { j =>
+      s"list_min(list_transform($shingles, s -> ${md5LaneDuck(s"s || '#$j'")}))"
+    }.mkString("[\n    ", ",\n    ", "]")
+    raw"""WITH sigs AS (
+         |  SELECT doc_id, $lanes AS mh FROM documents),
+         |bands AS (
+         |  SELECT doc_id, mh, b,
+         |    array_to_string(mh[(b * $BandSize + 1):(b * $BandSize + $BandSize)], ',') AS bh
+         |  FROM sigs, generate_series(0, ${NumHashes / BandSize - 1}) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2,
+         |    round(len(list_filter(generate_series(1, $NumHashes),
+         |      i -> a.mh[i] = b2.mh[i])) / ${NumHashes}.0, 4) AS est_jaccard
+         |  FROM bands a JOIN bands b2
+         |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id)
+         |SELECT doc1, doc2, est_jaccard FROM pairs
+         |WHERE est_jaccard >= 0.5 ORDER BY doc1, doc2""".stripMargin
+  }
 
-  /** SimHash near-dup pairs: 32-bit signature from word hashes, candidates
-    * from matching 16-bit halves (Hamming ≤ pigeonhole), verified with
-    * bit_count(xor) ≤ 3. Rows-only; validated in DedupSpec. */
+  /** SimHash near-dup pairs: 32-bit signature from md5-lane word hashes,
+    * candidates from matching 16-bit halves (Hamming ≤ pigeonhole),
+    * verified with bit_count(xor) ≤ 3. Fully oracle-checked — the DuckDB
+    * SQL rebuilds the identical signatures and half-key buckets. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sig = expr(
       s"""aggregate(
          |  transform(sequence(0, 31),
          |    b -> case when aggregate($wordsExpr, 0L,
-         |        (acc, w) -> acc + (case when (shiftright(xxhash64(w), b) & 1) = 1
+         |        (acc, w) -> acc + (case when (shiftright(${md5Lane("w")}, b) & 1) = 1
          |                           then 1L else -1L end)) > 0
          |      then shiftleft(1L, b) else 0L end),
          |  0L, (acc, x) -> acc + x)""".stripMargin)
@@ -346,6 +379,29 @@ object Pipeline {
       .distinct()
       .orderBy("doc1", "doc2")
   }
+  val dedupSimhashSql: String =
+    raw"""WITH words AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+         |      CASE WHEN list_sum(list_transform(w, x ->
+         |          CASE WHEN (${md5LaneDuck("x")} >> b) & 1 = 1
+         |               THEN 1 ELSE -1 END)) > 0
+         |           THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sh
+         |  FROM words),
+         |keyed AS (
+         |  SELECT doc_id, sh, 0 AS half, sh % 65536 AS hk FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, sh, 1 AS half, sh >> 16 AS hk FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |  FROM keyed a JOIN keyed b
+         |    ON a.half = b.half AND a.hk = b.hk AND a.doc_id < b.doc_id)
+         |SELECT doc1, doc2, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY doc1, doc2""".stripMargin
 
   // ---------- similarity search ----------
 
@@ -593,6 +649,8 @@ object Pipeline {
     "dedup_exact" -> dedupExactSql,
     "dedup_prefix_groups" -> dedupPrefixGroupsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "sim_cosine_topk" -> simCosineTopkSql,
     "event_sessionize" -> eventSessionizeSql,
