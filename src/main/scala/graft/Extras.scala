@@ -130,6 +130,17 @@ object Extras {
       |FROM customer WHERE c_custkey < 50
       |GROUP BY seg ORDER BY seg""".stripMargin
 
+  /** enable_url_table analog (reference context.py:584): query a file path
+    * directly as a table — Spark's native ``format.`path` `` relation. */
+  def sqlUrlTable(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT n_nationkey, n_name, count(*) AS n
+         |FROM parquet.`$d/nation.parquet`
+         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin)
+  val sqlUrlTableSql: String =
+    """SELECT n_nationkey, n_name, count(*) AS n FROM nation
+      |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin
+
   /** Sketch aggregates (reference approx_distinct functions/__init__.py:4926,
     * approx_median :4966, approx_percentile_cont :5001). Rows-only: HLL and
     * KLL sketches are engine-specific; exactness is asserted in ExtrasSpec
@@ -257,6 +268,7 @@ object Extras {
     "scan_avro_roundtrip" -> (scanAvroRoundtrip _),
     "write_partitioned" -> (writePartitioned _),
     "sql_insert" -> (sqlInsert _),
+    "sql_url_table" -> (sqlUrlTable _),
     "agg_approx" -> (aggApprox _),
     "rowop_describe" -> (rowopDescribe _),
     "fn_vector" -> (fnVector _),
@@ -271,6 +283,7 @@ object Extras {
     "scan_avro_roundtrip" -> scanAvroRoundtripSql,
     "write_partitioned" -> writePartitionedSql,
     "sql_insert" -> sqlInsertSql,
+    "sql_url_table" -> sqlUrlTableSql,
     "fn_vector" -> fnVectorSql,
     "udf_surface" -> udfSurfaceSql,
     "udtf_series" -> udtfSeriesSql)
