@@ -186,6 +186,32 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
     assert(math.abs(rows(2).getDouble(1) - (0.3 * 20.0 + 0.7 * 10.0)) < 1e-12)
   }
 
+  test("sketch-mode weighted percentile tracks exact mode at high cardinality") {
+    graft.functions.WeightedPercentile.register(spark)
+    Q.t(spark, sf, "lineitem").createOrReplaceTempView("li_sk")
+    val rows = spark.sql(
+      """SELECT
+        |  percentile_weighted(l_extendedprice, l_quantity, 0.5) AS exact_p50,
+        |  percentile_weighted_sketch(l_extendedprice, l_quantity, 0.5) AS sk_p50,
+        |  percentile_weighted(l_extendedprice, l_quantity, 0.9) AS exact_p90,
+        |  percentile_weighted_sketch(l_extendedprice, l_quantity, 0.9) AS sk_p90
+        |FROM li_sk""".stripMargin).collect().head
+    for ((e, s) <- Seq((rows.getDouble(0), rows.getDouble(1)),
+        (rows.getDouble(2), rows.getDouble(3)))) {
+      assert(math.abs(s - e) / math.abs(e) < 0.02,
+        s"sketch $s vs exact $e drifted >2%")
+    }
+    // the sketch state stays bounded regardless of input size
+    val buf = scala.collection.mutable.ArrayBuffer.tabulate(100000)(i =>
+      ((i * 37 % 9973).toDouble, 1.0 + i % 3))
+    val before = buf.map(_._2).sum
+    val compact = graft.functions.WeightedPercentile.compress(buf)
+    assert(compact.length <= graft.functions.WeightedPercentile.MaxCentroids + 8,
+      s"compressed to ${compact.length}")
+    assert(math.abs(compact.map(_._2).sum - before) / before < 1e-9,
+      "compaction must preserve total weight")
+  }
+
   test("retractable accumulator: update+retract returns to the prior state") {
     import graft.functions.MovingDecimalSum
     val s0 = MovingDecimalSum.zero
