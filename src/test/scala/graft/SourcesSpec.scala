@@ -1,5 +1,36 @@
 package graft
 
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Three-level catalog plugin: SHOW/SELECT through graft.<ns>.<table>. */
+class CatalogPluginSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("catalog plugin resolves namespaces and tables from SQL") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.dir.corpus", sf)
+    val namespaces = spark.sql("SHOW NAMESPACES IN graft")
+      .collect().map(_.getString(0))
+    assert(namespaces.contains("corpus"), namespaces.toSeq)
+    val tables = spark.sql("SHOW TABLES IN graft.corpus")
+      .collect().map(_.getString(1))
+    assert(Seq("nation", "lineitem", "documents").forall(tables.contains),
+      tables.toSeq)
+    val rows = spark.sql(
+      """SELECT n_name FROM graft.corpus.nation
+        |WHERE n_regionkey = 0 ORDER BY n_nationkey""".stripMargin).collect()
+    assert(rows.nonEmpty && rows.length < 25)
+    // pushdown flows through the catalog-resolved DSv2 parquet table
+    val plan = spark.sql(
+      "SELECT n_name FROM graft.corpus.nation WHERE n_nationkey = 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"), plan)
+    // read-only: DDL raises
+    intercept[Exception](
+      spark.sql("DROP TABLE graft.corpus.nation"))
+  }
+}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.GenTable
