@@ -192,6 +192,54 @@ object Extras {
       |    i -> abs(v[i] - pv[i]))) AS DOUBLE), 6) AS l1
       |FROM vecs, probe WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
 
+  /** arrow_typeof analog (reference functions/__init__.py arrow_typeof):
+    * the Arrow type name of each column of a mixed-type projection,
+    * derived from the analyzed schema via TypeBridge — pins the
+    * Spark↔Arrow name mapping against a literal oracle. */
+  def fnArrowTypeof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val probe = t(s, d, "orders").selectExpr(
+      "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "cast(o_orderkey as int) AS key32",
+      "cast(o_totalprice as decimal(12,2)) AS price_dec",
+      "o_totalprice > 1000.0 AS big",
+      "array(o_orderkey) AS keys",
+      "cast(o_orderstatus as binary) AS status_bin")
+    probe.schema.fields.toSeq
+      .map(f => (f.name, TypeBridge.arrowTypeName(f.dataType)))
+      .toDF("col_name", "arrow_type")
+      .orderBy("col_name")
+  }
+  val fnArrowTypeofSql: String =
+    """SELECT * FROM (VALUES
+      |  ('o_orderkey', 'Int64'),
+      |  ('o_orderstatus', 'Utf8'),
+      |  ('o_totalprice', 'Float64'),
+      |  ('o_orderdate', 'Timestamp(Microsecond, None)'),
+      |  ('key32', 'Int32'),
+      |  ('price_dec', 'Decimal128(12, 2)'),
+      |  ('big', 'Boolean'),
+      |  ('keys', 'List(Int64)'),
+      |  ('status_bin', 'Binary')) t(col_name, arrow_type)
+      |ORDER BY col_name""".stripMargin
+
+  /** register_record_batches analog (reference context.py:1002-1060):
+    * an in-memory table from explicit row batches, one batch per
+    * partition — the partition structure survives into the plan. */
+  def memBatches(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("sq", LongType, nullable = false)))
+    val batches = (0 until 3).map(b =>
+      (b * 10 until (b + 1) * 10).map(i => Row(i.toLong, (i * i).toLong)))
+    Q.fromBatches(s, batches, schema).orderBy("k")
+  }
+  val memBatchesSql: String =
+    """SELECT CAST(i AS BIGINT) AS k, CAST(i * i AS BIGINT) AS sq
+      |FROM generate_series(0, 29) t(i) ORDER BY k""".stripMargin
+
   /** UDTF surface (reference udtf/TableFunction, user_defined.py:1124-1250):
     * a table function `(args) → DataFrame`, SQL-callable after view
     * registration — the Scala-API shape of a user-defined table function. */
@@ -272,6 +320,8 @@ object Extras {
     "agg_approx" -> (aggApprox _),
     "rowop_describe" -> (rowopDescribe _),
     "fn_vector" -> (fnVector _),
+    "fn_arrow_typeof" -> (fnArrowTypeof _),
+    "mem_batches" -> (memBatches _),
     "udf_surface" -> (udfSurface _),
     "udtf_series" -> (udtfSeries _))
 
@@ -285,6 +335,8 @@ object Extras {
     "sql_insert" -> sqlInsertSql,
     "sql_url_table" -> sqlUrlTableSql,
     "fn_vector" -> fnVectorSql,
+    "fn_arrow_typeof" -> fnArrowTypeofSql,
+    "mem_batches" -> memBatchesSql,
     "udf_surface" -> udfSurfaceSql,
     "udtf_series" -> udtfSeriesSql)
 }

@@ -114,13 +114,17 @@ object Pipeline {
          |  length(norm) AS norm_len
          |FROM base ORDER BY doc_id""".stripMargin
 
-  /** Language ID by marker-token n-gram profile — a heuristic scorer
-    * (rows-only: profile tables are engine-internal). */
+  /** Language ID by marker-token n-gram profile — a heuristic scorer.
+    * Fully oracle-checked: the profile tables are literals in both engines
+    * and DuckDB's struct `list_max` uses the same lexicographic
+    * (score, lang) comparison as Spark's `array_max` of structs. */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"), "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "die"), "fr" -> Seq("le", "et", "les"),
+    "zh" -> Seq("zh", "ch", "sh"))
+
   def textLangId(s: SparkSession, d: String): DataFrame = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of"), "es" -> Seq("el", "la", "de"),
-      "de" -> Seq("der", "und", "die"), "fr" -> Seq("le", "et", "les"),
-      "zh" -> Seq("zh", "ch", "sh"))
+    val profiles = langProfiles
     val scored = profiles.foldLeft(t(s, d, "documents")) { case (df, (lang, markers)) =>
       val markerList = markers.map(m => s"'$m'").mkString("(", ",", ")")
       val bigrams = markers.filter(_.length == 2)
@@ -144,6 +148,31 @@ object Pipeline {
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         col("best.lang").as("predicted_lang"), col("best.score").as("score"))
       .orderBy("doc_id")
+  }
+  val textLangIdSql: String = {
+    def scoreSql(markers: Seq[String]): String = {
+      val markerList = markers.map(m => s"'$m'").mkString("(", ",", ")")
+      val bigrams = markers.filter(_.length == 2)
+      val bigramScore =
+        if (bigrams.isEmpty) "0.0"
+        else {
+          val bgList = bigrams.map(m => s"'$m'").mkString("(", ",", ")")
+          s"""0.1 * len(list_filter(
+             |      list_transform(generate_series(1, greatest(length(text) - 1, 1)),
+             |        i -> substr(text, i, 2)), bg -> bg IN $bgList))""".stripMargin
+        }
+      s"CAST(len(list_filter(w, x -> x IN $markerList)) AS DOUBLE) + $bigramScore"
+    }
+    val cands = langProfiles.map { case (lang, markers) =>
+      s"struct_pack(score := ${scoreSql(markers)}, lang := '$lang')"
+    }.mkString("[\n    ", ",\n    ", "]")
+    raw"""WITH base AS (SELECT doc_id, lang, text,
+         |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+         |scored AS (SELECT doc_id, lang, $cands AS cands FROM base)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  (list_max(cands)).lang AS predicted_lang,
+         |  (list_max(cands)).score AS score
+         |FROM scored ORDER BY doc_id""".stripMargin
   }
 
   // ---------- deduplication ----------
@@ -443,15 +472,16 @@ object Pipeline {
   /** LSH-bucketed ANN: random-hyperplane signatures from deterministic
     * hash-derived planes; candidates share a signature bucket, then exact
     * cosine re-ranks inside the bucket. The scale path for ANN: signature
-    * shuffle is linear, the quadratic step is confined to buckets.
-    * Rows-only; recall vs brute force asserted in SimilaritySpec. */
+    * shuffle is linear, the quadratic step is confined to buckets. Plane
+    * coefficients come from md5 lanes so the DuckDB oracle rebuilds the
+    * identical signatures and buckets — hash-exact, not rows-only. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     val nPlanes = 8
     val sigExpr = expr(
       s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) ->
          |  acc + case when aggregate(
          |      zip_with(v, sequence(0, size(v) - 1),
-         |        (x, i) -> x * ((cast(xxhash64(concat('plane', p, '_', i)) % 1000 as double)
+         |        (x, i) -> x * ((cast(${md5Lane("concat('plane', p, '_', i)")} % 1000 as double)
          |                        / 1000.0) - 0.5)),
          |      cast(0.0 as double), (a2, x) -> a2 + x) > 0
          |    then shiftleft(1L, p) else 0L end)""".stripMargin)
@@ -470,6 +500,31 @@ object Pipeline {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
+  }
+  val simAnnLshSql: String = {
+    // list_reduce is a sequential left fold like Spark's `aggregate`, so the
+    // plane-projection sums (whose SIGN picks the bucket) match bit-for-bit
+    val planeSum =
+      s"""list_reduce(list_transform(generate_series(1, len(v)), i ->
+         |        v[i] * ((CAST(${md5LaneDuck("'plane' || p || '_' || (i - 1)")} % 1000
+         |                 AS DOUBLE) / 1000.0) - 0.5)),
+         |      (acc, x) -> acc + x)""".stripMargin
+    s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(generate_series(0, 7), p ->
+       |      CASE WHEN $planeSum > 0
+       |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM vecs),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    list_cosine_similarity(q.v, c.v) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+       |  FROM sigs q JOIN sigs c
+       |    ON q.vec_id < 10 AND q.sig = c.sig AND q.vec_id <> c.vec_id)
+       |SELECT q_id, rank, cand_id, round(cos, 6) AS cos_sim
+       |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold 0.95). Default plan:
@@ -646,6 +701,7 @@ object Pipeline {
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_lang_id" -> textLangIdSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_prefix_groups" -> dedupPrefixGroupsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
@@ -653,6 +709,7 @@ object Pipeline {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "sim_cosine_topk" -> simCosineTopkSql,
+    "sim_ann_lsh" -> simAnnLshSql,
     "event_sessionize" -> eventSessionizeSql,
     "event_window_agg" -> eventWindowAggSql)
 }

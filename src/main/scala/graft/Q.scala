@@ -64,6 +64,19 @@ object Q {
     spark.conf.set("graft.cached.dir", dir)
   }
 
+  /** In-memory table from explicit row batches, one batch per partition
+    * (reference register_record_batches, context.py:1002-1060): the
+    * partition structure is preserved — `parallelize` with one slice per
+    * batch keeps each batch intact as its own partition. */
+  def fromBatches(spark: SparkSession,
+      batches: Seq[Seq[org.apache.spark.sql.Row]],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val rdd = spark.sparkContext
+      .parallelize(batches, math.max(batches.length, 1))
+      .flatMap(identity)
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Timestamp literal (all date columns in the corpus are timestamps). */
   def ts(s: String): Column = to_timestamp(lit(s))
 

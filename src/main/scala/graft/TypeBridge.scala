@@ -46,6 +46,33 @@ object TypeBridge {
   def uint16ToInt(bits: Short): Int = bits & 0xffff
   def uint32ToLong(bits: Int): Long = bits & 0xffffffffL
 
+  /** Arrow type name of a Spark type — the `arrow_typeof` analog
+    * (reference `functions/__init__.py` arrow_typeof; SURVEY §2.9). The
+    * inverse direction of [[widen]]: the name the engine would report for
+    * a value of this Spark type at the Arrow boundary. */
+  def arrowTypeName(dt: DataType): String = dt match {
+    case BooleanType => "Boolean"
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case StringType => "Utf8"
+    case BinaryType => "Binary"
+    case DateType => "Date32"
+    case TimestampType => "Timestamp(Microsecond, Some(\"UTC\"))"
+    case TimestampNTZType => "Timestamp(Microsecond, None)"
+    case d: DecimalType => s"Decimal128(${d.precision}, ${d.scale})"
+    case ArrayType(e, _) => s"List(${arrowTypeName(e)})"
+    case StructType(fields) =>
+      fields.map(f => s"${f.name}: ${arrowTypeName(f.dataType)}")
+        .mkString("Struct(", ", ", ")")
+    case MapType(k, v, _) => s"Map(${arrowTypeName(k)}, ${arrowTypeName(v)})"
+    case other => throw new IllegalArgumentException(
+      s"no Arrow name for ${other.simpleString}")
+  }
+
   /** Time64(µs) render/parse: microseconds-of-day ⇄ HH:mm:ss.SSSSSS. */
   def time64Render(microsOfDay: Long): String = {
     require(microsOfDay >= 0 && microsOfDay < 86400000000L,

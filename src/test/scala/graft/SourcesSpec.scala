@@ -2,6 +2,23 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+/** register_record_batches analog: batch boundaries become partitions. */
+class BatchSourceSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("fromBatches preserves one partition per batch") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("v", LongType, nullable = false)))
+    val batches = Seq(Seq(Row(1L), Row(2L)), Seq(Row(3L)), Seq(Row(4L), Row(5L)))
+    val df = Q.fromBatches(spark, batches, schema)
+    assert(df.rdd.getNumPartitions == 3)
+    val perPartition = df.rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq)).collect().toSeq
+    assert(perPartition == Seq(Seq(1L, 2L), Seq(3L), Seq(4L, 5L)))
+  }
+}
+
 /** Three-level catalog plugin: SHOW/SELECT through graft.<ns>.<table>. */
 class CatalogPluginSpec extends AnyFunSuite {
   import SparkSpec._

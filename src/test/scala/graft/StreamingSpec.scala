@@ -44,6 +44,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup: watermarked dropDuplicates matches batch distinct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val deduped = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour") // bounds dedup state at scale
+      .dropDuplicates("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ev_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("ev_dedup").count()
+    val batch = Q.t(spark, sf, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed == batch && streamed > 0)
+  }
+
   test("stateful streaming: mapGroupsWithState per-user counts match batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_state_stream")
