@@ -59,6 +59,21 @@ class GraftSession(val spark: SparkSession) {
     spark.read.options(options).csv(path).createOrReplaceTempView(name)
   def registerJson(name: String, path: String): Unit =
     spark.read.json(path).createOrReplaceTempView(name)
+  /** read_avro/register_avro (context.py:1994, 1266) — AvroIO-backed. */
+  def readAvro(dir: String): DataFrame =
+    graft.sources.AvroIO.readAvro(spark, dir)
+  def registerAvro(name: String, dir: String): Unit =
+    readAvro(dir).createOrReplaceTempView(name)
+  /** read_arrow/from_arrow (context.py:2025, 839) — Arrow IPC directory. */
+  def readArrow(dir: String): DataFrame =
+    org.apache.spark.sql.graftarrow.ArrowBridge.readArrowFiles(spark, dir)
+  def registerArrow(name: String, dir: String): Unit =
+    readArrow(dir).createOrReplaceTempView(name)
+  /** register_record_batches (context.py:1002-1060). */
+  def registerBatches(name: String,
+      batches: Seq[Seq[org.apache.spark.sql.Row]],
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    Q.fromBatches(spark, batches, schema).createOrReplaceTempView(name)
   def registerView(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
   def deregister(name: String): Unit =
