@@ -103,7 +103,11 @@ object Advanced {
       .as[RetractEv]
       .groupByKey(_.user_id)
       .flatMapGroups { (uid, it) =>
-        val rows = it.toArray.sortBy(r => (r.ts.getTime, r.event_id))
+        // full-precision event-time order: getTime alone is milliseconds
+        // and would tie-break sub-millisecond events differently than the
+        // oracle's ORDER BY ts (microsecond precision)
+        val rows = it.toArray
+          .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
         val inFrame = scala.collection.mutable.Queue.empty[Double]
         var state = MovingDecimalSum.zero
         rows.iterator.map { r =>
@@ -132,30 +136,41 @@ object Advanced {
     * touches the driver. Computes reachability over a synthetic edge
     * relation derived from `nation`. */
   def recReachability(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = t(s, d, "nation")
       .select(col("n_nationkey").cast("long").as("src"),
         ((col("n_nationkey") * 7 + 3) % 25).cast("long").as("dst"))
       .cache()
-    var reach = s.range(1).select(lit(0L).as("node"))
-    // one job per iteration: the convergence count is computed once and
-    // reused for the loop condition; superseded checkpoints are freed
-    var cur = reach.count()
+    // Iterative-fixpoint pattern with explicit RDD handles: each round's
+    // frontier is persisted as an RDD we hold a reference to, so (a) the
+    // next round's plan reads the materialized set instead of re-deriving
+    // the whole lineage, and (b) the superseded round's blocks are
+    // actually freed — Dataset.localCheckpoint gives no handle to its
+    // internal persisted RDD, so unpersisting anything reachable from the
+    // Dataset is a silent no-op. One job per iteration: the convergence
+    // count doubles as the materialization action.
+    implicit val enc = org.apache.spark.sql.Encoders.scalaLong
+    var reachRdd = s.createDataset(Seq(0L)).rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = reachRdd.count()
     var lastCount = -1L
     var iter = 0
     while (cur != lastCount && iter < 30) {
       lastCount = cur
-      val prev = reach
-      reach = reach
+      val reachDF = s.createDataset(reachRdd).toDF("node")
+      val nextRdd = reachDF
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"))
-        .union(reach)
+        .union(reachDF)
         .distinct()
-        .localCheckpoint() // truncate the growing lineage each iteration
-      cur = reach.count()
-      if (iter > 0) prev.queryExecution.toRdd.unpersist(blocking = false)
+        .as[Long].rdd
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cur = nextRdd.count()
+      reachRdd.unpersist(blocking = false)
+      reachRdd = nextRdd
       iter += 1
     }
-    reach.orderBy("node")
+    s.createDataset(reachRdd).toDF("node").orderBy("node")
   }
   val recReachabilitySql: String =
     """WITH RECURSIVE reach(node) AS (

@@ -239,7 +239,15 @@ object Pipeline {
     * through an equi-join on (band, min-hash) — no per-`source` block whose
     * hottest source degenerates quadratically, and no cross join. At 100 TB
     * the same plan shards by bucket; raise the seed count to trade shuffle
-    * volume for recall at low thresholds. */
+    * volume for recall at low thresholds.
+    *
+    * On oracle pairing: banding recall is probabilistic over corpora
+    * (1−(1−J)^16 per pair) but fully deterministic for a given corpus —
+    * the hashes are seeded constants. The exact all-pairs oracle and the
+    * banded==brute spec are verified to agree on every driver corpus
+    * (sf0.001/0.01/0.1); a future corpus with a borderline pair that
+    * all 16 seeds miss would surface as an explicit gate failure, not a
+    * silent wrong answer, and the fix is raising the seed count. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val nSeeds = 16
     val docs = t(s, d, "documents").select(col("doc_id"), gramsExpr.as("g"))
@@ -537,14 +545,22 @@ object Pipeline {
     * (band, band-bits) — the scale topology; the triangular O(N²) join
     * lives only in [[dedupEmbeddingBrute]] as the spec's ground truth. At
     * 100 TB, precompute the plane matrix once and broadcast it instead of
-    * re-deriving coefficients per row, and raise the band width with log N. */
+    * re-deriving coefficients per row, and raise the band width with log N.
+    * Oracle pairing follows the same determinism argument as
+    * [[dedupNgramJaccard]]: per-pair recall ≈0.99 is probabilistic over
+    * corpora but deterministic per corpus, and the exact-oracle gate is
+    * verified green on every driver corpus — a miss would fail loudly. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val nPlanes = 64; val bandBits = 8
+    // md5 lanes are non-negative, so lane%1000/1000 - 0.5 is symmetric in
+    // (-0.5, 0.5) — unbiased planes; a signed hash here would center the
+    // coefficients at -0.5 and correlate every plane with -Σv_i (skewed
+    // buckets at scale)
     val bitsExpr = expr(
       s"""transform(sequence(0, ${nPlanes - 1}), p ->
          |  case when aggregate(
          |      zip_with(v, sequence(0, size(v) - 1),
-         |        (x, i) -> x * ((cast(xxhash64(concat('plane', p, '_', i)) % 1000 as double)
+         |        (x, i) -> x * ((cast(${md5Lane("concat('plane', p, '_', i)")} % 1000 as double)
          |                        / 1000.0) - 0.5)),
          |      cast(0.0 as double), (a2, x) -> a2 + x) > 0
          |    then 1 else 0 end)""".stripMargin)

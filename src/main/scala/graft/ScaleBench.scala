@@ -57,7 +57,10 @@ object ScaleBench {
       val parts = if (keys.isEmpty) 1 else 16 // splittable layout for facts
       scaled.repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scale] $name: ${scaled.count()} rows -> $out/$name.parquet")
+      // count the written files, not the plan — recomputing the replicated
+      // union just for the log line would double the job
+      val n = spark.read.parquet(s"$out/$name.parquet").count()
+      println(s"[scale] $name: $n rows -> $out/$name.parquet")
     }
     spark.stop()
   }

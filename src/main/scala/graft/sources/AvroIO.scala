@@ -137,7 +137,12 @@ object AvroIO {
   def writeAvro(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
     val avroJson = toAvroSchema(schema, "graft_row").toString
-    new File(dir).mkdirs()
+    val d = new File(dir)
+    d.mkdirs()
+    // overwrite semantics: drop stale part files from a previous run with
+    // a different partition count (the reader globs every .avro file)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".avro")).foreach(_.delete())
     df.rdd.mapPartitionsWithIndex { (i, iter) =>
       val avroSchema = new Schema.Parser().parse(avroJson)
       val writer = new DataFileWriter[GenericRecord](

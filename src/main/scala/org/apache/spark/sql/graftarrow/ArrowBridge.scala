@@ -36,7 +36,12 @@ object ArrowBridge {
   def writeArrowFiles(df: DataFrame, dir: String, maxRecordsPerBatch: Int): Long = {
     val schema = df.schema
     val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
-    new File(dir).mkdirs()
+    val d = new File(dir)
+    d.mkdirs()
+    // overwrite semantics: a previous run with more partitions must not
+    // leave stale part files for the glob-based reader to re-ingest
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".arrows")).foreach(_.delete())
     df.queryExecution.toRdd.mapPartitionsWithIndex { (i, iter) =>
       val arrowSchema = ArrowUtils.toArrowSchema(
         schema, tz, errorOnDuplicatedFieldNames = true, largeVarTypes = false)

@@ -50,10 +50,14 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    // dropDuplicatesWithinWatermark (not plain dropDuplicates): with the
+    // event-time column absent from the keys, plain dropDuplicates never
+    // evicts state; the WithinWatermark variant expires keys past the
+    // watermark — the bounded-state streaming dedup recipe at scale
     val deduped = spark.readStream.schema(schema).parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour") // bounds dedup state at scale
-      .dropDuplicates("user_id", "event_type")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
     val q = deduped.writeStream
       .outputMode("append")
       .format("memory")
