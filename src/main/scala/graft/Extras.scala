@@ -141,6 +141,23 @@ object Extras {
     """SELECT n_nationkey, n_name, count(*) AS n FROM nation
       |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin
 
+  /** Unparser surface (reference unparser.py:18): build a DataFrame plan,
+    * unparse it to SQL text, and execute THAT text — the oracle checks the
+    * round-tripped SQL computes the original query's results. */
+  def sqlUnparse(s: SparkSession, d: String): DataFrame = {
+    registerAll(s, d)
+    val df = s.table("customer")
+      .filter(col("c_acctbal") > 0)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+      .orderBy("c_mktsegment")
+    s.sql(Unparser(df))
+  }
+  val sqlUnparseSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n, ${DSUM("c_acctbal")} AS total
+       |FROM customer WHERE c_acctbal > 0
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Sketch aggregates (reference approx_distinct functions/__init__.py:4926,
     * approx_median :4966, approx_percentile_cont :5001). Rows-only: HLL and
     * KLL sketches are engine-specific; exactness is asserted in ExtrasSpec
@@ -317,6 +334,7 @@ object Extras {
     "write_partitioned" -> (writePartitioned _),
     "sql_insert" -> (sqlInsert _),
     "sql_url_table" -> (sqlUrlTable _),
+    "sql_unparse" -> (sqlUnparse _),
     "agg_approx" -> (aggApprox _),
     "rowop_describe" -> (rowopDescribe _),
     "fn_vector" -> (fnVector _),
@@ -334,6 +352,7 @@ object Extras {
     "write_partitioned" -> writePartitionedSql,
     "sql_insert" -> sqlInsertSql,
     "sql_url_table" -> sqlUrlTableSql,
+    "sql_unparse" -> sqlUnparseSql,
     "fn_vector" -> fnVectorSql,
     "fn_arrow_typeof" -> fnArrowTypeofSql,
     "mem_batches" -> memBatchesSql,

@@ -44,6 +44,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("session_window equals the gap-based sessionize rewrite") {
+    // Spark's native session_window(ts, gap) and the window-function
+    // sessionization in Pipeline.eventSessionize implement the same
+    // 30-minute-gap semantics — their per-user session counts must agree
+    val native = Q.t(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rewritten = Pipeline.eventSessionize(spark, sf)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native == rewritten)
+  }
+
   test("streaming dedup: watermarked dropDuplicates matches batch distinct") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
     java.nio.file.Files.copy(

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unparser round-trip: for each supported plan shape, the generated SQL
+  * re-executed through spark.sql must produce the original result set. */
+class UnparserSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  private lazy val ready: Unit = {
+    Q.t(spark, sf, "nation").createOrReplaceTempView("up_nation")
+    Q.t(spark, sf, "region").createOrReplaceTempView("up_region")
+    Q.t(spark, sf, "customer").createOrReplaceTempView("up_customer")
+  }
+
+  private def roundtrip(df: DataFrame): Unit = {
+    val sqlText = Unparser(df)
+    val back = spark.sql(sqlText)
+    val a = df.collect().map(_.toString).sorted.toSeq
+    val b = back.collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"round-trip mismatch for:\n$sqlText")
+  }
+
+  test("project / filter / sort / limit round-trip") {
+    ready
+    roundtrip(spark.table("up_nation")
+      .select(col("n_nationkey"), upper(col("n_name")).as("uname"))
+      .filter(col("n_nationkey") > 5)
+      .orderBy(desc("n_nationkey"))
+      .limit(7))
+  }
+
+  test("aggregate with grouping round-trips") {
+    ready
+    roundtrip(spark.table("up_customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("total")))
+  }
+
+  test("joins round-trip across types") {
+    ready
+    val n = spark.table("up_nation")
+    val r = spark.table("up_region")
+    roundtrip(n.join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name")))
+    roundtrip(n.join(r, col("n_regionkey") === col("r_regionkey"), "left_semi"))
+  }
+
+  test("set operations and distinct round-trip") {
+    ready
+    val a = spark.table("up_nation").select("n_regionkey")
+    val b = spark.table("up_region").select("r_regionkey")
+    roundtrip(a.union(a))
+    roundtrip(a.distinct())
+    roundtrip(a.intersect(b.withColumnRenamed("r_regionkey", "n_regionkey")))
+  }
+
+  test("unsupported plans fail loudly, not silently") {
+    ready
+    val e = intercept[UnsupportedOperationException] {
+      Unparser(spark.table("up_nation").select(
+        explode(array(col("n_nationkey"))).as("x")))
+    }
+    assert(e.getMessage.contains("Unparser does not cover"))
+  }
+}
