@@ -535,6 +535,68 @@ object Pipeline {
        |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantization alternative to
+    * [[simAnnLsh]]'s hyperplane buckets: Lloyd's k-means (K=16, 3
+    * iterations, deterministic md5-seeded init) builds centroids as a pure
+    * DataFrame computation (assignment = broadcast join + per-vector
+    * argmin window; update = positional explode + per-dimension mean —
+    * nothing collects to the driver), then each probe searches only the
+    * `nProbe` nearest centroids' inverted lists and exact cosine re-ranks
+    * inside them. At 100 TB the same plan trains on a sample, broadcasts
+    * the (tiny) centroid table, and shards the inverted lists by cluster
+    * id — candidate generation stays linear. Rows-only (k-means in the
+    * oracle engine is impractical); recall and score agreement against
+    * the brute-force baseline are spec-asserted. */
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val k = 16; val iters = 3; val nProbe = 2
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val byInit = Window.orderBy("r")
+    var centroids = vecs
+      .withColumn("r", expr(md5Lane("cast(vec_id as string)")))
+      .orderBy("r").limit(k)
+      .select(row_number().over(byInit).cast("long").as("cid"), col("v").as("cv"))
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cid"))
+      vecs.join(broadcast(cents))
+        .withColumn("dist", l2sq(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+    }
+    for (_ <- 1 to iters) {
+      centroids = assign(centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
+    }
+    val lists = assign(centroids) // inverted lists: cluster id per vector
+    val probeW = Window.partitionBy("q_id").orderBy(asc("pdist"), asc("pcid"))
+    val probes = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(broadcast(centroids.select(col("cid").as("pcid"), col("cv"))))
+      .withColumn("pdist", l2sq(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("pcid"))
+    val rankW = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
+    probes
+      .join(lists.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
+        col("cid").as("ccid")), col("pcid") === col("ccid") &&
+          col("q_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv2")) /
+        (norm2(col("qv")) * norm2(col("cv2"))))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold 0.95). Default plan:
     * random-hyperplane LSH banding — 64 deterministic hash-derived planes,
     * 8 bands of 8 sign bits; a pair is a candidate iff some band's bits all
@@ -709,6 +771,7 @@ object Pipeline {
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_lsh" -> (simAnnLsh _),
+    "sim_ann_ivf" -> (simAnnIvf _),
     "mm_binary_features" -> (mmBinaryFeatures _),
     "event_sessionize" -> (eventSessionize _),
     "event_window_agg" -> (eventWindowAgg _))

@@ -49,6 +49,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN candidates agree with brute force and stay within its bests") {
+    val brute = Pipeline.simCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Pipeline.simAnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(ivf.nonEmpty, "IVF returned no candidates")
+    // exact re-rank: any pair IVF shares with brute must score identically
+    ivf.keySet.intersect(brute.keySet).foreach { k =>
+      assert(math.abs(ivf(k) - brute(k)) < 1e-9)
+    }
+    val bestByQuery = brute.groupBy(_._1._1).map { case (q, m) => q -> m.values.max }
+    ivf.foreach { case ((q, _), c) => assert(c <= bestByQuery(q) + 1e-9) }
+    // determinism: the k-means init and iterations are hash-seeded
+    val again = Pipeline.simAnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(again == ivf)
+  }
+
   test("brute-force top-k is correctly ranked") {
     val rows = Pipeline.simCosineTopk(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
