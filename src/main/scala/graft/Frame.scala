@@ -107,6 +107,9 @@ final case class Frame(df: DataFrame) {
   def describe(cols: String*): Frame = Frame(df.describe(cols: _*))
 
   // §2.13 introspection (reference dataframe.py:1205-1258)
+  /** Plan → SQL text (reference unparser.py:18); raises outside the
+    * relational core [[Unparser]] covers. */
+  def toSql: String = Unparser(df)
   def explainString(mode: String = "simple"): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString(mode))
