@@ -46,8 +46,11 @@ object ScaleBench {
       "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
       "part" -> Seq("p_partkey"),
       "supplier" -> Seq("s_suppkey"),
-      "nation" -> Nil, "region" -> Nil,
-      "events" -> Nil, "documents" -> Nil, "embeddings" -> Nil)
+      "nation" -> Nil, "region" -> Nil, "events" -> Nil,
+      // pipeline tables replicate too (content duplicated, ids shifted) so
+      // the dedup/ANN operators can be stress-run at 10× corpus size —
+      // exact copies are the worst case for LSH bucket skew
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
 
     plans.foreach { case (name, keys) =>
       val base = spark.read.parquet(s"$src/$name.parquet")
