@@ -89,6 +89,11 @@ object Unparser {
     case Offset(expr, child) =>
       s"SELECT * FROM ${sub(child, c)} OFFSET ${esql(expr)}"
 
+    case Window(windowExprs, _, _, child, _) =>
+      // WindowExpression.sql renders the full `fn(...) OVER (PARTITION BY
+      // ... ORDER BY ... frame)` clause; child columns pass through
+      s"SELECT *, ${windowExprs.map(named).mkString(", ")} FROM ${sub(child, c)}"
+
     case Distinct(child) =>
       s"SELECT DISTINCT * FROM ${sub(child, c)}"
 

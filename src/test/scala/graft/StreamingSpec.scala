@@ -44,6 +44,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateful streaming: flatMapGroupsWithState emits running per-type counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmgws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    // custom state emitting MULTIPLE rows per group per trigger (the
+    // flatMap variant's defining capability vs mapGroupsWithState):
+    // one (user, event_type, running count) row per distinct type seen
+    val out = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, events: Iterator[(Long, String)],
+            state: GroupState[Map[String, Long]]) => {
+          val cur = state.getOption.getOrElse(Map.empty)
+          val upd = events.foldLeft(cur) { case (m, (_, t)) =>
+            m.updated(t, m.getOrElse(t, 0L) + 1L)
+          }
+          state.update(upd)
+          upd.iterator.map { case (t, n) => (uid, t, n) }
+        })
+    val q = out.writeStream
+      .outputMode("update").format("memory").queryName("fmgws")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("fmgws")
+      .groupBy("_1", "_2").agg(max("_3").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Q.t(spark, sf, "events")
+      .groupBy("user_id", "event_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("session_window equals the gap-based sessionize rewrite") {
     // Spark's native session_window(ts, gap) and the window-function
     // sessionization in Pipeline.eventSessionize implement the same

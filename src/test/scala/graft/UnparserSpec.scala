@@ -57,6 +57,16 @@ class UnparserSpec extends AnyFunSuite {
     roundtrip(a.intersect(b.withColumnRenamed("r_regionkey", "n_regionkey")))
   }
 
+  test("window functions round-trip") {
+    ready
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    roundtrip(spark.table("up_nation")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run", sum(col("n_nationkey"))
+        .over(w.rowsBetween(Long.MinValue, 0))))
+  }
+
   test("unsupported plans fail loudly, not silently") {
     ready
     val e = intercept[UnsupportedOperationException] {
