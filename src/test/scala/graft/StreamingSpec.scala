@@ -175,6 +175,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("runtime bloom-filter join pruning activates on selective joins") {
+    // the 100 TB row-pruning path: a selective dim filter induces a bloom
+    // filter on the fact side's join key before the shuffle
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "false"),
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"),
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val plan = Q.t(spark, sf, "lineitem")
+        .join(Q.t(spark, sf, "orders")
+            .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"), plan)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", saved._1)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", saved._2)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", saved._3)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved._4)
+    }
+  }
+
   test("date-filtered queries push predicates into the parquet scan") {
     for (q <- Seq("q1", "q6", "q14")) {
       val plan = Tpch.queries(q)(spark, sf).queryExecution
