@@ -51,8 +51,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(run); names.foreach(run) // warmup: JIT + codegen
-    // steady-state wall time: best of two timed iterations per query
-    val results = names.map(n => n -> math.min(run(n), run(n)))
+    // steady-state wall time: median of three timed iterations per query —
+    // robust to one-off GC/stage-launch spikes (best-of-2 let 2×+ swings
+    // through run to run, measured in round 2)
+    val results = names.map { n =>
+      val ts = Seq(run(n), run(n), run(n)).sorted
+      n -> ts(1)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

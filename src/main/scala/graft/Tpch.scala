@@ -336,17 +336,20 @@ object Tpch {
     * the corpus prices have two decimals, and long sums stay in primitive
     * codegen (~2× faster than decimal aggregation at SF1). `cents/100`
     * is the same rational the decimal sum represents, so the double cast
-    * rounds identically and the oracle hash-matches. The global total is a
-    * map-only aggregation (partial longs → one row, no keyed shuffle), so
-    * the plan is two cheap passes over the cached fact, both scale-safe.
-    * (Caveat: a single group's cents must stay under 2^53 for double
-    * exactness — holds to ~90 trillion in revenue per part.) */
+    * rounds identically and the oracle hash-matches. ONE fact pass total:
+    * the per-part sums materialize once (localCheckpoint, ~#parts rows)
+    * and serve both consumers — the global threshold is the sum of the
+    * per-part long sums (exactly the global cents sum, since long addition
+    * is associative), so the second lineitem scan from round 2 is gone.
+    * (Caveat: the global cents total must stay under 2^53 for double
+    * exactness — holds to ~90 trillion in total revenue.) */
   def q11(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val pv = li(s, d).groupBy(col("l_partkey")).agg(sum(cents).as("c"))
-    val total = li(s, d)
-      .agg((sum(cents).cast(DoubleType) / 100.0 * lit(0.001)).as("threshold"))
+      .localCheckpoint()
+    val total = pv
+      .agg((sum(col("c")).cast(DoubleType) / 100.0 * lit(0.001)).as("threshold"))
     pv.select(col("l_partkey"), (col("c").cast(DoubleType) / 100.0).as("part_value"))
       .join(broadcast(total))
       .filter(col("part_value") > col("threshold"))
@@ -454,15 +457,22 @@ object Tpch {
        |ORDER BY s_suppkey""".stripMargin
 
   /** q16 adapted: distinct suppliers per part attribute group via the
-    * lineitem bridge; NOT IN → anti join (keys are non-null). */
+    * lineitem bridge; NOT IN → anti join (keys are non-null).
+    * The fact collapses to distinct (l_partkey, l_suppkey) pairs FIRST —
+    * map-side partial aggregation shrinks the shuffle from every lineitem
+    * row to the distinct bridge pairs (~8× fewer at SF1, two ints wide)
+    * before the part attributes are attached by broadcast, so the
+    * countDistinct that follows runs over the small joined relation
+    * instead of the whole fact. */
   def q16(s: SparkSession, d: String): DataFrame =
     li(s, d)
-      .join(part(s, d).filter(
+      .select(col("l_partkey"), col("l_suppkey")).dropDuplicates()
+      .join(broadcast(part(s, d).filter(
           col("p_brand") =!= "Brand#13" &&
-            col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36)),
+            col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36))),
         col("l_partkey") === col("p_partkey"))
-      .join(supp(s, d).filter(col("s_acctbal") < 0)
-          .select(col("s_suppkey").as("bad_supp")),
+      .join(broadcast(supp(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("bad_supp"))),
         col("l_suppkey") === col("bad_supp"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))

@@ -83,7 +83,9 @@ object TypeBridge {
   def time64Parse(t: String): Long = {
     val parts = t.split("[:.]")
     require(parts.length == 4, s"expected HH:mm:ss.SSSSSS, got $t")
-    (parts(0).toLong * 3600 + parts(1).toLong * 60 + parts(2).toLong) *
-      1000000L + parts(3).padTo(6, '0').toLong
+    require(parts(3).length <= 6, s"fraction wider than microseconds: $t")
+    val (h, m, s) = (parts(0).toLong, parts(1).toLong, parts(2).toLong)
+    require(h < 24 && m < 60 && s < 60, s"field out of range: $t")
+    (h * 3600 + m * 60 + s) * 1000000L + parts(3).padTo(6, '0').toLong
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.math.BigDecimal
+import java.math.{BigDecimal, RoundingMode}
 
 /** The reference's full Accumulator contract — `state`/`update_batch`/
   * `merge_states`/`evaluate` *plus* `retract_batch`
@@ -22,14 +22,18 @@ trait RetractableAccumulator[B, O] extends Serializable {
 
 /** Moving sum over an exact decimal state (scale 6, matching `Q.dsum`) —
   * BigDecimal add/subtract are exact, so retraction is bit-identical to
-  * recomputing the frame, at any frame size and in any partition order. */
+  * recomputing the frame, at any frame size and in any partition order.
+  * Inputs whose shortest decimal form exceeds 6 fraction digits (e.g.
+  * 0.30000000000000004) are rounded HALF_EVEN at entry — the same rounding
+  * the DuckDB oracle applies in `CAST(value AS DECIMAL(30,6))` — so update
+  * and retract stay exact inverses of each other. */
 object MovingDecimalSum extends RetractableAccumulator[BigDecimal, Double] {
   private val SCALE = 6
+  private def dec(v: Double): BigDecimal =
+    new BigDecimal(java.lang.Double.toString(v)).setScale(SCALE, RoundingMode.HALF_EVEN)
   override def zero: BigDecimal = BigDecimal.ZERO.setScale(SCALE)
-  override def update(b: BigDecimal, v: Double): BigDecimal =
-    b.add(new BigDecimal(java.lang.Double.toString(v)).setScale(SCALE))
-  override def retract(b: BigDecimal, v: Double): BigDecimal =
-    b.subtract(new BigDecimal(java.lang.Double.toString(v)).setScale(SCALE))
+  override def update(b: BigDecimal, v: Double): BigDecimal = b.add(dec(v))
+  override def retract(b: BigDecimal, v: Double): BigDecimal = b.subtract(dec(v))
   override def merge(a: BigDecimal, b: BigDecimal): BigDecimal = a.add(b)
   override def evaluate(b: BigDecimal): Double = b.doubleValue()
 }

@@ -114,8 +114,10 @@ object AvroIO {
     case (null, _) => null
     case (u: Utf8, StringType) => u.toString
     case (micros: java.lang.Long, TimestampType) =>
-      val ts = new Timestamp(micros / 1000L)
-      ts.setNanos(((micros % 1000000L) * 1000L).toInt)
+      // floorDiv/floorMod so pre-1970 micros land on the earlier millisecond
+      // with a non-negative nano remainder (setNanos rejects negatives)
+      val ts = new Timestamp(Math.floorDiv(micros, 1000L))
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
       ts
     case (micros: java.lang.Long, TimestampNTZType) =>
       java.time.LocalDateTime.ofEpochSecond(
@@ -133,7 +135,13 @@ object AvroIO {
 
   // ---- distributed IO ----
 
-  /** Write `df` as one Avro container file per partition under `dir`. */
+  /** Write `df` as one Avro container file per partition under `dir`.
+    *
+    * Paths are `java.io.File`, so writer tasks and the reader's directory
+    * listing must see the same filesystem: local mode (this project's
+    * target) or a shared mount (NFS). A multi-node deployment would route
+    * these through Hadoop `FileSystem` instead; the Avro encode/decode and
+    * the per-partition parallelism carry over unchanged. */
   def writeAvro(df: DataFrame, dir: String): Unit = {
     val schema = df.schema
     val avroJson = toAvroSchema(schema, "graft_row").toString

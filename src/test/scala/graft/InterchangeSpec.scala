@@ -76,6 +76,21 @@ class InterchangeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("avro round-trip handles pre-1970 timestamps (negative micros)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_neg").toString
+    val src = Seq(
+      (1L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999")),
+      (2L, java.sql.Timestamp.valueOf("1955-06-15 04:30:00.123456")),
+      (3L, java.sql.Timestamp.valueOf("1970-01-01 00:00:00.000001"))
+    ).toDF("id", "ts").repartition(1)
+    graft.sources.AvroIO.writeAvro(src, dir)
+    val back = graft.sources.AvroIO.readAvro(spark, dir)
+    val a = src.orderBy("id").collect().map(_.toString).toSeq
+    val b = back.orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("catalog introspection: SHOW TABLES and DESCRIBE") {
     val ctx = new GraftSession(spark)
     ctx.registerParquet("ic_nation", s"$sf/nation.parquet")

@@ -224,6 +224,15 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
       MovingDecimalSum.merge(s1, MovingDecimalSum.update(s0, 0.66))) == 13.0)
   }
 
+  test("retractable accumulator rounds >6-fraction-digit input instead of throwing") {
+    import graft.functions.MovingDecimalSum
+    val v = 0.1 + 0.2 // 0.30000000000000004 — shortest form has 17 fraction digits
+    val s1 = MovingDecimalSum.update(MovingDecimalSum.zero, v)
+    assert(MovingDecimalSum.evaluate(s1) == 0.3)
+    assert(MovingDecimalSum.retract(s1, v).compareTo(MovingDecimalSum.zero) == 0,
+      "update and retract must stay exact inverses after entry rounding")
+  }
+
   test("retractable sliding sum equals Spark's built-in frame and is partition-invariant") {
     import org.apache.spark.sql.expressions.Window
     val result = Advanced.winMovingRetract(spark, sf).collect().map(_.toString).toSeq

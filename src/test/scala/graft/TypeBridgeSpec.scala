@@ -43,4 +43,11 @@ class TypeBridgeSpec extends AnyFunSuite {
     assert(TypeBridge.time64Parse(TypeBridge.time64Render(micros)) == micros)
     intercept[IllegalArgumentException](TypeBridge.time64Render(86400000000L))
   }
+
+  test("Time64 parse rejects malformed input loudly") {
+    intercept[IllegalArgumentException](TypeBridge.time64Parse("13:45:07.1234567"))
+    intercept[IllegalArgumentException](TypeBridge.time64Parse("24:00:00.000000"))
+    intercept[IllegalArgumentException](TypeBridge.time64Parse("13:60:07.000000"))
+    intercept[IllegalArgumentException](TypeBridge.time64Parse("13:45:61.000000"))
+  }
 }
