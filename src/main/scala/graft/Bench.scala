@@ -39,7 +39,11 @@ object Bench {
     // as the reference's separately-reported setup row (BASELINE.md).
     Q.cacheTables(spark, sfDir, parts)
 
+    // SPARK_GRAFT_BENCH_ONLY="q11 q16" restricts the run for iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split("\\s+").toSet).getOrElse(Set.empty[String])
     val names = Tpch.benchOrder.filter(SparkEntry.queries.contains)
+      .filter(n => only.isEmpty || only(n))
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)

@@ -477,31 +477,45 @@ object Pipeline {
       |SELECT q_id, rank, cand_id, round(cos, 6) AS cos_sim
       |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN: random-hyperplane signatures from deterministic
-    * hash-derived planes; candidates share a signature bucket, then exact
-    * cosine re-ranks inside the bucket. The scale path for ANN: signature
-    * shuffle is linear, the quadratic step is confined to buckets. Plane
-    * coefficients come from md5 lanes so the DuckDB oracle rebuilds the
-    * identical signatures and buckets — hash-exact, not rows-only. */
+  /** LSH-bucketed ANN: banded random-hyperplane signatures from
+    * deterministic hash-derived planes — 16 bands of 4 sign bits; a pair
+    * is a candidate iff SOME band's bits all agree (OR-amplification),
+    * then exact cosine re-ranks the deduplicated candidates. With the
+    * corpus's top-5 neighbor cosines ≈0.26–0.49 (per-plane agreement
+    * p ≈ 0.6), one all-8-bits bucket has pair recall p⁸ ≈ 0.02 — useless —
+    * while 16×4-bit bands give 1−(1−p⁴)¹⁶ ≈ 0.89 (spec-asserted ≥60%
+    * against the brute-force top-5). The scale path for ANN: the banded
+    * signature shuffle is linear (16 rows per vector), candidates only
+    * meet through an equi-join on (band, band-bits), and the quadratic
+    * step is confined to buckets; at 100 TB raise the band width with
+    * log N to keep buckets bounded. Plane coefficients come from md5
+    * lanes so the DuckDB oracle rebuilds identical signatures and buckets
+    * — hash-exact, not rows-only. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val nPlanes = 8
-    val sigExpr = expr(
-      s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) ->
-         |  acc + case when aggregate(
-         |      zip_with(v, sequence(0, size(v) - 1),
-         |        (x, i) -> x * ((cast(${md5Lane("concat('plane', p, '_', i)")} % 1000 as double)
-         |                        / 1000.0) - 0.5)),
-         |      cast(0.0 as double), (a2, x) -> a2 + x) > 0
-         |    then shiftleft(1L, p) else 0L end)""".stripMargin)
+    val nBands = 16; val bandBits = 4
+    val sigsExpr = expr(
+      s"""transform(sequence(0, ${nBands - 1}), b ->
+         |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, j) ->
+         |    acc + case when aggregate(
+         |        zip_with(v, sequence(0, size(v) - 1),
+         |          (x, i) -> x * ((cast(${md5Lane(s"concat('plane', b * $bandBits + j, '_', i)")} % 1000 as double)
+         |                          / 1000.0) - 0.5)),
+         |        cast(0.0 as double), (a2, x) -> a2 + x) > 0
+         |      then shiftleft(1L, j) else 0L end))""".stripMargin)
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("sig", sigExpr)
-    val q = vecs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
-    val c = vecs.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-      col("sig").as("csig"))
+    val banded = vecs.select(col("vec_id"), posexplode(sigsExpr).as(Seq("band", "bsig")))
+    val q = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("band"), col("bsig"))
+    val c = banded.select(col("vec_id").as("cand_id"),
+      col("band").as("cband"), col("bsig").as("cbsig"))
+    val pairs = q.join(c, col("band") === col("cband") &&
+        col("bsig") === col("cbsig") && col("q_id") =!= col("cand_id"))
+      .select("q_id", "cand_id").distinct()
+    val qv = vecs.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cv = vecs.select(col("vec_id").as("cand_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
-    q.join(c, col("qsig") === col("csig") && col("q_id") =!= col("cand_id"))
+    pairs.join(qv, "q_id").join(cv, "cand_id")
       .withColumn("cos", dot(col("qv"), col("cv")) / (norm2(col("qv")) * norm2(col("cv"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -511,26 +525,34 @@ object Pipeline {
   }
   val simAnnLshSql: String = {
     // list_reduce is a sequential left fold like Spark's `aggregate`, so the
-    // plane-projection sums (whose SIGN picks the bucket) match bit-for-bit
+    // plane-projection sums (whose SIGN picks the bucket bits) match
+    // bit-for-bit; the global plane index is band*4 + j in both engines
     val planeSum =
       s"""list_reduce(list_transform(generate_series(1, len(v)), i ->
-         |        v[i] * ((CAST(${md5LaneDuck("'plane' || p || '_' || (i - 1)")} % 1000
+         |        v[i] * ((CAST(${md5LaneDuck("'plane' || (band * 4 + j) || '_' || (i - 1)")} % 1000
          |                 AS DOUBLE) / 1000.0) - 0.5)),
          |      (acc, x) -> acc + x)""".stripMargin
     s"""WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bands AS (SELECT unnest(generate_series(0, 15)) AS band),
        |sigs AS (
-       |  SELECT vec_id, v,
-       |    CAST(list_sum(list_transform(generate_series(0, 7), p ->
+       |  SELECT vec_id, band,
+       |    CAST(list_sum(list_transform(generate_series(0, 3), j ->
        |      CASE WHEN $planeSum > 0
-       |           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig
-       |  FROM vecs),
-       |scored AS (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-       |    list_cosine_similarity(q.v, c.v) AS cos,
-       |    row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+       |           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bsig
+       |  FROM vecs, bands),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
        |  FROM sigs q JOIN sigs c
-       |    ON q.vec_id < 10 AND q.sig = c.sig AND q.vec_id <> c.vec_id)
+       |    ON q.vec_id < 10 AND q.band = c.band AND q.bsig = c.bsig
+       |       AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT q_id, cand_id,
+       |    list_cosine_similarity(qv.v, cv.v) AS cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, cand_id) AS rank
+       |  FROM cand
+       |  JOIN vecs qv ON qv.vec_id = q_id
+       |  JOIN vecs cv ON cv.vec_id = cand_id)
        |SELECT q_id, rank, cand_id, round(cos, 6) AS cos_sim
        |FROM scored WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
@@ -548,7 +570,12 @@ object Pipeline {
     * oracle engine is impractical); recall and score agreement against
     * the brute-force baseline are spec-asserted. */
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val k = 16; val iters = 3; val nProbe = 2
+    // nProbe 6/16: with weakly-clustered embeddings (top-5 cosine ≈0.3)
+    // 2 probes recalled only 38% of the brute-force top-5 and 4 recalled
+    // 58%; 6 lists clears the 60% spec floor with margin while still
+    // skipping 5/8 of the corpus. Real embedding corpora cluster harder,
+    // so nProbe tunes down as cluster purity rises.
+    val k = 16; val iters = 3; val nProbe = 6
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val byInit = Window.orderBy("r")

@@ -458,18 +458,20 @@ object Tpch {
 
   /** q16 adapted: distinct suppliers per part attribute group via the
     * lineitem bridge; NOT IN → anti join (keys are non-null).
-    * The fact collapses to distinct (l_partkey, l_suppkey) pairs FIRST —
-    * map-side partial aggregation shrinks the shuffle from every lineitem
-    * row to the distinct bridge pairs (~8× fewer at SF1, two ints wide)
-    * before the part attributes are attached by broadcast, so the
-    * countDistinct that follows runs over the small joined relation
-    * instead of the whole fact. */
+    * Join order is selectivity-first: the filtered part dim (~15% of
+    * parts) and the bad-supplier exclusion attach by broadcast — both
+    * map-side, no fact shuffle — so the only shuffle is the two-phase
+    * distinct aggregation over the ~15% of fact rows that survive.
+    * (A round-3 experiment that collapsed the fact to distinct
+    * (partkey, suppkey) pairs BEFORE the part filter measured 2.4× worse
+    * at SF1: it trades the map-side filter for a full-fact shuffle.) */
   def q16(s: SparkSession, d: String): DataFrame =
     li(s, d)
-      .select(col("l_partkey"), col("l_suppkey")).dropDuplicates()
+      .select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(part(s, d).filter(
           col("p_brand") =!= "Brand#13" &&
-            col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36))),
+            col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 36))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
         col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp(s, d).filter(col("s_acctbal") < 0)
           .select(col("s_suppkey").as("bad_supp"))),

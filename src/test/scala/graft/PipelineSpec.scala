@@ -67,6 +67,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == ivf)
   }
 
+  test("ANN-LSH recalls the brute-force top-5 (floor 60%)") {
+    val brute = Pipeline.simCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Pipeline.simAnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recalled = brute.count(ann.contains)
+    info(s"ANN-LSH recall: $recalled/${brute.size}")
+    assert(recalled.toDouble / brute.size >= 0.6,
+      s"ANN-LSH recalled only $recalled of ${brute.size} brute-force top-5 pairs")
+  }
+
+  test("IVF ANN recalls the brute-force top-5 (floor 60%)") {
+    val brute = Pipeline.simCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Pipeline.simAnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recalled = brute.count(ivf.contains)
+    info(s"IVF recall: $recalled/${brute.size}")
+    assert(recalled.toDouble / brute.size >= 0.6,
+      s"IVF recalled only $recalled of ${brute.size} brute-force top-5 pairs")
+  }
+
   test("brute-force top-k is correctly ranked") {
     val rows = Pipeline.simCosineTopk(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
