@@ -362,7 +362,11 @@ object Pipeline {
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("doc1", "doc2")
   }
-  val dedupMinhashLshSql: String = {
+  /** Shared CTE prefix rebuilding the MinHash signatures, band buckets and
+    * verified candidate pairs — used by both the pair-list oracle and the
+    * connected-components oracle so the two queries provably run over the
+    * same pair set. */
+  private val minhashPairsCtes: String = {
     val shingles =
       raw"""list_distinct(list_transform(
            |    generate_series(1, greatest(length(text) - 7, 1)),
@@ -370,7 +374,7 @@ object Pipeline {
     val lanes = (0 until NumHashes).map { j =>
       s"list_min(list_transform($shingles, s -> ${md5LaneDuck(s"s || '#$j'")}))"
     }.mkString("[\n    ", ",\n    ", "]")
-    raw"""WITH sigs AS (
+    raw"""sigs AS (
          |  SELECT doc_id, $lanes AS mh FROM documents),
          |bands AS (
          |  SELECT doc_id, mh, b,
@@ -381,10 +385,77 @@ object Pipeline {
          |    round(len(list_filter(generate_series(1, $NumHashes),
          |      i -> a.mh[i] = b2.mh[i])) / ${NumHashes}.0, 4) AS est_jaccard
          |  FROM bands a JOIN bands b2
-         |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id)
+         |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id)""".stripMargin
+  }
+  val dedupMinhashLshSql: String =
+    raw"""WITH $minhashPairsCtes
          |SELECT doc1, doc2, est_jaccard FROM pairs
          |WHERE est_jaccard >= 0.5 ORDER BY doc1, doc2""".stripMargin
+
+  /** Grouped dedup output — the consumable 100 TB answer. The pair list's
+    * cardinality grows as duplicate-group-size² even when the candidate
+    * join doesn't (4.2M simhash pairs at the 10× stress corpus), while the
+    * keep/remove decision per doc grows linearly. This operator collapses
+    * the verified MinHash candidate pairs into connected components via
+    * iterative min-label propagation — the same handle-based distributed
+    * fixpoint as [[Advanced.recReachability]]: every step is an equi-join
+    * + keyed aggregation (no driver-side graph), one job per iteration,
+    * superseded rounds explicitly unpersisted. Converges in O(component
+    * diameter) rounds; near-dup groups are dense (band collisions make
+    * them clique-like), so a handful of rounds suffice even at scale.
+    * Output: one row per doc appearing in any candidate pair, with
+    * `keep_id` = min doc id of its component (keep iff doc_id = keep_id).
+    * Oracle: DuckDB recursive CTE over the identical pair CTEs. */
+  def dedupGroups(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val p = dedupMinhashLsh(s, d).select(col("doc1"), col("doc2"))
+    val edges = p.union(p.select(col("doc2"), col("doc1")))
+      .toDF("src", "dst").cache()
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    var labelsRdd = edges.select(col("src")).distinct()
+      .select(col("src").as("doc_id"), col("src").as("label"))
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // Σlabel strictly decreases until the fixpoint, so it doubles as the
+    // convergence check AND the per-round materialization action
+    def labelSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
+      s.createDataset(rdd).toDF("doc_id", "label")
+        .agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
+        .head().getLong(0)
+    var sum = labelSum(labelsRdd)
+    var lastSum = -1L
+    var iter = 0
+    while (sum != lastSum && iter < 50) {
+      lastSum = sum
+      val labels = s.createDataset(labelsRdd).toDF("doc_id", "label")
+      val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val nextRdd = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      sum = labelSum(nextRdd)
+      labelsRdd.unpersist(blocking = false)
+      labelsRdd = nextRdd
+      iter += 1
+    }
+    val out = s.createDataset(labelsRdd).toDF("doc_id", "keep_id")
+      .orderBy("doc_id")
+    edges.unpersist(blocking = false)
+    out
   }
+  val dedupGroupsSql: String =
+    raw"""WITH RECURSIVE $minhashPairsCtes,
+         |cand AS (SELECT doc1, doc2 FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT doc1 AS src, doc2 AS dst FROM cand
+         |          UNION ALL SELECT doc2, doc1 FROM cand),
+         |walk(doc_id, reach) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+         |SELECT doc_id, min(reach) AS keep_id FROM walk
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** SimHash near-dup pairs: 32-bit signature from md5-lane word hashes,
     * candidates from matching 16-bit halves (Hamming ≤ pigeonhole),
@@ -794,6 +865,7 @@ object Pipeline {
     "dedup_prefix_groups" -> (dedupPrefixGroups _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_groups" -> (dedupGroups _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_cosine_topk" -> (simCosineTopk _),
@@ -812,6 +884,7 @@ object Pipeline {
     "dedup_prefix_groups" -> dedupPrefixGroupsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_groups" -> dedupGroupsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "sim_cosine_topk" -> simCosineTopkSql,
