@@ -55,17 +55,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(run); names.foreach(run) // warmup: JIT + codegen
-    // steady-state wall time: median of three timed iterations per query —
-    // robust to one-off GC/stage-launch spikes (best-of-2 let 2×+ swings
-    // through run to run, measured in round 2)
+    // steady-state wall time: median of five timed iterations per query
+    // (three under-sampled — round 3 saw ±60% swings on unchanged queries
+    // at the 200-500 ms magnitude). Failed runs (-1 sentinel) are dropped
+    // BEFORE the median so one failure can't skew it; queries with zero
+    // successful runs are reported explicitly instead of silently dropped.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = names.map { n =>
-      val ts = Seq(run(n), run(n), run(n)).sorted
-      n -> ts(1)
+      val ok = Seq.fill(iters)(run(n)).filter(_ >= 0).sorted
+      n -> ok
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, ok) =>
+      val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      "\"" + k + "\":" + f"$med%.3f"
+    }.mkString("{", ",", "}")
+    // spread: [min, max] of the successful runs — quoted by any per-query
+    // performance claim so sampling noise is visible in the artifact
+    val spread = results.map { case (k, ok) =>
+      val lo = if (ok.isEmpty) -1.0 else ok.head
+      val hi = if (ok.isEmpty) -1.0 else ok.last
+      "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, ok) if ok.isEmpty => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, ok) if ok.nonEmpty => ok(ok.size / 2) }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

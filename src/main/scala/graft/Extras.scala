@@ -158,6 +158,31 @@ object Extras {
        |FROM customer WHERE c_acctbal > 0
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Unparser DuckDB dialect (reference unparser.py:30-80, per-dialect
+    * emitters): unparse the plan to DuckDB SQL. Spark executes the original
+    * DataFrame while the ORACLE IS THE UNPARSED TEXT — the driver running
+    * that text in DuckDB proves the emitted dialect end-to-end. The query
+    * asserts the emitted text equals the oracle literal, so renderer drift
+    * fails correctness loudly instead of silently diverging. */
+  def sqlUnparseDuckdb(s: SparkSession, d: String): DataFrame = {
+    registerAll(s, d)
+    val df = s.table("customer")
+      .filter(col("c_acctbal") > 100.0)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+      .orderBy("c_mktsegment")
+    val text = Unparser(df, Unparser.DuckDb)
+    require(text == sqlUnparseDuckdbSql,
+      s"DuckDB unparse drifted from the oracle literal:\n$text")
+    df
+  }
+  val sqlUnparseDuckdbSql: String =
+    """SELECT * FROM (SELECT "c_mktsegment", count(*) AS "n", """ +
+      """CAST(sum(CAST("c_acctbal" AS DECIMAL(30,6))) AS DOUBLE) AS "total" """ +
+      """FROM (SELECT * FROM "customer" WHERE ("c_acctbal" > 100.0)) AS __u0 """ +
+      """GROUP BY "c_mktsegment") AS __u1 """ +
+      """ORDER BY "c_mktsegment" ASC NULLS FIRST"""
+
   /** Sketch aggregates (reference approx_distinct functions/__init__.py:4926,
     * approx_median :4966, approx_percentile_cont :5001). Rows-only: HLL and
     * KLL sketches are engine-specific; exactness is asserted in ExtrasSpec
@@ -335,6 +360,7 @@ object Extras {
     "sql_insert" -> (sqlInsert _),
     "sql_url_table" -> (sqlUrlTable _),
     "sql_unparse" -> (sqlUnparse _),
+    "sql_unparse_duckdb" -> (sqlUnparseDuckdb _),
     "agg_approx" -> (aggApprox _),
     "rowop_describe" -> (rowopDescribe _),
     "fn_vector" -> (fnVector _),
@@ -353,6 +379,7 @@ object Extras {
     "sql_insert" -> sqlInsertSql,
     "sql_url_table" -> sqlUrlTableSql,
     "sql_unparse" -> sqlUnparseSql,
+    "sql_unparse_duckdb" -> sqlUnparseDuckdbSql,
     "fn_vector" -> fnVectorSql,
     "fn_arrow_typeof" -> fnArrowTypeofSql,
     "mem_batches" -> memBatchesSql,

@@ -23,11 +23,20 @@ case class SQLOptions(
   * `SparkSession`, which supplies catalog, optimizer and execution. */
 class GraftSession(val spark: SparkSession) {
 
-  /** ctx.sql(query, options, param_values) — parameters use Spark's
-    * `:name` binding; the gate classifies the parsed plan before running. */
+  /** ctx.sql(query, options, param_values, param_strings) — typed
+    * parameters use Spark's `:name` binding; `paramStrings` splices
+    * IDENTIFIERS (table/column names — things value binding cannot
+    * parameterize) into `$name` placeholders BEFORE parsing, the
+    * reference's `replace_placeholders_with_strings`
+    * (`/root/reference/src/context.rs:541`, `context.py:692-756`). Each
+    * value must be a bare (optionally dotted) identifier — anything else
+    * (quotes, spaces, semicolons) is rejected, so the splice cannot smuggle
+    * SQL past the gate. The gate classifies the spliced, parsed plan. */
   def sql(query: String, params: Map[String, Any] = Map.empty,
-      options: SQLOptions = SQLOptions()): DataFrame = {
-    val plan = spark.sessionState.sqlParser.parsePlan(query)
+      options: SQLOptions = SQLOptions(),
+      paramStrings: Map[String, String] = Map.empty): DataFrame = {
+    val spliced = GraftSession.spliceIdentifiers(query, paramStrings)
+    val plan = spark.sessionState.sqlParser.parsePlan(spliced)
     classify(plan) match {
       case "ddl" if !options.allowDDL =>
         throw new IllegalStateException(s"DDL not allowed by SQLOptions: $query")
@@ -37,7 +46,7 @@ class GraftSession(val spark: SparkSession) {
         throw new IllegalStateException(s"statement not allowed by SQLOptions: $query")
       case _ =>
     }
-    if (params.isEmpty) spark.sql(query) else spark.sql(query, params)
+    if (params.isEmpty) spark.sql(spliced) else spark.sql(spliced, params)
   }
 
   private def classify(plan: LogicalPlan): String = plan match {
@@ -90,4 +99,22 @@ class GraftSession(val spark: SparkSession) {
     name.foreach(df.createOrReplaceTempView)
     df
   }
+}
+
+object GraftSession {
+  /** One identifier part, optionally dotted (`db.table`). Deliberately
+    * narrower than what quoting would allow: a spliced value can only ever
+    * name a relation or column, never extend the statement. */
+  private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*".r
+
+  /** Pre-parse `$name` → identifier substitution (reference
+    * `replace_placeholders_with_strings`, context.rs:541). Longest names
+    * substitute first so `$tab` never clobbers `$table`'s placeholder. */
+  def spliceIdentifiers(query: String, idents: Map[String, String]): String =
+    idents.toSeq.sortBy(-_._1.length).foldLeft(query) {
+      case (q, (name, value)) =>
+        require(IdentRe.pattern.matcher(value).matches(),
+          s"param_strings value for $$$name is not a bare identifier: '$value'")
+        q.replace("$" + name, value)
+    }
 }

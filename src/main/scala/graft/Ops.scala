@@ -630,6 +630,22 @@ object Ops {
       |WHERE o_totalprice > 250000 AND o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Identifier splicing (reference `param_strings`, context.py:692-756,
+    * context.rs:541): `$tbl`/`$key` name a relation and a column — things
+    * `:name` value binding cannot parameterize — validated and substituted
+    * pre-parse, combined here with a typed `:minkey` value parameter. */
+  def sqlParamStrings(s: SparkSession, d: String): DataFrame = {
+    registerAll(s, d)
+    new GraftSession(s).sql(
+      """SELECT $key AS nation_key, n_name FROM $tbl
+        |WHERE $key >= :minkey ORDER BY nation_key""".stripMargin,
+      params = Map("minkey" -> 5),
+      paramStrings = Map("tbl" -> "nation", "key" -> "n_nationkey"))
+  }
+  val sqlParamStringsSql: String =
+    """SELECT n_nationkey AS nation_key, n_name FROM nation
+      |WHERE n_nationkey >= 5 ORDER BY nation_key""".stripMargin
+
   /** Scalar + IN + EXISTS subqueries through the SQL front end. */
   def sqlSubqueries(s: SparkSession, d: String): DataFrame = {
     registerAll(s, d)
@@ -713,6 +729,7 @@ object Ops {
     "limit_offset" -> (limitOffset _),
     "sort_tail" -> (sortTail _),
     "sql_params" -> (sqlParams _),
+    "sql_param_strings" -> (sqlParamStrings _),
     "sql_subqueries" -> (sqlSubqueries _),
     "sql_view" -> (sqlView _))
 
@@ -759,6 +776,7 @@ object Ops {
     "limit_offset" -> limitOffsetSql,
     "sort_tail" -> sortTailSql,
     "sql_params" -> sqlParamsSql,
+    "sql_param_strings" -> sqlParamStringsSql,
     "sql_subqueries" -> sqlSubqueriesSql,
     "sql_view" -> sqlViewSql)
 }

@@ -440,8 +440,18 @@ object Pipeline {
       labelsRdd = nextRdd
       iter += 1
     }
+    if (sum != lastSum)
+      throw new IllegalStateException(
+        s"dedup_groups: min-label propagation did not converge in $iter " +
+          "rounds — a component's diameter exceeds the iteration cap; " +
+          "returning partial labels would silently split groups")
+    // Materialize the final labels (small: one row per doc in any pair)
+    // so the persisted RDD and edge cache can be released — otherwise one
+    // MEMORY_AND_DISK RDD leaks per call.
     val out = s.createDataset(labelsRdd).toDF("doc_id", "keep_id")
       .orderBy("doc_id")
+      .localCheckpoint()
+    labelsRdd.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out
   }
@@ -672,6 +682,10 @@ object Pipeline {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
     }
+    // Materialize the trained centroids once (16 rows) — `lists` and
+    // `probes` both consume them, and without this each would replay the
+    // full 3-iteration k-means lineage.
+    centroids = centroids.localCheckpoint()
     val lists = assign(centroids) // inverted lists: cluster id per vector
     val probeW = Window.partitionBy("q_id").orderBy(asc("pdist"), asc("pcid"))
     val probes = vecs.filter(col("vec_id") < 10)

@@ -85,7 +85,8 @@ object TypeBridge {
     require(parts.length == 4, s"expected HH:mm:ss.SSSSSS, got $t")
     require(parts(3).length <= 6, s"fraction wider than microseconds: $t")
     val (h, m, s) = (parts(0).toLong, parts(1).toLong, parts(2).toLong)
-    require(h < 24 && m < 60 && s < 60, s"field out of range: $t")
+    require(h >= 0 && h < 24 && m >= 0 && m < 60 && s >= 0 && s < 60,
+      s"field out of range: $t")
     (h * 3600 + m * 60 + s) * 1000000L + parts(3).padTo(6, '0').toLong
   }
 }

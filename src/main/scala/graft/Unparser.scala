@@ -3,36 +3,81 @@ package graft
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types._
 
 /** Plan → SQL unparser — the reference's `unparser` surface
-  * (`/root/reference/python/datafusion/unparser.py:18`, plan-to-SQL via
-  * the DataFusion unparser crate). Spark has had no public plan→SQL since
-  * 2.x, so this re-derives it for the relational core: Project / Filter /
-  * Aggregate / Join (inner, outer, semi, anti, cross) / Sort / Limit /
-  * Offset / Distinct / Deduplicate / Union / Intersect / Except /
-  * SubqueryAlias over named relations. Expression rendering delegates to
-  * Catalyst's own `Expression.sql`. Plans outside the subset raise
-  * `UnsupportedOperationException` with the offending node — explicit
-  * scope, no silent wrong SQL.
+  * (`/root/reference/python/datafusion/unparser.py:18-80`, plan-to-SQL via
+  * the DataFusion unparser crate, with per-dialect emitters). Spark has had
+  * no public plan→SQL since 2.x, so this re-derives it for the relational
+  * core: Project / Filter / Aggregate / Join (inner, outer, semi, anti,
+  * cross) / Sort / Limit / Offset / Distinct / Deduplicate / Union /
+  * Intersect / Except / SubqueryAlias over named relations. Plans outside
+  * the subset raise `UnsupportedOperationException` with the offending
+  * node — explicit scope, no silent wrong SQL.
   *
-  * The output targets Spark SQL (round-trip: `spark.sql(Unparser(df))`
-  * must produce the same result set), which is the reference unparser's
-  * own contract (DataFrame → dialect SQL text).
+  * Two dialects, mirroring the reference's dialect objects:
+  *  - [[Spark]]: expression rendering delegates to Catalyst's own
+  *    `Expression.sql`; round-trip contract `spark.sql(Unparser(df))`
+  *    must produce the same result set.
+  *  - [[DuckDb]]: a self-contained renderer for the relational-core
+  *    expression subset (attributes, literals, casts, binary operators,
+  *    null tests, IN, CASE, the classic aggregates) — Catalyst's `.sql`
+  *    emits Spark-isms (`1.0D`, backtick quoting) that DuckDB rejects.
+  *    Sort order is always rendered with an explicit NULLS clause because
+  *    the engines' defaults differ (Spark ASC = NULLS FIRST, DuckDB ASC =
+  *    NULLS LAST).
+  *
+  * Joins whose legs share output column names (self-joins): stripping
+  * qualifiers would emit an ambiguous ON clause, so both legs get fresh
+  * `__uN` aliases and the condition is re-qualified by which leg each
+  * attribute comes from. For semi/anti joins the output is the left leg
+  * only, so the result is unambiguous; for other join types the output
+  * itself carries duplicate names that downstream references cannot
+  * disambiguate — those raise the standard "does not cover" error instead
+  * of emitting SQL that fails (or silently mis-binds) at re-execution.
   */
 object Unparser {
 
-  def apply(df: DataFrame): String = {
+  sealed trait Dialect
+  /** Target Spark SQL (backtick quoting, Catalyst expression rendering). */
+  case object Spark extends Dialect
+  /** Target DuckDB (double-quote quoting, portable expression rendering). */
+  case object DuckDb extends Dialect
+
+  def apply(df: DataFrame): String = apply(df, Spark)
+
+  def apply(df: DataFrame, dialect: Dialect): String = {
     val counter = new AtomicInteger()
-    sql(df.queryExecution.analyzed, counter)
+    sql(df.queryExecution.analyzed, counter)(dialect)
   }
 
-  private def sub(plan: LogicalPlan, c: AtomicInteger): String = plan match {
+  private def sub(plan: LogicalPlan, c: AtomicInteger)(implicit d: Dialect)
+    : String = relationName(plan) match {
     // a bare named relation needs no wrapping
-    case SubqueryAlias(id, child) if isLeafRelation(child) => quote(id.name)
-    case _ => s"(${sql(plan, c)}) AS ${freshAlias(c)}"
+    case Some(name) => quote(name)
+    case None => s"(${sql(plan, c)}) AS ${freshAlias(c)}"
+  }
+
+  /** Like [[sub]] but under a caller-chosen alias (self-join legs). */
+  private def subAs(plan: LogicalPlan, c: AtomicInteger, alias: String)(
+      implicit d: Dialect): String = relationName(plan) match {
+    case Some(name) => s"${quote(name)} AS $alias"
+    case None => s"(${sql(plan, c)}) AS $alias"
+  }
+
+  /** The catalog name of a bare named relation, if the plan is one. A
+    * user alias (`df.as("x")`) wraps the view's own SubqueryAlias in
+    * another — the INNERMOST alias over the leaf is the registered name;
+    * emitting the outer alias would reference a table that doesn't exist. */
+  private def relationName(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(id, child) =>
+      relationName(child)
+        .orElse(if (isLeafRelation(child)) Some(id.name) else None)
+    case _ => None
   }
 
   private def isLeafRelation(plan: LogicalPlan): Boolean = plan match {
@@ -46,15 +91,85 @@ object Unparser {
 
   private def freshAlias(c: AtomicInteger): String = s"__u${c.getAndIncrement()}"
 
-  private def quote(name: String): String = s"`$name`"
+  private def quote(name: String)(implicit d: Dialect): String = d match {
+    case Spark => s"`$name`"
+    case DuckDb => "\"" + name.replace("\"", "\"\"") + "\""
+  }
 
   /** Render an expression with attribute qualifiers stripped: generated
     * subqueries carry fresh `__uN` aliases, so the analyzed plan's original
     * qualifiers (view names) would no longer resolve. */
-  private def esql(e: Expression): String =
-    e.transform { case a: AttributeReference => a.withQualifier(Nil) }.sql
+  private def esql(e: Expression)(implicit d: Dialect): String =
+    render(e.transform { case a: AttributeReference => a.withQualifier(Nil) })
 
-  private def sql(plan: LogicalPlan, c: AtomicInteger): String = plan match {
+  private def render(e: Expression)(implicit d: Dialect): String = d match {
+    case Spark => e.sql
+    case DuckDb => duck(e)
+  }
+
+  /** DuckDB-portable rendering for the relational-core expression subset.
+    * Anything outside it raises — same loud-rejection contract as the plan
+    * walker. */
+  private def duck(e: Expression): String = e match {
+    case a: AttributeReference =>
+      (a.qualifier :+ a.name).map(n => quote(n)(DuckDb)).mkString(".")
+    case Literal(null, _) => "NULL"
+    case l @ Literal(v, t) => t match {
+      case StringType => "'" + String.valueOf(v).replace("'", "''") + "'"
+      case ByteType | ShortType | IntegerType | LongType => v.toString
+      case FloatType | DoubleType | _: DecimalType => v.toString
+      case BooleanType => v.toString.toUpperCase
+      // Catalyst renders these as standard `DATE '...'` / `TIMESTAMP '...'`
+      case DateType | TimestampType | TimestampNTZType => l.sql
+      case other => unsupportedExpr(s"literal of type ${other.simpleString}", e)
+    }
+    case Cast(child, dt, _, _) => s"CAST(${duck(child)} AS ${duckType(dt, e)})"
+    case Not(IsNull(child)) => s"(${duck(child)} IS NOT NULL)"
+    case IsNull(child) => s"(${duck(child)} IS NULL)"
+    case IsNotNull(child) => s"(${duck(child)} IS NOT NULL)"
+    case Not(child) => s"(NOT ${duck(child)})"
+    case In(value, list) =>
+      s"(${duck(value)} IN (${list.map(duck).mkString(", ")}))"
+    case CaseWhen(branches, elseValue) =>
+      val whens = branches
+        .map { case (cond, v) => s"WHEN ${duck(cond)} THEN ${duck(v)}" }
+        .mkString(" ")
+      val els = elseValue.map(v => s" ELSE ${duck(v)}").getOrElse("")
+      s"CASE $whens$els END"
+    case AggregateExpression(fn, _, isDistinct, None, _) =>
+      val mod = if (isDistinct) "DISTINCT " else ""
+      fn match {
+        case Count(Seq(Literal(_, _))) if !isDistinct => "count(*)"
+        case Count(children) => s"count($mod${children.map(duck).mkString(", ")})"
+        case Sum(child, _) => s"sum($mod${duck(child)})"
+        case Min(child) => s"min(${duck(child)})"
+        case Max(child) => s"max(${duck(child)})"
+        case Average(child, _) => s"avg($mod${duck(child)})"
+        case other => unsupportedExpr(s"aggregate ${other.prettyName}", e)
+      }
+    case SortOrder(child, direction, nullOrdering, _) =>
+      s"${duck(child)} ${direction.sql} ${nullOrdering.sql}"
+    case b: BinaryOperator => s"(${duck(b.left)} ${b.sqlOperator} ${duck(b.right)})"
+    case other => unsupportedExpr(other.prettyName, other)
+  }
+
+  private def duckType(dt: DataType, in: Expression): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType => "VARCHAR"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case other => unsupportedExpr(s"cast to ${other.simpleString}", in)
+  }
+
+  private def sql(plan: LogicalPlan, c: AtomicInteger)(implicit d: Dialect)
+    : String = plan match {
     case Project(exprs, child) =>
       s"SELECT ${exprs.map(named).mkString(", ")} FROM ${sub(child, c)}"
 
@@ -72,13 +187,33 @@ object Unparser {
         case LeftOuter => "LEFT JOIN"
         case RightOuter => "RIGHT JOIN"
         case FullOuter => "FULL JOIN"
-        case LeftSemi => "LEFT SEMI JOIN"
-        case LeftAnti => "LEFT ANTI JOIN"
+        case LeftSemi => if (d == DuckDb) "SEMI JOIN" else "LEFT SEMI JOIN"
+        case LeftAnti => if (d == DuckDb) "ANTI JOIN" else "LEFT ANTI JOIN"
         case Cross => "CROSS JOIN"
         case other => unsupported(s"join type $other", plan)
       }
-      val on = cond.map(e => s" ON ${esql(e)}").getOrElse("")
-      s"SELECT * FROM ${sub(left, c)} $kw ${sub(right, c)}$on"
+      val dupNames = left.output.map(_.name).toSet
+        .intersect(right.output.map(_.name).toSet)
+      if (dupNames.isEmpty) {
+        val on = cond.map(e => s" ON ${esql(e)}").getOrElse("")
+        s"SELECT * FROM ${sub(left, c)} $kw ${sub(right, c)}$on"
+      } else if (joinType == LeftSemi || joinType == LeftAnti) {
+        // Self-join: qualify the ON clause by leg alias. Output = left leg
+        // only, so the duplicate names never escape the join.
+        val la = freshAlias(c); val ra = freshAlias(c)
+        val lset = left.outputSet
+        val on = cond.map { e =>
+          val q = e.transform {
+            case a: AttributeReference =>
+              a.withQualifier(Seq(if (lset.contains(a)) la else ra))
+          }
+          s" ON ${render(q)}"
+        }.getOrElse("")
+        s"SELECT * FROM ${subAs(left, c, la)} $kw ${subAs(right, c, ra)}$on"
+      } else unsupported(
+        s"$kw whose legs share output column names " +
+          s"(${dupNames.toSeq.sorted.mkString(", ")}) — the joined output is " +
+          "ambiguous; project/rename the legs to distinct names first", plan)
 
     case Sort(order, true, child, _) =>
       s"SELECT * FROM ${sub(child, c)} ORDER BY ${order.map(esql).mkString(", ")}"
@@ -89,7 +224,7 @@ object Unparser {
     case Offset(expr, child) =>
       s"SELECT * FROM ${sub(child, c)} OFFSET ${esql(expr)}"
 
-    case Window(windowExprs, _, _, child, _) =>
+    case Window(windowExprs, _, _, child, _) if d == Spark =>
       // WindowExpression.sql renders the full `fn(...) OVER (PARTITION BY
       // ... ORDER BY ... frame)` clause; child columns pass through
       s"SELECT *, ${windowExprs.map(named).mkString(", ")} FROM ${sub(child, c)}"
@@ -113,8 +248,8 @@ object Unparser {
       val kw = if (isAll) "EXCEPT ALL" else "EXCEPT"
       s"SELECT * FROM ${sub(left, c)} $kw SELECT * FROM ${sub(right, c)}"
 
-    case SubqueryAlias(id, child) if isLeafRelation(child) =>
-      s"SELECT * FROM ${quote(id.name)}"
+    case p: SubqueryAlias if relationName(p).isDefined =>
+      s"SELECT * FROM ${quote(relationName(p).get)}"
 
     case SubqueryAlias(_, child) => sql(child, c)
 
@@ -123,8 +258,7 @@ object Unparser {
     case other => unsupported(other.nodeName, other)
   }
 
-  private def named(e: org.apache.spark.sql.catalyst.expressions.NamedExpression)
-    : String = e match {
+  private def named(e: NamedExpression)(implicit d: Dialect): String = e match {
     case a: Attribute => quote(a.name)
     case Alias(child, name) => s"${esql(child)} AS ${quote(name)}"
     case other => esql(other)
@@ -134,4 +268,10 @@ object Unparser {
     throw new UnsupportedOperationException(
       s"Unparser does not cover $what; supported: project/filter/aggregate/" +
         s"join/sort/limit/offset/distinct/set-ops over named relations.\n$plan")
+
+  private def unsupportedExpr(what: String, e: Expression): Nothing =
+    throw new UnsupportedOperationException(
+      s"Unparser does not cover expression $what in the DuckDB dialect " +
+        s"(portable subset: attributes, literals, casts, binary operators, " +
+        s"null tests, IN, CASE, count/sum/min/max/avg).\n$e")
 }

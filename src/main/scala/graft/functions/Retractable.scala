@@ -23,14 +23,14 @@ trait RetractableAccumulator[B, O] extends Serializable {
 /** Moving sum over an exact decimal state (scale 6, matching `Q.dsum`) —
   * BigDecimal add/subtract are exact, so retraction is bit-identical to
   * recomputing the frame, at any frame size and in any partition order.
-  * Inputs whose shortest decimal form exceeds 6 fraction digits (e.g.
-  * 0.30000000000000004) are rounded HALF_EVEN at entry — the same rounding
-  * the DuckDB oracle applies in `CAST(value AS DECIMAL(30,6))` — so update
-  * and retract stay exact inverses of each other. */
+  * Entry rounding mirrors DuckDB's `CAST(value AS DECIMAL(30,6))` exactly:
+  * the EXACT binary value of the double (not its shortest decimal string)
+  * rounded half-away-from-zero — so inputs landing on a x.xxxxxx5 boundary
+  * round the same on both sides, and update/retract stay exact inverses. */
 object MovingDecimalSum extends RetractableAccumulator[BigDecimal, Double] {
   private val SCALE = 6
   private def dec(v: Double): BigDecimal =
-    new BigDecimal(java.lang.Double.toString(v)).setScale(SCALE, RoundingMode.HALF_EVEN)
+    new BigDecimal(v).setScale(SCALE, RoundingMode.HALF_UP)
   override def zero: BigDecimal = BigDecimal.ZERO.setScale(SCALE)
   override def update(b: BigDecimal, v: Double): BigDecimal = b.add(dec(v))
   override def retract(b: BigDecimal, v: Double): BigDecimal = b.subtract(dec(v))

@@ -151,6 +151,29 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(ctx.sql("SELECT 1 AS one", options = strict).collect().head.getInt(0) == 1)
   }
 
+  test("param_strings splices validated identifiers pre-parse") {
+    ctx.registerParquet("gs_nation2", s"$sf/nation.parquet")
+    val rows = ctx.sql(
+      "SELECT $col AS k FROM $tbl WHERE $col < :lim ORDER BY k",
+      params = Map("lim" -> 3),
+      paramStrings = Map("tbl" -> "gs_nation2", "col" -> "n_nationkey"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(0, 1, 2))
+  }
+
+  test("param_strings rejects non-identifier values (injection)") {
+    for (bad <- Seq("gs_nation2; DROP TABLE x", "a b", "x'y", "1tbl", "`q`")) {
+      val e = intercept[IllegalArgumentException] {
+        ctx.sql("SELECT * FROM $tbl", paramStrings = Map("tbl" -> bad))
+      }
+      assert(e.getMessage.contains("not a bare identifier"))
+    }
+    // longest-name-first: $tab must not clobber $table
+    assert(GraftSession.spliceIdentifiers(
+      "SELECT * FROM $table JOIN $tab", Map("table" -> "t1", "tab" -> "t2"))
+      == "SELECT * FROM t1 JOIN t2")
+  }
+
   test("fromSeq registers an in-memory frame") {
     val df = ctx.fromSeq(Seq((1, "a"), (2, "b")), Some("gs_mem"))
     assert(df.count() == 2)

@@ -67,6 +67,36 @@ class UnparserSpec extends AnyFunSuite {
         .over(w.rowsBetween(Long.MinValue, 0))))
   }
 
+  test("self-join: semi/anti qualify the ON clause, inner raises") {
+    ready
+    val n1 = spark.table("up_nation").as("l")
+    val n2 = spark.table("up_nation").as("r")
+    val cond = col("l.n_regionkey") === col("r.n_nationkey")
+    // semi: output is the left leg only — legs get __uN aliases and the
+    // condition is re-qualified, so the SQL re-analyzes unambiguously
+    roundtrip(n1.join(n2, cond, "left_semi"))
+    roundtrip(n1.join(n2, cond, "left_anti"))
+    // inner self-join output carries duplicate names → loud rejection
+    val e = intercept[UnsupportedOperationException] {
+      Unparser(n1.join(n2, cond))
+    }
+    assert(e.getMessage.contains("share output column names"))
+  }
+
+  test("duckdb dialect emits the pinned text and rejects non-portable exprs") {
+    ready
+    // the registry query asserts generated text == oracle literal
+    val df = Extras.sqlUnparseDuckdb(spark, sf)
+    assert(df.count() > 0)
+    // Spark-only rendering (e.g. a window) is rejected loudly in duckdb mode
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    intercept[UnsupportedOperationException] {
+      Unparser(spark.table("up_nation")
+        .withColumn("rn", row_number().over(w)), Unparser.DuckDb)
+    }
+  }
+
   test("unsupported plans fail loudly, not silently") {
     ready
     val e = intercept[UnsupportedOperationException] {
