@@ -83,18 +83,37 @@ object Advanced {
       |SELECT o_custkey, o_orderkey, round(v, 9) AS price_ema
       |FROM ema ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** Sliding-frame aggregation through the retractable-accumulator
-    * contract (reference `retract_batch`, user_defined.py:358-706; SURVEY
-    * §2.12): moving 4-row sum per user over event time, computed in ONE
-    * pass per group — each row update()s the state and the row leaving the
-    * frame retract()s it, the behavior `retract_batch` exists to enable.
-    * Runs distributed via groupByKey + flatMapGroups (Spark's typed
-    * custom-state shape); groups are sorted in executor memory, which at
-    * 100 TB becomes a secondary sort (repartition + sortWithinPartitions)
-    * with identical per-group logic. Oracle: the equivalent
-    * `ROWS BETWEEN 3 PRECEDING AND CURRENT ROW` window in DuckDB —
-    * exact because the state is decimal (graft.functions.MovingDecimalSum). */
+  /** Sliding-frame aggregation through the retractable UDWF contract
+    * (reference `retract_batch` + bounded `WindowEvaluator`,
+    * user_defined.py:358-1104, udwf.rs:43-225; SURVEY §2.12): moving 4-row
+    * sum per user over event time, O(rows) because the value leaving the
+    * frame is subtracted from the running state instead of the frame being
+    * rebuilt. Runs THROUGH Spark's window executor —
+    * `moving_sum(value, 4) OVER (PARTITION BY ... ORDER BY ...)`
+    * ([[graft.functions.MovingDecimalSumWindow]]), so the plan is a
+    * single keyed-shuffle window stage: Spark sorts within partitions
+    * spill-safely (no in-memory group materialization, the weakness of the
+    * previous flatMapGroups shape, kept below as a cross-check). Oracle:
+    * the equivalent `ROWS BETWEEN 3 PRECEDING AND CURRENT ROW` window in
+    * DuckDB — exact because the state is decimal. */
   def winMovingRetract(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WindowKernels.register(s)
+    t(s, d, "events").createOrReplaceTempView("mr_events")
+    s.sql(
+      """SELECT user_id, event_id,
+        |  moving_sum(value, 4) OVER w AS mov_sum,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_frame
+        |FROM mr_events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin)
+  }
+
+  /** The pre-window-executor shape (groupByKey + flatMapGroups driving
+    * [[graft.functions.MovingDecimalSum]] directly) — retained as the
+    * cross-check twin for [[winMovingRetract]]; KernelsSpec asserts both
+    * paths and Spark's built-in sliding frame agree row-for-row. */
+  def winMovingRetractFlatMapGroups(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.MovingDecimalSum
     val frame = 4

@@ -235,7 +235,12 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
 
   test("retractable sliding sum equals Spark's built-in frame and is partition-invariant") {
     import org.apache.spark.sql.expressions.Window
+    // window-executor path (moving_sum UDWF — the registry default)
     val result = Advanced.winMovingRetract(spark, sf).collect().map(_.toString).toSeq
+    // cross-check twin: the flatMapGroups shape driving the accumulator
+    val viaGroups = Advanced.winMovingRetractFlatMapGroups(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(result == viaGroups)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-3, 0)
     val builtin = Q.t(spark, sf, "events")
@@ -245,7 +250,8 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
       .orderBy("user_id", "event_id")
       .collect().map(_.toString).toSeq
     assert(result == builtin)
-    // partition invariance: groupByKey reshuffles regardless of input layout
+    // partition invariance: the window shuffle rebuilds per-user order
+    // regardless of input layout
     val dir = java.nio.file.Files.createTempDirectory("graft_retract").toString
     // Q.read expects events.ts as nanosecond longs (TESTDATA layout)
     Q.t(spark, sf, "events").repartition(7)
@@ -253,6 +259,28 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
       .write.parquet(s"$dir/events.parquet")
     val reshuffled = Advanced.winMovingRetract(spark, dir).collect().map(_.toString).toSeq
     assert(reshuffled == result)
+  }
+
+  test("moving_sum validates its arguments and short frames") {
+    graft.functions.WindowKernels.register(spark)
+    Q.t(spark, sf, "events").limit(0).createOrReplaceTempView("ms_empty")
+    // n = 1: frame is just the current row
+    Q.t(spark, sf, "events").createOrReplaceTempView("ms_ev")
+    val one = spark.sql(
+      """SELECT value, moving_sum(value, 1)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS m
+        |FROM ms_ev LIMIT 50""".stripMargin).collect()
+    one.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6) }
+    // non-literal / non-positive frame sizes are rejected at analysis
+    intercept[Exception] {
+      spark.sql("SELECT moving_sum(value, 0) OVER (ORDER BY ts) FROM ms_ev")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT moving_sum(value, event_id) OVER (ORDER BY ts) FROM ms_ev")
+        .collect()
+    }
   }
 
   test("kernels reject mismatched vector lengths") {
