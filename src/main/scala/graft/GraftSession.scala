@@ -108,13 +108,63 @@ object GraftSession {
   private val IdentRe = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*".r
 
   /** Pre-parse `$name` → identifier substitution (reference
-    * `replace_placeholders_with_strings`, context.rs:541). Longest names
-    * substitute first so `$tab` never clobbers `$table`'s placeholder. */
-  def spliceIdentifiers(query: String, idents: Map[String, String]): String =
-    idents.toSeq.sortBy(-_._1.length).foldLeft(query) {
-      case (q, (name, value)) =>
-        require(IdentRe.pattern.matcher(value).matches(),
-          s"param_strings value for $$$name is not a bare identifier: '$value'")
-        q.replace("$" + name, value)
+    * `replace_placeholders_with_strings`, context.rs:541, which rewrites
+    * whole Placeholder TOKENS only). A single left-to-right scan replaces
+    * each complete `$name` token — so a bound `tab` can never corrupt an
+    * unbound `$table` by prefix — and skips the regions a tokenizer
+    * would: single-quoted strings (with `''` escapes), double-quoted and
+    * backtick-quoted identifiers, `--` line comments and bracketed
+    * comments. A `$name` placeholder outside those regions with no
+    * binding is an error, not a silent pass-through. No-op when no
+    * identifiers are supplied (plain `ctx.sql` path). */
+  def spliceIdentifiers(query: String, idents: Map[String, String]): String = {
+    if (idents.isEmpty) return query
+    idents.foreach { case (name, value) =>
+      require(IdentRe.pattern.matcher(value).matches(),
+        s"param_strings value for $$$name is not a bare identifier: '$value'")
     }
+    val sb = new StringBuilder(query.length + 16)
+    val len = query.length
+    var i = 0
+    // copy verbatim through a region closed by `end` (handles '' / "" / ``
+    // escape-by-doubling for the quote forms)
+    def copyQuoted(quote: Char): Unit = {
+      sb.append(query.charAt(i)); i += 1
+      while (i < len) {
+        val ch = query.charAt(i); sb.append(ch); i += 1
+        if (ch == quote) {
+          if (i < len && query.charAt(i) == quote) { sb.append(quote); i += 1 }
+          else return
+        }
+      }
+    }
+    def isIdentChar(ch: Char): Boolean =
+      ch == '_' || Character.isLetterOrDigit(ch)
+    while (i < len) {
+      val ch = query.charAt(i)
+      if (ch == '\'' || ch == '"' || ch == '`') copyQuoted(ch)
+      else if (ch == '-' && i + 1 < len && query.charAt(i + 1) == '-') {
+        while (i < len && query.charAt(i) != '\n') { sb.append(query.charAt(i)); i += 1 }
+      } else if (ch == '/' && i + 1 < len && query.charAt(i + 1) == '*') {
+        sb.append("/*"); i += 2
+        while (i < len &&
+          !(query.charAt(i) == '*' && i + 1 < len && query.charAt(i + 1) == '/')) {
+          sb.append(query.charAt(i)); i += 1
+        }
+        if (i < len) { sb.append("*/"); i += 2 }
+      } else if (ch == '$') {
+        var j = i + 1
+        while (j < len && isIdentChar(query.charAt(j))) j += 1
+        val name = query.substring(i + 1, j)
+        if (name.isEmpty) { sb.append(ch); i += 1 }
+        else idents.get(name) match {
+          case Some(value) => sb.append(value); i = j
+          case None => throw new IllegalArgumentException(
+            s"unbound identifier placeholder $$$name " +
+              s"(bound: ${idents.keys.toSeq.sorted.mkString(", ")})")
+        }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
 }

@@ -149,9 +149,22 @@ object Unparser {
       }
     case SortOrder(child, direction, nullOrdering, _) =>
       s"${duck(child)} ${direction.sql} ${nullOrdering.sql}"
-    case b: BinaryOperator => s"(${duck(b.left)} ${b.sqlOperator} ${duck(b.right)})"
+    // Binary operators: only the portable subset. Spark-isms (`<=>`,
+    // `div`, bitwise ops) either fail to parse in DuckDB or — worse —
+    // parse with different semantics, so everything off the whitelist
+    // raises per the dialect's loud-rejection contract.
+    case EqualNullSafe(l, r) =>
+      s"(${duck(l)} IS NOT DISTINCT FROM ${duck(r)})"
+    case b: BinaryOperator if portableOps.contains(b.sqlOperator) =>
+      s"(${duck(b.left)} ${b.sqlOperator} ${duck(b.right)})"
     case other => unsupportedExpr(other.prettyName, other)
   }
+
+  /** Operators whose spelling AND semantics coincide in Spark and DuckDB:
+    * boolean connectives, comparisons, and fractional arithmetic (Spark's
+    * analyzer widens integer `/` to double, as does DuckDB's `/`). */
+  private val portableOps =
+    Set("AND", "OR", "=", "<", "<=", ">", ">=", "+", "-", "*", "/", "%")
 
   private def duckType(dt: DataType, in: Expression): String = dt match {
     case BooleanType => "BOOLEAN"

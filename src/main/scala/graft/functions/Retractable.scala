@@ -23,14 +23,18 @@ trait RetractableAccumulator[B, O] extends Serializable {
 /** Moving sum over an exact decimal state (scale 6, matching `Q.dsum`) —
   * BigDecimal add/subtract are exact, so retraction is bit-identical to
   * recomputing the frame, at any frame size and in any partition order.
-  * Entry rounding mirrors DuckDB's `CAST(value AS DECIMAL(30,6))` exactly:
-  * the EXACT binary value of the double (not its shortest decimal string)
-  * rounded half-away-from-zero — so inputs landing on a x.xxxxxx5 boundary
-  * round the same on both sides, and update/retract stay exact inverses. */
+  * Entry rounding pins DuckDB's `CAST(value AS DECIMAL(30,6))` exactly
+  * (verified against DuckDB 1.0 on tie values): the double is multiplied
+  * by 10^scale IN DOUBLE ARITHMETIC and the product rounded
+  * half-away-from-zero (C `round()`), which is HALF_UP on the product's
+  * exact binary value. [[MovingDecimalSumWindow]] uses the identical
+  * conversion ([[DecimalEntry.toDec]]), so the two paths cannot diverge
+  * on boundary inputs, and update/retract stay exact inverses. */
 object MovingDecimalSum extends RetractableAccumulator[BigDecimal, Double] {
   private val SCALE = 6
   private def dec(v: Double): BigDecimal =
-    new BigDecimal(v).setScale(SCALE, RoundingMode.HALF_UP)
+    new BigDecimal(v * 1e6).setScale(0, RoundingMode.HALF_UP)
+      .movePointLeft(SCALE).setScale(SCALE)
   override def zero: BigDecimal = BigDecimal.ZERO.setScale(SCALE)
   override def update(b: BigDecimal, v: Double): BigDecimal = b.add(dec(v))
   override def retract(b: BigDecimal, v: Double): BigDecimal = b.subtract(dec(v))

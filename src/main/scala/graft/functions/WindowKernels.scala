@@ -62,24 +62,72 @@ case class ExponentialMovingAverage(child: Expression, alphaExpr: Expression)
     copy(child = newChildren(0), alphaExpr = newChildren(1))
 }
 
+/** Double → DECIMAL(38,6) entry conversion shared by both moving-sum
+  * paths, pinning DuckDB's `CAST(double AS DECIMAL(p,6))` semantics
+  * (duckdb 1.0, verified on tie values): multiply by 10^6 IN DOUBLE
+  * ARITHMETIC, round the product half-away-from-zero (C `round()`).
+  * Spark's own `Cast` instead rounds the SHORTEST decimal string of the
+  * double (`Decimal(double)` goes through `Double.toString`), which
+  * disagrees with DuckDB on boundary doubles — e.g. the double nearest
+  * 0.1234565 is 0.12345649999…, whose product 123456.5 rounds to
+  * .123457 in DuckDB but whose short string rounds to .123457 while the
+  * exact binary value rounds to .123456. One conversion, used by both
+  * the window kernel and the flatMapGroups accumulator, keeps the twin
+  * paths and the oracle bit-identical. */
+object DecimalEntry {
+  val SCALE = 6
+  def toDec(v: Double): org.apache.spark.sql.types.Decimal = {
+    val jbd = new java.math.BigDecimal(v * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .movePointLeft(SCALE)
+    org.apache.spark.sql.types.Decimal(jbd, 38, SCALE)
+  }
+}
+
+/** [[DecimalEntry.toDec]] as a codegen'd Catalyst expression (null in →
+  * null out), so the window kernel's state machine stays inside
+  * whole-stage-generated projections. */
+case class DuckDoubleToDecimal(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DecimalType(38, DecimalEntry.SCALE)
+  override def prettyName: String = "duck_double_to_decimal"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires DOUBLE input, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    DecimalEntry.toDec(input.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DecimalEntry.toDec($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `moving_sum(x, n)`: sliding n-row sum WITH RETRACTION, running inside
   * Spark's window executor — the reference's bounded `WindowEvaluator`
   * (`supports_bounded_execution`, user_defined.py:709-1104; retract wiring
   * `crates/core/src/udwf.rs:43-225`). Spark's executor has no retract hook
   * on user-specified sliding frames (its SlidingWindowFunctionFrame
-  * rebuilds the buffer on every frame shift, O(rows × frame)), so the
-  * function pins the RUNNING frame — processed incrementally, one update
-  * per row — and performs the frame bookkeeping itself: the aggregation
-  * buffer carries the exact decimal sum plus a ≤n-element ring of entered
-  * values, and each update adds the entering value and subtracts the one
-  * leaving the frame. O(rows) per partition, state O(n), all declarative
-  * expressions (codegen-friendly), and semantically identical to
-  * `sum(CAST(x AS DECIMAL)) OVER (ROWS BETWEEN n-1 PRECEDING AND CURRENT
-  * ROW)` — asserted against both the DuckDB oracle and Spark's built-in
-  * sliding frame in KernelsSpec.
+  * rebuilds the buffer on every frame shift, re-accumulating n values per
+  * row), so the function pins the RUNNING frame — processed incrementally,
+  * one update per row — and performs the frame bookkeeping itself: the
+  * aggregation buffer carries the exact decimal sum, a ≤n-element ring of
+  * entered values, and the count of non-null frame entries; each update
+  * adds the entering value and subtracts the one leaving the frame.
+  * Cost per row: O(1) arithmetic (one add + one subtract, vs the n adds
+  * of a frame rebuild) and O(n) ring maintenance (the Slice+Concat copy)
+  * — so O(rows × n) state copying total, with n expected small; the win
+  * over the rebuild is the constant-factor arithmetic, not the copy.
+  * All declarative expressions (codegen-friendly), and semantically
+  * identical to `sum(CAST(x AS DECIMAL)) OVER (ROWS BETWEEN n-1 PRECEDING
+  * AND CURRENT ROW)` — asserted against both the DuckDB oracle and
+  * Spark's built-in sliding frame in KernelsSpec.
   *
-  * Null inputs contribute 0 but still occupy a frame slot (the frame
-  * slides row-wise, as in SQL); the result is never null. */
+  * Null semantics match SQL `sum` over the same frame: a null input
+  * occupies a frame slot (the frame slides row-wise) but contributes
+  * nothing, and a frame containing only nulls evaluates to NULL. */
 case class MovingDecimalSumWindow(child: Expression, nExpr: Expression)
   extends AggregateWindowFunction {
 
@@ -109,27 +157,40 @@ case class MovingDecimalSumWindow(child: Expression, nExpr: Expression)
   private lazy val sumA =
     AttributeReference("ms_sum", dec, nullable = true)()
   private lazy val ringA =
-    AttributeReference("ms_ring", ArrayType(dec, containsNull = false))()
-  override def aggBufferAttributes: Seq[AttributeReference] = Seq(sumA, ringA)
+    AttributeReference("ms_ring", ArrayType(dec, containsNull = true))()
+  private lazy val cntA =
+    AttributeReference("ms_cnt", LongType, nullable = false)()
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    Seq(sumA, ringA, cntA)
 
   override lazy val initialValues: Seq[Expression] = Seq(
     zero,
-    Literal.create(Array.empty[Any], ArrayType(dec, containsNull = false)))
+    Literal.create(Array.empty[Any], ArrayType(dec, containsNull = true)),
+    Literal(0L))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val x = Coalesce(Seq(Cast(child, dec), zero))
+    // entry conversion pinned to DuckDB cast semantics; null stays null so
+    // the ring remembers which slots hold no value
+    val xRaw = DuckDoubleToDecimal(Cast(child, DoubleType))
+    val x = Coalesce(Seq(xRaw, zero))
     val full = GreaterThanOrEqual(
       Size(ringA, legacySizeOfNull = false), Literal(n))
     // retraction: the entering value is added, the value leaving the frame
     // (ring head, present once the ring holds n entries) is subtracted
-    val leaving = If(full, GetArrayItem(ringA, Literal(0)), zero)
+    val leavingRaw = GetArrayItem(ringA, Literal(0))
+    val leaving = If(full, Coalesce(Seq(leavingRaw, zero)), zero)
     val newSum = Subtract(Add(sumA, x), leaving)
     val kept = If(full, Slice(ringA, Literal(2), Literal(n - 1)), ringA)
-    val newRing = Concat(Seq(kept, CreateArray(Seq(x))))
-    Seq(Cast(newSum, dec), newRing)
+    val newRing = Concat(Seq(kept, CreateArray(Seq(xRaw))))
+    val entering = If(IsNull(xRaw), Literal(0L), Literal(1L))
+    val exiting = If(And(full, IsNotNull(leavingRaw)), Literal(1L), Literal(0L))
+    val newCnt = Subtract(Add(cntA, entering), exiting)
+    Seq(Cast(newSum, dec), newRing, newCnt)
   }
 
-  override lazy val evaluateExpression: Expression = Cast(sumA, DoubleType)
+  override lazy val evaluateExpression: Expression =
+    If(GreaterThan(cntA, Literal(0L)),
+      Cast(sumA, DoubleType), Literal.create(null, DoubleType))
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =

@@ -261,9 +261,67 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
     assert(reshuffled == result)
   }
 
+  test("moving_sum entry conversion pins DuckDB double->decimal semantics") {
+    import graft.functions.{DecimalEntry, MovingDecimalSum}
+    // expected values verified against DuckDB 1.0
+    // `CAST(CAST(v AS DOUBLE) AS DECIMAL(30,6))`: the double product
+    // v * 1e6 rounded half-away-from-zero. Spark's own Cast (shortest
+    // decimal string) disagrees on several of these — e.g. 0.1234565's
+    // short string rounds to .123457 but 2.0000005 * 1e6 is exactly
+    // 2000000.5 while its short string "2.0000005" also rounds up; the
+    // binary-exact expansion 2.00000050000000007 rounds up too, yet
+    // 0.1234565's exact expansion 0.12345649999... rounds DOWN — no
+    // single string/binary rule matches, only the product rule does.
+    val expect = Seq(
+      0.1234565 -> "0.123457",
+      2.0000005 -> "2.000001",
+      5e-07 -> "0.000001",
+      7.0000015 -> "7.000002",
+      -7.0000015 -> "-7.000002",
+      0.30000000000000004 -> "0.300000")
+    for ((v, s) <- expect) {
+      assert(DecimalEntry.toDec(v).toJavaBigDecimal.toPlainString == s,
+        s"toDec($v)")
+      // the flatMapGroups accumulator uses the identical conversion
+      assert(MovingDecimalSum.update(MovingDecimalSum.zero, v).toPlainString == s,
+        s"accumulator update($v)")
+    }
+    // and the SQL window path agrees with the accumulator on boundaries
+    graft.functions.WindowKernels.register(spark)
+    val viaSql = spark.sql(
+      """SELECT moving_sum(x, 1) OVER (ORDER BY i) AS m FROM VALUES
+        |  (1, 0.1234565d), (2, 2.0000005d), (3, 5e-7d) AS t(i, x)
+        |ORDER BY i""".stripMargin).collect().map(_.getDouble(0)).toSeq
+    assert(viaSql == Seq(0.123457, 2.000001, 0.000001))
+  }
+
+  test("moving_sum null semantics match SQL sum over the same frame") {
+    graft.functions.WindowKernels.register(spark)
+    val rows = spark.sql(
+      """SELECT i,
+        |  moving_sum(x, 2) OVER (ORDER BY i) AS m,
+        |  CAST(sum(CAST(x AS DECIMAL(38,6))) OVER
+        |    (ORDER BY i ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS builtin
+        |FROM VALUES
+        |  (1, CAST(NULL AS DOUBLE)), (2, CAST(NULL AS DOUBLE)),
+        |  (3, 10.0d), (4, CAST(NULL AS DOUBLE)), (5, CAST(NULL AS DOUBLE)),
+        |  (6, 7.5d) AS t(i, x)
+        |ORDER BY i""".stripMargin).collect()
+    // all-null frames (rows 1, 2 and 5) are NULL, not 0; null inputs
+    // still slide the frame (row 4 keeps 10.0, row 5 has lost it)
+    val expected = Seq[Option[Double]](
+      None, None, Some(10.0), Some(10.0), None, Some(7.5))
+    rows.zip(expected).foreach { case (r, e) =>
+      assert((if (r.isNullAt(1)) None else Some(r.getDouble(1))) == e, r)
+      assert((if (r.isNullAt(2)) None else Some(r.getDouble(2))) ==
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+        s"kernel and builtin frame disagree: $r")
+    }
+  }
+
   test("moving_sum validates its arguments and short frames") {
     graft.functions.WindowKernels.register(spark)
-    Q.t(spark, sf, "events").limit(0).createOrReplaceTempView("ms_empty")
     // n = 1: frame is just the current row
     Q.t(spark, sf, "events").createOrReplaceTempView("ms_ev")
     val one = spark.sql(

@@ -168,10 +168,33 @@ class GraftSessionSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("not a bare identifier"))
     }
-    // longest-name-first: $tab must not clobber $table
+    // whole-token matching: $tab must not clobber $table
     assert(GraftSession.spliceIdentifiers(
       "SELECT * FROM $table JOIN $tab", Map("table" -> "t1", "tab" -> "t2"))
       == "SELECT * FROM t1 JOIN t2")
+  }
+  test("param_strings replaces whole tokens and skips quoted regions") {
+    // a bound prefix of an unbound placeholder is an error, not a partial
+    // substitution ('$table' -> 't2le' was the failure mode of plain
+    // String.replace)
+    val e = intercept[IllegalArgumentException] {
+      GraftSession.spliceIdentifiers(
+        "SELECT * FROM $table", Map("tab" -> "t2"))
+    }
+    assert(e.getMessage.contains("unbound identifier placeholder $table"))
+    // placeholders inside string literals, quoted identifiers and comments
+    // are data, not splice points
+    assert(GraftSession.spliceIdentifiers(
+      "SELECT '$t', \"$t\", `$t` FROM $t -- not $t\n/* nor $t */",
+      Map("t" -> "nation"))
+      == "SELECT '$t', \"$t\", `$t` FROM nation -- not $t\n/* nor $t */")
+    // '' escape keeps the literal open across the doubled quote
+    assert(GraftSession.spliceIdentifiers(
+      "SELECT 'it''s $t' FROM $t", Map("t" -> "nation"))
+      == "SELECT 'it''s $t' FROM nation")
+    // a bare $ with no identifier after it passes through
+    assert(GraftSession.spliceIdentifiers("SELECT '$' , $t", Map("t" -> "x"))
+      == "SELECT '$' , x")
   }
 
   test("fromSeq registers an in-memory frame") {

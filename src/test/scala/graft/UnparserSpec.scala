@@ -97,6 +97,30 @@ class UnparserSpec extends AnyFunSuite {
     }
   }
 
+  test("duckdb dialect whitelists binary operators") {
+    ready
+    val n = spark.table("up_nation")
+    // portable comparisons/arithmetic render with their shared spelling
+    val ok = Unparser(
+      n.filter(col("n_nationkey") * 2 + 1 >= col("n_regionkey") % 3),
+      Unparser.DuckDb)
+    assert(ok.contains(">=") && ok.contains("%"))
+    // <=> has no DuckDB spelling — mapped to IS NOT DISTINCT FROM
+    val ens = Unparser(
+      n.filter(col("n_regionkey") <=> lit(1)), Unparser.DuckDb)
+    assert(ens.contains("IS NOT DISTINCT FROM"), ens)
+    // non-portable operators raise instead of leaking Spark-isms: `div`
+    // (integral divide) and bitwise & parse differently or not at all
+    for (bad <- Seq(
+        n.select(expr("n_nationkey div 2").as("d")),
+        n.select(col("n_nationkey").bitwiseAND(lit(3)).as("b")))) {
+      val e = intercept[UnsupportedOperationException] {
+        Unparser(bad, Unparser.DuckDb)
+      }
+      assert(e.getMessage.contains("does not cover"), e.getMessage)
+    }
+  }
+
   test("unsupported plans fail loudly, not silently") {
     ready
     val e = intercept[UnsupportedOperationException] {
