@@ -350,8 +350,53 @@ object Extras {
        |WHERE i >= 2000 AND i < 8000 AND i % 50 < 10
        |GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** information_schema.tables (reference `with_information_schema`,
+    * context.py:193-203 — DataFusion's built-in information_schema
+    * provider): registered relations are visible to plain SQL. The oracle
+    * is the literal expected catalog rows. */
+  def infoSchemaTables(s: SparkSession, d: String): DataFrame = {
+    graft.sources.InfoSchema.enable(s)
+    s.read.parquet(s"$d/nation.parquet").createOrReplaceTempView("is_nation")
+    s.read.parquet(s"$d/region.parquet").createOrReplaceTempView("is_region")
+    s.sql(
+      """SELECT table_catalog, table_schema, table_name, table_type
+        |FROM information_schema.tables
+        |WHERE table_name IN ('is_nation', 'is_region')
+        |ORDER BY table_name""".stripMargin)
+  }
+  val infoSchemaTablesSql: String =
+    """SELECT * FROM (VALUES
+      |  ('spark_catalog', 'session', 'is_nation', 'VIEW'),
+      |  ('spark_catalog', 'session', 'is_region', 'VIEW'))
+      |AS t(table_catalog, table_schema, table_name, table_type)
+      |ORDER BY table_name""".stripMargin
+
+  /** information_schema.columns: per-column catalog metadata
+    * (1-based ordinal_position, SQL-standard YES/NO nullability). */
+  def infoSchemaColumns(s: SparkSession, d: String): DataFrame = {
+    graft.sources.InfoSchema.enable(s)
+    s.read.parquet(s"$d/nation.parquet").createOrReplaceTempView("is_nation")
+    s.read.parquet(s"$d/region.parquet").createOrReplaceTempView("is_region")
+    s.sql(
+      """SELECT table_name, column_name, ordinal_position, data_type, is_nullable
+        |FROM information_schema.columns
+        |WHERE table_name IN ('is_nation', 'is_region')
+        |ORDER BY table_name, ordinal_position""".stripMargin)
+  }
+  val infoSchemaColumnsSql: String =
+    """SELECT * FROM (VALUES
+      |  ('is_nation', 'n_nationkey', 1, 'INT', 'YES'),
+      |  ('is_nation', 'n_name', 2, 'STRING', 'YES'),
+      |  ('is_nation', 'n_regionkey', 3, 'INT', 'YES'),
+      |  ('is_region', 'r_regionkey', 1, 'INT', 'YES'),
+      |  ('is_region', 'r_name', 2, 'STRING', 'YES'))
+      |AS t(table_name, column_name, ordinal_position, data_type, is_nullable)
+      |ORDER BY table_name, ordinal_position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsv2_pushdown" -> (dsv2Pushdown _),
+    "info_schema_tables" -> (infoSchemaTables _),
+    "info_schema_columns" -> (infoSchemaColumns _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "scan_json_roundtrip" -> (scanJsonRoundtrip _),
     "scan_arrow_roundtrip" -> (scanArrowRoundtrip _),
@@ -371,6 +416,8 @@ object Extras {
 
   val oracle: Map[String, String] = Map(
     "dsv2_pushdown" -> dsv2PushdownSql,
+    "info_schema_tables" -> infoSchemaTablesSql,
+    "info_schema_columns" -> infoSchemaColumnsSql,
     "scan_csv_roundtrip" -> scanCsvRoundtripSql,
     "scan_json_roundtrip" -> scanJsonRoundtripSql,
     "scan_arrow_roundtrip" -> scanArrowRoundtripSql,

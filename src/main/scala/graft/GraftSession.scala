@@ -88,6 +88,11 @@ class GraftSession(val spark: SparkSession) {
   def deregister(name: String): Unit =
     spark.catalog.dropTempView(name)
 
+  /** with_information_schema(True) (reference context.py:193-203):
+    * expose `information_schema.tables/columns/schemata` to SQL. */
+  def enableInformationSchema(): Unit =
+    graft.sources.InfoSchema.enable(spark)
+
   def table(name: String): DataFrame = spark.table(name)
   def tableNames: Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq

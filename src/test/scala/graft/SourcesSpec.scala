@@ -120,6 +120,31 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(n == 5)
   }
 
+  test("information_schema reflects the live catalog") {
+    ctx.enableInformationSchema()
+    ctx.registerParquet("is_live", s"$sf/region.parquet")
+    def names() = spark.sql(
+      "SELECT table_name FROM information_schema.tables")
+      .collect().map(_.getString(0)).toSet
+    assert(names().contains("is_live"))
+    // columns carry 1-based ordinals and resolved types
+    val cols = spark.sql(
+      """SELECT column_name, ordinal_position, data_type
+        |FROM information_schema.columns WHERE table_name = 'is_live'
+        |ORDER BY ordinal_position""".stripMargin).collect()
+    assert(cols.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+      == Seq(("r_regionkey", 1, "INT"), ("r_name", 2, "STRING")))
+    // virtual tables are recomputed per scan: a dropped view disappears
+    ctx.deregister("is_live")
+    assert(!names().contains("is_live"))
+    // schemata lists the session scope; the catalog itself is read-only
+    assert(spark.sql("SELECT schema_name FROM information_schema.schemata")
+      .collect().map(_.getString(0)).contains("session"))
+    intercept[Exception] {
+      spark.sql("DROP TABLE information_schema.tables").collect()
+    }
+  }
+
   test("SQLOptions denies DDL when asked") {
     val e = intercept[IllegalStateException] {
       ctx.sql("CREATE TABLE gs_t (a INT) USING PARQUET",
