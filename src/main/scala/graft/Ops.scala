@@ -128,6 +128,53 @@ object Ops {
       |  ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal < s2.s_acctbal
       |GROUP BY k1 ORDER BY k1""".stripMargin
 
+  /** Pure range join (no equi key): customers against overlapping account-
+    * balance bands, `lo <= c_acctbal < hi`. Executed as a BINNED equi-join:
+    * each interval explodes into the fixed-width bins it covers (at most
+    * `ceil(width / BIN) + 1` rows — bounded, dim-side only), each fact row
+    * computes its single bin, and the two meet in a hash equi-join on
+    * `bin` with the exact inequality as a residual filter. Without the
+    * binning, a no-equi-key join is a broadcast-nested-loop (O(facts ×
+    * bands) comparisons, driver-sized dim only); with it, the plan is an
+    * ordinary hash join that shuffles by bin and scales out — bin width
+    * trades dim-side fanout against residual selectivity, and a hot bin
+    * (interval-dense region) salts like any skewed hash key. Same
+    * technique as Spark's own range-join bucketing hint in Databricks
+    * runtime and DuckDB's IEJoin fallback avoidance. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val binW = 512.0
+    joinRangeBands(s, d)
+      .withColumn("bin", explode(expr(
+        s"sequence(CAST(floor(lo / $binW) AS BIGINT), CAST(floor(hi / $binW) AS BIGINT))")))
+      .join(
+        t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+          .withColumn("bin", floor(col("c_acctbal") / binW).cast("long")),
+        Seq("bin"))
+      .filter(col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("band_id")
+  }
+
+  /** Overlapping balance bands derived deterministically from `nation`
+    * (width 150..1230, start step 370 — wide bands overlap neighbours). */
+  def joinRangeBands(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation").select(
+      col("n_nationkey").cast("long").as("band_id"),
+      (col("n_nationkey") * 370.0 - 500.0).as("lo"),
+      (col("n_nationkey") * 370.0 - 350.0 + (col("n_nationkey") % 7) * 180.0)
+        .as("hi"))
+
+  val joinRangeSql: String =
+    s"""WITH bands AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+       |    n_nationkey * 370.0 - 500.0 AS lo,
+       |    n_nationkey * 370.0 - 350.0 + (n_nationkey % 7) * 180.0 AS hi
+       |  FROM nation)
+       |SELECT band_id, count(*) AS n_cust, ${DSUM("c_acctbal")} AS sum_bal
+       |FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
+       |GROUP BY band_id ORDER BY band_id""".stripMargin
+
   // ---------- §2.8 set operations ----------
 
   def setUnionAll(s: SparkSession, d: String): DataFrame =
@@ -695,6 +742,7 @@ object Ops {
     "join_anti" -> (joinAnti _),
     "join_cross" -> (joinCross _),
     "join_theta" -> (joinTheta _),
+    "join_range" -> (joinRange _),
     "set_union_all" -> (setUnionAll _),
     "set_union_distinct" -> (setUnionDistinct _),
     "set_union_by_name" -> (setUnionByName _),
@@ -742,6 +790,7 @@ object Ops {
     "join_anti" -> joinAntiSql,
     "join_cross" -> joinCrossSql,
     "join_theta" -> joinThetaSql,
+    "join_range" -> joinRangeSql,
     "set_union_all" -> setUnionAllSql,
     "set_union_distinct" -> setUnionDistinctSql,
     "set_union_by_name" -> setUnionByNameSql,

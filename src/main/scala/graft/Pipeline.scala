@@ -93,6 +93,66 @@ object Pipeline {
          |    / len(w), 6) AS stopword_ratio
          |FROM base ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models", appendix A1.1): share of tokens taken by the most common
+    * word, share of tokens whose word occurs more than once, and the most
+    * common bigram's share. High values flag boilerplate/spam documents
+    * for pre-training filtering. Token-level explode + keyed aggregation —
+    * shuffles by (doc_id, token) then (doc_id), both linear in corpus
+    * size with no per-doc driver work; at 100 TB this is two hash
+    * exchanges over the token stream, the same shape as a word-count. */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+    val words = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        max(col("c")).as("top_word_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_word_n"))
+    // slice-zip bigrams (safe at size < 2: both slices are empty, unlike
+    // sequence(0, size-2), which would DESCEND for a 1-word doc)
+    val bigramExpr =
+      """zip_with(
+        |  slice(ws, 1, greatest(size(ws) - 1, 0)),
+        |  slice(ws, 2, greatest(size(ws) - 1, 0)),
+        |  (a, b) -> concat(a, ' ', b))""".stripMargin
+    val bigrams = docs
+      .select(col("doc_id"), explode(expr(bigramExpr)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    // left join: a doc with a single word has no bigrams (null frac)
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        (col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"),
+        (col("dup_word_n").cast("double") / col("n_words")).as("dup_word_frac"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+  val textRepetitionSql: String =
+    raw"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         |w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+         |wagg AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_n,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_word_n
+         |  FROM wc GROUP BY 1),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |    i -> ws[i] || ' ' || ws[i + 1])) AS b FROM d),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2),
+         |bagg AS (SELECT doc_id, max(c) AS top_bigram_n,
+         |    sum(c) AS n_bigrams FROM bc GROUP BY 1)
+         |SELECT wagg.doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS top_word_frac,
+         |  CAST(dup_word_n AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |    AS dup_word_frac,
+         |  CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |    AS top_bigram_frac
+         |FROM wagg LEFT JOIN bagg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: digest of whitespace-normalized text (and of
     * its 64-char prefix, a cheap near-dup probe). */
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
@@ -868,6 +928,59 @@ object Pipeline {
        |FROM events GROUP BY hour, event_type
        |ORDER BY hour, event_type""".stripMargin
 
+  /** As-of join (event-time temporal join): each `click` event matches the
+    * most recent `error` event by the same user at or before its timestamp
+    * (`l.ts >= r.ts`, latest right row wins — DuckDB `ASOF LEFT JOIN`
+    * semantics, which the oracle uses verbatim).
+    *
+    * Implemented WITHOUT a join: both sides are tagged and unioned, then a
+    * single user_id-partitioned window ordered by (ts, side) carries the
+    * last-seen right payload forward (`last(_, ignoreNulls = true)` over
+    * an unbounded-preceding rows frame) and only left rows are kept. One
+    * hash shuffle + one sort, no candidate-pair enumeration — the standard
+    * distributed temporal-join topology (Flink's event-time temporal join
+    * executes the same shape). A sort-merge range join would enumerate
+    * every (l, r) pair with r.ts <= l.ts before keeping the max; at 100 TB
+    * the union-window form stays linear in input size. `side` orders right
+    * rows (0) before left rows (1) at equal ts, making the match
+    * inclusive; the trailing match_event_id sort key makes the pick
+    * deterministic if right-side (user_id, ts) ties ever exist. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val lhs = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), col("value"),
+        lit(null).cast("bigint").as("m_id"),
+        lit(null).cast("timestamp").as("m_ts"),
+        lit(null).cast("double").as("m_value"))
+    val rhs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"),
+        lit(null).cast("double").as("value"),
+        col("event_id").as("m_id"),
+        col("ts").as("m_ts"),
+        col("value").as("m_value"))
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("m_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lhs.unionByName(rhs)
+      .withColumn("match_event_id", last(col("m_id"), ignoreNulls = true).over(carry))
+      .withColumn("match_ts", last(col("m_ts"), ignoreNulls = true).over(carry))
+      .withColumn("match_value", last(col("m_value"), ignoreNulls = true).over(carry))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("match_event_id"), col("match_ts"), col("match_value"))
+      .orderBy("event_id")
+  }
+  val joinAsofSql: String =
+    """SELECT l.event_id, l.user_id, l.ts, l.value,
+      |  r.event_id AS match_event_id, r.ts AS match_ts,
+      |  r.value AS match_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -887,7 +1000,9 @@ object Pipeline {
     "sim_ann_ivf" -> (simAnnIvf _),
     "mm_binary_features" -> (mmBinaryFeatures _),
     "event_sessionize" -> (eventSessionize _),
-    "event_window_agg" -> (eventWindowAgg _))
+    "event_window_agg" -> (eventWindowAgg _),
+    "text_repetition" -> (textRepetition _),
+    "join_asof" -> (joinAsof _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -904,5 +1019,7 @@ object Pipeline {
     "sim_cosine_topk" -> simCosineTopkSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "event_sessionize" -> eventSessionizeSql,
-    "event_window_agg" -> eventWindowAggSql)
+    "event_window_agg" -> eventWindowAggSql,
+    "text_repetition" -> textRepetitionSql,
+    "join_asof" -> joinAsofSql)
 }

@@ -152,6 +152,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.length == Q.t(spark, sf, "documents").count())
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
+
+  test("as-of join matches the brute-force most-recent-match join and plans no join") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Q.t(spark, sf, "events")
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id").as("lu"),
+        col("ts").as("lts"), col("value"))
+    val r = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("m_id"), col("user_id").as("ru"),
+        col("ts").as("rts"), col("value").as("m_value"))
+    // ground truth: enumerate all candidate pairs, keep the latest
+    // (max m_id on ties — the same tie-break joinAsof's carry window uses)
+    val pick = Window.partitionBy(col("event_id"))
+      .orderBy(col("rts").desc, col("m_id").desc)
+    val brute = l
+      .join(r, col("lu") === col("ru") && col("rts") <= col("lts"), "left")
+      .withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+      .select(col("event_id"), col("lu").as("user_id"),
+        col("lts").as("ts"), col("value"),
+        col("m_id").as("match_event_id"), col("rts").as("match_ts"),
+        col("m_value").as("match_value"))
+      .orderBy("event_id")
+    val asof = Pipeline.joinAsof(spark, sf)
+    assert(asof.collect().map(_.toString).toSeq ==
+      brute.collect().map(_.toString).toSeq)
+    // the union-window rewrite eliminates the join entirely
+    assert(!asof.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("binned range join equals the brute-force inequality join") {
+    import org.apache.spark.sql.functions._
+    val bands = Ops.joinRangeBands(spark, sf)
+    val brute = Q.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .join(broadcast(bands),
+        col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_cust"), Q.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("band_id")
+    val binned = Ops.joinRange(spark, sf)
+    assert(binned.collect().map(_.toString).toSeq ==
+      brute.collect().map(_.toString).toSeq)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("repetition fractions are bounded and agree with text_tokens counts") {
+    val wc = Pipeline.textTokens(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("word_count")).toMap
+    val rep = Pipeline.textRepetition(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_words") == wc(r.getAs[Long]("doc_id")))
+      val top = r.getAs[Double]("top_word_frac")
+      val dup = r.getAs[Double]("dup_word_frac")
+      val bg = r.getAs[Double]("top_bigram_frac")
+      assert(top > 0.0 && top <= 1.0)
+      assert(dup >= 0.0 && dup <= 1.0)
+      // if ANY word repeats, the top word repeats, so its share is counted
+      assert(dup == 0.0 || dup >= top)
+      assert(bg > 0.0 && bg <= 1.0)
+    }
+  }
 }
 
 /** Engine-specific hash functions: fixed expected digests. */
