@@ -122,10 +122,14 @@ object H2oBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // setup (untimed, mirrors db-benchmark loading the fact into memory)
+    // setup (untimed, mirrors db-benchmark loading the fact into memory).
+    // MEMORY_AND_DISK, not MEMORY_ONLY: when the inflated fact outgrows
+    // the storage pool (REP=1000 at the default 8g heap), evicted
+    // partitions must spill to disk, not silently re-run the crossJoin
+    // derivation inside every timed query.
     val x = buildX(spark, sfDir, rep)
       .repartition(sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS", "32").toInt)
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = x.count()
 
     val qs = queries(x)

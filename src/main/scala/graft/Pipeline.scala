@@ -981,6 +981,49 @@ object Pipeline {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ---------- training-mix sampling ----------
+
+  /** Per-stratum sampling rates for [[sampleStratified]] in parts-per-
+    * million (integer thresholds — the keep decision is a pure integer
+    * comparison in both engines, no float-boundary risk): downsample the
+    * dominant language, near-keep the rest. */
+  val MixRatesPpm: Seq[(String, Long)] =
+    Seq(("en", 400000L), ("de", 900000L), ("es", 900000L),
+      ("fr", 900000L), ("zh", 900000L))
+
+  /** Deterministic stratified sampling — the training-mix reweighting
+    * step of a data pipeline ("keep 40% of English, 90% of everything
+    * else"). Each doc draws a uniform from its own id via the md5 lane
+    * (`u = md5_60bit(doc_id || salt) mod 1e6`) and is kept iff
+    * `u < rate_ppm(lang)`: no RNG state, so the sample is reproducible
+    * across runs, engines, partitionings and retries — rerunning a failed
+    * 100 TB stage keeps the exact same rows. The mix spec is a
+    * broadcast-joined dim; the scan itself is map-side only (filter
+    * pushes to the stratum column + hash per row), so the operator
+    * scales as a single pass with no shuffle. Changing the salt yields
+    * an independent resample (train/holdout splits are the same op with
+    * disjoint predicates on u). */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val mix = s.createDataFrame(MixRatesPpm).toDF("lang", "rate_ppm")
+    t(s, d, "documents")
+      .join(broadcast(mix), Seq("lang"))
+      .withColumn("u",
+        expr(s"${md5Lane("concat(cast(doc_id as string), '#mix')")} % 1000000"))
+      .filter(col("u") < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+  val sampleStratifiedSql: String = {
+    val values = MixRatesPpm
+      .map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    s"""WITH mix(lang, rate_ppm) AS (VALUES $values)
+       |SELECT doc_id, lang, source
+       |FROM documents JOIN mix USING (lang)
+       |WHERE ${md5LaneDuck("doc_id::VARCHAR || '#mix'")} % 1000000
+       |  < rate_ppm
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1002,7 +1045,8 @@ object Pipeline {
     "event_sessionize" -> (eventSessionize _),
     "event_window_agg" -> (eventWindowAgg _),
     "text_repetition" -> (textRepetition _),
-    "join_asof" -> (joinAsof _))
+    "join_asof" -> (joinAsof _),
+    "sample_stratified" -> (sampleStratified _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1021,5 +1065,6 @@ object Pipeline {
     "event_sessionize" -> eventSessionizeSql,
     "event_window_agg" -> eventWindowAggSql,
     "text_repetition" -> textRepetitionSql,
-    "join_asof" -> joinAsofSql)
+    "join_asof" -> joinAsofSql,
+    "sample_stratified" -> sampleStratifiedSql)
 }

@@ -200,6 +200,27 @@ class PipelineSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("stratified sample is deterministic and tracks its per-stratum rates") {
+    val a = Pipeline.sampleStratified(spark, sf).collect()
+    val b = Pipeline.sampleStratified(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val keptByLang = a.groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.length }
+    val totalByLang = Q.t(spark, sf, "documents").collect()
+      .groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.length }
+    Pipeline.MixRatesPpm.foreach { case (lang, ppm) =>
+      val total = totalByLang.getOrElse(lang, 0)
+      val kept = keptByLang.getOrElse(lang, 0)
+      assert(kept <= total)
+      // md5 lanes are uniform; at small n allow a wide but real tolerance
+      val expected = total * ppm / 1e6
+      assert(math.abs(kept - expected) <= math.max(4.0, 4 * math.sqrt(expected + 1)),
+        s"$lang kept $kept of $total, expected ~$expected")
+    }
+    // map-side only: the single join is a broadcast of the mix spec
+    val plan = Pipeline.sampleStratified(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("repetition fractions are bounded and agree with text_tokens counts") {
     val wc = Pipeline.textTokens(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("word_count")).toMap
