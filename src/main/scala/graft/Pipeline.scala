@@ -981,6 +981,106 @@ object Pipeline {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ---------- chunking / sequence packing ----------
+
+  /** Sliding-window document chunking (context-window preparation): split
+    * each document into word windows of [[ChunkW]] with stride
+    * [[ChunkS]] (overlap W−S), the standard long-document treatment
+    * before tokenization. Pure map-side: chunk enumeration is a per-row
+    * `transform(sequence(...))` + explode with no shuffle at all — the
+    * ideal 100 TB shape (output order is re-imposed only for the oracle
+    * compare). */
+  val ChunkW = 64
+  val ChunkS = 48
+  def textChunk(s: SparkSession, d: String): DataFrame = {
+    val nChunks =
+      s"1 + cast(ceil(greatest(size(ws) - $ChunkW, 0) / cast($ChunkS as double)) as int)"
+    t(s, d, "documents")
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(expr(s"sequence(0, $nChunks - 1)")).as(Seq("chunk_id", "start0")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"size(slice(ws, chunk_id * $ChunkS + 1, $ChunkW))")
+          .cast("long").as("n_chunk_words"),
+        expr(s"concat_ws(' ', slice(ws, chunk_id * $ChunkS + 1, $ChunkW))")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+  val textChunkSql: String = {
+    val w = ChunkW; val st = ChunkS
+    raw"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |    unnest(range(0, 1 + CAST(ceil(greatest(len(ws) - $w, 0)
+         |      / CAST($st AS DOUBLE)) AS INT))) AS chunk_id
+         |  FROM d)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len(list_slice(ws, chunk_id * $st + 1,
+         |    chunk_id * $st + $w)) AS BIGINT) AS n_chunk_words,
+         |  array_to_string(list_slice(ws, chunk_id * $st + 1,
+         |    chunk_id * $st + $w), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** Sequence packing (concat-and-split): documents laid end-to-end in
+    * doc_id order into fixed [[PackBudget]]-token training sequences;
+    * each doc reports the pack its first token lands in and the offset
+    * within it. The global prefix sum is computed the 100 TB way — NOT
+    * one unpartitioned window (a single-partition scale-killer) but the
+    * classic two-phase prefix sum: an in-block cumulative sum (window
+    * partitioned by a block key, fully parallel) plus a block-offset
+    * table (window over #blocks rows) joined back by block. [[PackBlock]]
+    * is sized so #blocks stays small relative to the corpus — 100 here
+    * for test visibility; at 100 TB you size blocks to ~rows/partitions
+    * (millions per block) or recurse the same two-phase construction so
+    * the offset table never exceeds one partition's worth of rows. The
+    * DuckDB oracle runs the identical two-phase SQL. */
+  val PackBudget = 2048L
+  val PackBlock = 100L
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"),
+        ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"),
+        (col("doc_id") / PackBlock).cast("long").as("blk"))
+    val inBlock = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = toks.withColumn("cum_in_blk", sum(col("est_tokens")).over(inBlock))
+    val blockOff = toks.groupBy(col("blk")).agg(sum(col("est_tokens")).as("blk_sum"))
+      .withColumn("blk_off",
+        coalesce(sum(col("blk_sum")).over(
+          Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("blk").as("ob"), col("blk_off"))
+    cum.join(broadcast(blockOff), col("blk") === col("ob"))
+      .withColumn("start", col("blk_off") + col("cum_in_blk") - col("est_tokens"))
+      .select(col("doc_id"), col("est_tokens"),
+        (col("start") / PackBudget).cast("long").as("pack_id"),
+        (col("start") % PackBudget).cast("long").as("pack_offset"))
+      .orderBy("doc_id")
+  }
+  val packSequencesSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens,
+       |    doc_id // $PackBlock AS blk
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, est_tokens, blk,
+       |    sum(est_tokens) OVER (PARTITION BY blk ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in_blk
+       |  FROM toks),
+       |blockoff AS (
+       |  SELECT blk, coalesce(sum(blk_sum) OVER (ORDER BY blk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS blk_off
+       |  FROM (SELECT blk, sum(est_tokens) AS blk_sum FROM toks GROUP BY blk))
+       |SELECT doc_id, est_tokens,
+       |  CAST((blk_off + cum_in_blk - est_tokens) // $PackBudget AS BIGINT)
+       |    AS pack_id,
+       |  CAST((blk_off + cum_in_blk - est_tokens) % $PackBudget AS BIGINT)
+       |    AS pack_offset
+       |FROM cum JOIN blockoff USING (blk)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------- training-mix sampling ----------
 
   /** Per-stratum sampling rates for [[sampleStratified]] in parts-per-
@@ -1046,7 +1146,9 @@ object Pipeline {
     "event_window_agg" -> (eventWindowAgg _),
     "text_repetition" -> (textRepetition _),
     "join_asof" -> (joinAsof _),
-    "sample_stratified" -> (sampleStratified _))
+    "sample_stratified" -> (sampleStratified _),
+    "text_chunk" -> (textChunk _),
+    "pack_sequences" -> (packSequences _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1066,5 +1168,7 @@ object Pipeline {
     "event_window_agg" -> eventWindowAggSql,
     "text_repetition" -> textRepetitionSql,
     "join_asof" -> joinAsofSql,
-    "sample_stratified" -> sampleStratifiedSql)
+    "sample_stratified" -> sampleStratifiedSql,
+    "text_chunk" -> textChunkSql,
+    "pack_sequences" -> packSequencesSql)
 }

@@ -221,6 +221,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("chunking covers every word with the configured overlap and no shuffle") {
+    val wc = Pipeline.textTokens(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("word_count")).toMap
+    val chunks = Pipeline.textChunk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == wc.keySet)
+    chunks.foreach { case (docId, rs) =>
+      val n = wc(docId)
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk i starts at i*S; last chunk must reach the final word
+      val lastStart = (sorted.length - 1).toLong * Pipeline.ChunkS
+      assert(lastStart < n && lastStart + sorted.last.getAs[Long]("n_chunk_words") == n)
+      sorted.dropRight(1).foreach(r =>
+        assert(r.getAs[Long]("n_chunk_words") == Pipeline.ChunkW))
+      // one extra chunk would start past the end
+      assert(sorted.length.toLong * Pipeline.ChunkS >= n - Pipeline.ChunkW + Pipeline.ChunkS
+        || sorted.length == 1)
+    }
+    val plan = Pipeline.textChunk(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.indexOf("Exchange") > plan.indexOf("Sort"),
+      "chunk enumeration itself must not shuffle (only the final order-by may)")
+  }
+
+  test("sequence packing is a gapless token layout") {
+    val rows = Pipeline.packSequences(spark, sf).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    var expectedStart = 0L
+    rows.foreach { r =>
+      val start = r.getAs[Long]("pack_id") * Pipeline.PackBudget +
+        r.getAs[Long]("pack_offset")
+      assert(start == expectedStart,
+        s"doc ${r.getAs[Long]("doc_id")} starts at $start, expected $expectedStart")
+      expectedStart = start + r.getAs[Long]("est_tokens")
+    }
+  }
+
   test("repetition fractions are bounded and agree with text_tokens counts") {
     val wc = Pipeline.textTokens(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("word_count")).toMap
