@@ -160,7 +160,97 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("streaming as-of join with cross-batch state matches the batch operator") {
+    import spark.implicits._
+    // split events at the median ts into two files so clicks in the later
+    // micro-batch must match errors carried in state from the earlier one
+    val ev = spark.read.parquet(s"$sf/events.parquet") // raw: ts is ns long
+    val cut = ev.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream")
+    val stage = java.nio.file.Files.createTempDirectory("graft_asof_stage")
+    def writeHalf(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val out = stage.resolve(name)
+      ev.filter(cond).coalesce(1).write.parquet(out.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(out).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+      }
+      java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
+    }
+    writeHalf(col("ts") <= cut, "b1")
+    Thread.sleep(1100) // distinct mtimes: the file source orders batches by them
+    writeHalf(col("ts") > cut, "b2")
+    val schema = ev.schema
+
+    val out = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[AsofMatchState]) =>
+          // a micro-batch's group iterator is unordered: sort by event time
+          // (errors before clicks at equal ts — the inclusive >= semantics)
+          val evs = it.toSeq.sortBy(e => (e._3, if (e._4 == "error") 0 else 1, e._1))
+          var cur = state.getOption
+          val res = Seq.newBuilder[(Long, Long, Long, Double,
+            Option[Long], Option[Long], Option[Double])]
+          evs.foreach {
+            case (id, _, us, "error", v) =>
+              if (cur.forall(c => us > c.us || (us == c.us && id > c.id)))
+                cur = Some(AsofMatchState(id, us, v))
+            case (id, u, us, "click", v) =>
+              res += ((id, u, us, v, cur.map(_.id), cur.map(_.us), cur.map(_.value)))
+            case _ => ()
+          }
+          cur.foreach(state.update)
+          res.result().iterator
+      }
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("asof_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("asof_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      .sortBy(_._1)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + t.getNanos / 1000 % 1000
+    val batch = Pipeline.joinAsof(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.getTimestamp(2)),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(micros(r.getTimestamp(5))),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      .sortBy(_._1)
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s == b, s"stream=$s batch=$b")
+    }
+    // the split must actually exercise cross-batch state: some click after
+    // the cut matches an error from before it
+    assert(streamed.exists(s => s._3 / 1000 > cut / 1000000 &&
+      s._6.exists(_ / 1000 <= cut / 1000000)),
+      "no as-of match crossed the micro-batch boundary")
+  }
 }
+
+/** Latest-right-event state for the streaming as-of join (top-level so
+  * the product encoder derives cleanly). */
+case class AsofMatchState(id: Long, us: Long, value: Double)
 
 /** Plan audits across the whole headline suite: no accidental cartesian
   * products, lineitem filters reach the scan. */
