@@ -981,6 +981,39 @@ object Pipeline {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** Corpus-unigram log-probability scoring — the cheap stand-in for the
+    * perplexity filter of a pre-training pipeline (score docs under a
+    * language model; here the LM is the corpus's own unigram MLE, so the
+    * operator is fully self-contained and oracle-checkable). Per doc:
+    * mean over tokens of ln p(w), p(w) = corpus count / corpus tokens.
+    * Unusually low scores flag gibberish; unusually high ones flag
+    * boilerplate. Topology: token explode → vocab hash aggregation →
+    * token⋈vocab equi-join on the word → per-doc mean. All keyed
+    * shuffles, linear in corpus size; the vocabulary rides the hash join
+    * (broadcast it instead when a frequency floor prunes it small). */
+  def textUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "documents")
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).cast("double").as("tot"))
+    words.join(vocab, "w").join(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(log(col("cnt").cast("double") / col("tot"))), 6)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+  val textUnigramLogprobSql: String =
+    raw"""WITH wd AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |v AS (SELECT w, count(*) AS cnt FROM wd GROUP BY w),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM v)
+         |SELECT doc_id, count(*) AS n_words,
+         |  round(avg(ln(CAST(cnt AS DOUBLE) / tot)), 6) AS avg_logprob
+         |FROM wd JOIN v USING (w) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------- chunking / sequence packing ----------
 
   /** Sliding-window document chunking (context-window preparation): split
@@ -1148,7 +1181,8 @@ object Pipeline {
     "join_asof" -> (joinAsof _),
     "sample_stratified" -> (sampleStratified _),
     "text_chunk" -> (textChunk _),
-    "pack_sequences" -> (packSequences _))
+    "pack_sequences" -> (packSequences _),
+    "text_unigram_logprob" -> (textUnigramLogprob _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1170,5 +1204,6 @@ object Pipeline {
     "join_asof" -> joinAsofSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_chunk" -> textChunkSql,
-    "pack_sequences" -> packSequencesSql)
+    "pack_sequences" -> packSequencesSql,
+    "text_unigram_logprob" -> textUnigramLogprobSql)
 }

@@ -257,6 +257,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram log-probs are negative, finite, and length-consistent") {
+    val wc = Pipeline.textTokens(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("word_count")).toMap
+    val rows = Pipeline.textUnigramLogprob(spark, sf).collect()
+    assert(rows.length == wc.size, "self-trained LM covers every doc")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") == wc(r.getAs[Long]("doc_id")))
+      val lp = r.getAs[Double]("avg_logprob")
+      // every token's p is in (0, 1): the mean ln p is strictly negative
+      assert(lp < 0.0 && !lp.isNaN && !lp.isInfinite, s"$r")
+    }
+  }
+
   test("repetition fractions are bounded and agree with text_tokens counts") {
     val wc = Pipeline.textTokens(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("word_count")).toMap
