@@ -990,7 +990,11 @@ object Pipeline {
     * boilerplate. Topology: token explode → vocab hash aggregation →
     * token⋈vocab equi-join on the word → per-doc mean. All keyed
     * shuffles, linear in corpus size; the vocabulary rides the hash join
-    * (broadcast it instead when a frequency floor prunes it small). */
+    * (broadcast it instead when a frequency floor prunes it small). The
+    * token stream is derived twice — once for the vocab aggregation, once
+    * for the scoring join (Spark does not materialize shared subtrees
+    * within a query); at production scale persist the exploded tokens
+    * once and reuse them across this and the other text operators. */
   def textUnigramLogprob(s: SparkSession, d: String): DataFrame = {
     val words = t(s, d, "documents")
       .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
