@@ -1161,6 +1161,49 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Ordered-funnel analysis: how many users complete signup → click →
+    * purchase IN THAT ORDER (a later stage only counts when it happens at
+    * or after the user's earliest qualifying previous stage). Each stage
+    * is one keyed aggregation plus an equi-join against the previous
+    * stage's per-user frontier — a chain of hash shuffles on user_id that
+    * all co-partition, so at 100 TB the stages after the first reuse the
+    * exchange (and each stage's frontier only shrinks). Counting min-ts
+    * frontiers rather than window-sorting full event streams keeps state
+    * per user at one timestamp per stage. */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stageCount(df: DataFrame, idx: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+    stageCount(s1, 1L, "signup")
+      .unionByName(stageCount(s2, 2L, "click"))
+      .unionByName(stageCount(s3, 3L, "purchase"))
+      .orderBy("stage_idx")
+  }
+  val eventFunnelSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |    WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+      |    JOIN s1 USING (user_id)
+      |    WHERE event_type = 'click' AND ts >= t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+      |    JOIN s2 USING (user_id)
+      |    WHERE event_type = 'purchase' AND ts >= t2 GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_idx, 'signup' AS stage,
+      |    (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+      |ORDER BY stage_idx""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1186,7 +1229,8 @@ object Pipeline {
     "sample_stratified" -> (sampleStratified _),
     "text_chunk" -> (textChunk _),
     "pack_sequences" -> (packSequences _),
-    "text_unigram_logprob" -> (textUnigramLogprob _))
+    "text_unigram_logprob" -> (textUnigramLogprob _),
+    "event_funnel" -> (eventFunnel _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1209,5 +1253,6 @@ object Pipeline {
     "sample_stratified" -> sampleStratifiedSql,
     "text_chunk" -> textChunkSql,
     "pack_sequences" -> packSequencesSql,
-    "text_unigram_logprob" -> textUnigramLogprobSql)
+    "text_unigram_logprob" -> textUnigramLogprobSql,
+    "event_funnel" -> eventFunnelSql)
 }

@@ -257,6 +257,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel counts match a per-user replay and are monotone") {
+    val byUser = Q.t(spark, sf, "events")
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .groupBy(_._1)
+    def frontier(prev: Map[Long, java.sql.Timestamp], stage: String) =
+      byUser.flatMap { case (u, evs) =>
+        prev.get(u).flatMap { t0 =>
+          val hits = evs.filter(e => e._3 == stage && !e._2.before(t0))
+          if (hits.isEmpty) None else Some(u -> hits.map(_._2).min)
+        }
+      }.toMap
+    val epoch = new java.sql.Timestamp(0L)
+    val f1 = frontier(byUser.keys.map(_ -> epoch).toMap, "signup")
+    val f2 = frontier(f1, "click")
+    val f3 = frontier(f2, "purchase")
+    val got = Pipeline.eventFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map("signup" -> f1.size.toLong,
+      "click" -> f2.size.toLong, "purchase" -> f3.size.toLong))
+    assert(got("signup") >= got("click") && got("click") >= got("purchase"))
+    assert(got("purchase") > 0, "corpus should produce full-funnel users")
+  }
+
   test("unigram log-probs are negative, finite, and length-consistent") {
     val wc = Pipeline.textTokens(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("word_count")).toMap
