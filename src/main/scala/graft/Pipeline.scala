@@ -972,12 +972,18 @@ object Pipeline {
         col("match_event_id"), col("match_ts"), col("match_value"))
       .orderBy("event_id")
   }
+  // The right side is deduped per (user_id, ts) keeping max event_id so the
+  // oracle is deterministic even if a corpus regen introduces timestamp ties
+  // — the same tie-break the Spark window's trailing m_id sort key applies.
   val joinAsofSql: String =
     """SELECT l.event_id, l.user_id, l.ts, l.value,
       |  r.event_id AS match_event_id, r.ts AS match_ts,
       |  r.value AS match_value
       |FROM (SELECT * FROM events WHERE event_type = 'click') l
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      |ASOF LEFT JOIN (
+      |  SELECT * FROM events WHERE event_type = 'error'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |    ORDER BY event_id DESC) = 1) r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
@@ -1091,7 +1097,9 @@ object Pipeline {
     cum.join(broadcast(blockOff), col("blk") === col("ob"))
       .withColumn("start", col("blk_off") + col("cum_in_blk") - col("est_tokens"))
       .select(col("doc_id"), col("est_tokens"),
-        (col("start") / PackBudget).cast("long").as("pack_id"),
+        // `div` is exact long division, mirroring the oracle's `//` — the
+        // double-divide-then-cast form would drift past 2^53 tokens
+        expr(s"start div ${PackBudget}L").as("pack_id"),
         (col("start") % PackBudget).cast("long").as("pack_offset"))
       .orderBy("doc_id")
   }

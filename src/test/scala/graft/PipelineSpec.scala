@@ -303,12 +303,18 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_words") == wc(r.getAs[Long]("doc_id")))
       val top = r.getAs[Double]("top_word_frac")
       val dup = r.getAs[Double]("dup_word_frac")
-      val bg = r.getAs[Double]("top_bigram_frac")
       assert(top > 0.0 && top <= 1.0)
       assert(dup >= 0.0 && dup <= 1.0)
       // if ANY word repeats, the top word repeats, so its share is counted
       assert(dup == 0.0 || dup >= top)
-      assert(bg > 0.0 && bg <= 1.0)
+      // one-word docs have no bigrams: the operator's left join yields null
+      // by design, so read the column null-aware instead of unboxing to 0.0
+      if (r.isNullAt(r.fieldIndex("top_bigram_frac")))
+        assert(r.getAs[Long]("n_words") == 1L, s"null bigram frac on $r")
+      else {
+        val bg = r.getAs[Double]("top_bigram_frac")
+        assert(bg > 0.0 && bg <= 1.0)
+      }
     }
   }
 }
