@@ -113,6 +113,53 @@ object Extras {
        |FROM orders WHERE o_orderkey < 1000
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Bucketed write + co-located join: both join sides are written
+    * bucketed (and sorted) by the join key into the warehouse, so the
+    * subsequent join is a zero-shuffle sort-merge — each task reads one
+    * matching bucket pair. This is THE 100 TB topology for a fact table
+    * that is joined on the same key repeatedly: the shuffle is paid once
+    * at write time and amortized across every downstream join.
+    * BucketedJoinSpec asserts the executed join plan contains no shuffle
+    * exchange; the oracle checks the result equals a plain join. Eight
+    * buckets here — at scale, size buckets so one bucket ≈ one task's
+    * worth of rows. */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    bucketedOrdersJoin(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+  /** The shuffle-free joined frame, pre-aggregation — shared with the
+    * plan-asserting spec. */
+  def bucketedOrdersJoin(s: SparkSession, d: String): DataFrame = {
+    // Drop catalog entries AND locations: a table written by an earlier
+    // session survives on disk but not in this session's in-memory
+    // catalog, and saveAsTable refuses a pre-existing managed location.
+    Seq("graft_orders_b", "graft_customer_b").foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")), tbl)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_b")
+    t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_b")
+    s.table("graft_orders_b")
+      .join(s.table("graft_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+  }
+  val joinBucketedSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  ${DSUM("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** SQL DDL + DML: CREATE TABLE / INSERT OVERWRITE / SELECT (reference
     * DmlStatement + write_table, expr.py:95-187, dataframe.py:1659). */
   def sqlInsert(s: SparkSession, d: String): DataFrame = {
@@ -402,6 +449,7 @@ object Extras {
     "scan_arrow_roundtrip" -> (scanArrowRoundtrip _),
     "scan_avro_roundtrip" -> (scanAvroRoundtrip _),
     "write_partitioned" -> (writePartitioned _),
+    "join_bucketed" -> (joinBucketed _),
     "sql_insert" -> (sqlInsert _),
     "sql_url_table" -> (sqlUrlTable _),
     "sql_unparse" -> (sqlUnparse _),
@@ -423,6 +471,7 @@ object Extras {
     "scan_arrow_roundtrip" -> scanArrowRoundtripSql,
     "scan_avro_roundtrip" -> scanAvroRoundtripSql,
     "write_partitioned" -> writePartitionedSql,
+    "join_bucketed" -> joinBucketedSql,
     "sql_insert" -> sqlInsertSql,
     "sql_url_table" -> sqlUrlTableSql,
     "sql_unparse" -> sqlUnparseSql,

@@ -1212,6 +1212,136 @@ object Pipeline {
       |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
       |ORDER BY stage_idx""".stripMargin
 
+  /** Benchmark decontamination — the training-pipeline step that flags
+    * corpus documents sharing word n-grams with a held-out evaluation set
+    * (the published recipe: strip any training doc overlapping an eval
+    * benchmark by ≥K n-grams; GPT-3 appendix C / Gopher §A.4 use 8–13-gram
+    * collisions, scaled to 3-grams here because the synthetic docs are
+    * short). The eval set is the deterministic doc_id % 97 == 0 slice
+    * standing in for a benchmark suite. Per surviving doc: how many of its
+    * distinct 3-grams appear anywhere in the eval set, and that count as a
+    * fraction of the doc's grams (a report, not a hard filter, so the
+    * oracle can check every row; the K-threshold filter is one predicate
+    * on top). Topology: the eval side collapses to DISTINCT grams — a
+    * benchmark suite is tiny relative to a 100 TB corpus, so it rides a
+    * broadcast; the corpus side is one explode + map-side hash probe +
+    * per-doc re-aggregation on doc_id. No shuffle touches the full gram
+    * stream except the doc_id groupBy, which AQE coalesces. */
+  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), gramsExpr.as("g"))
+    val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("g")).as("gram")).distinct()
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        explode(col("g")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated_frac",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .select("doc_id", "n_grams", "n_shared", "contaminated_frac")
+      .orderBy("doc_id")
+  }
+  val textDecontaminateSql: String =
+    raw"""WITH g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
+         |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+         |         string_split_regex(trim(text), '\s+')[i + 1] || ' ' ||
+         |         string_split_regex(trim(text), '\s+')[i + 2])) AS gl
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(gl) AS gram, len(gl) AS n_grams FROM g),
+         |ev AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 97 = 0)
+         |SELECT doc_id, n_grams, count(*) AS n_shared,
+         |  round(CAST(count(*) AS DOUBLE) / n_grams, 6) AS contaminated_frac
+         |FROM ex JOIN ev USING (gram)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY doc_id, n_grams
+         |ORDER BY doc_id""".stripMargin
+
+  /** Temperature-scaled domain mixture weights — the sampling-probability
+    * computation behind multi-domain pre-training mixes (raise rare
+    * domains, damp dominant ones): w_i = c_i^α / Σ_j c_j^α over per-lang
+    * doc counts, here α = 0.5 so the power is `sqrt`, which IEEE 754
+    * guarantees correctly rounded in every engine (general pow is not,
+    * and a last-ulp divergence would break the oracle hash). The Σ rides
+    * a DECIMAL(30,12) cast so the 5-row sum is exact and order-independent
+    * — the same trick the dsum helper uses for double aggregation.
+    * Topology: one keyed count per domain (map-side combined), a 1-row
+    * broadcast of the normalizer, and arithmetic; domain cardinality is
+    * tiny at any corpus scale, so this costs one pass over the corpus. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val Budget = 10000L
+    val cnt = t(s, d, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val z = cnt.agg(
+      sum(sqrt(col("n_docs")).cast("decimal(30,12)")).as("z"))
+    cnt.join(broadcast(z))
+      .withColumn("weight",
+        round(sqrt(col("n_docs")) / col("z").cast("double"), 6))
+      .withColumn("target_docs",
+        round(col("weight") * Budget).cast("long"))
+      .select("lang", "n_docs", "weight", "target_docs")
+      .orderBy("lang")
+  }
+  val mixTemperatureSql: String =
+    """WITH cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |z AS (SELECT sum(CAST(sqrt(n_docs) AS DECIMAL(30,12))) AS z FROM cnt)
+      |SELECT lang, n_docs,
+      |  round(sqrt(n_docs) / CAST(z AS DOUBLE), 6) AS weight,
+      |  CAST(round(round(sqrt(n_docs) / CAST(z AS DOUBLE), 6) * 10000)
+      |    AS BIGINT) AS target_docs
+      |FROM cnt, z
+      |ORDER BY lang""".stripMargin
+
+  /** Multimodal frame sampling — the video-ingest plumbing of a training
+    * pipeline: an opaque binary payload plus frame-rate metadata fans out
+    * to one row per sampled frame, each carrying a decoded-frame
+    * signature. The "codec" is a deterministic stub (the container has no
+    * video libs): frames are 256-byte strides, the decode hashes the
+    * 64-byte window at each stride with MD5 — which makes the whole
+    * pipeline oracle-checkable in DuckDB (`md5(substr(...))`; the corpus
+    * is ASCII so char and byte offsets coincide). The real part is the
+    * Spark topology: per-partition batched decode via mapPartitions (one
+    * codec instance per partition, the shape a JNI decoder needs), a
+    * row-multiplying explode that never touches the driver, and a schema
+    * of (doc_id, frame_idx, frame_ts, frame_sig). At 100 TB the stride
+    * and window come from the container's real fps/duration metadata and
+    * the payload column stays columnar-compressed until the decode. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Stride = 256
+    val Win = 64
+    val Fps = 4.0
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.flatMap { case (id, bytes) =>
+          val nFrames = math.max(1L, bytes.length.toLong / Stride)
+          (0L until nFrames).iterator.map { i =>
+            val off = (i * Stride).toInt
+            val end = math.min(off + Win, bytes.length)
+            val sig = md.digest(java.util.Arrays.copyOfRange(bytes, off, end))
+              .map("%02x".format(_)).mkString
+            (id, i, i / Fps, sig)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_ts", "frame_sig")
+      .orderBy("doc_id", "frame_idx")
+  }
+  val mmFrameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, greatest(len(text) // 256, 1) - 1))
+      |      AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, frame_idx, frame_idx / 4.0 AS frame_ts,
+      |  md5(substr(text, CAST(frame_idx * 256 AS INT) + 1, 64)) AS frame_sig
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1238,7 +1368,10 @@ object Pipeline {
     "text_chunk" -> (textChunk _),
     "pack_sequences" -> (packSequences _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
-    "event_funnel" -> (eventFunnel _))
+    "event_funnel" -> (eventFunnel _),
+    "text_decontaminate" -> (textDecontaminate _),
+    "mix_temperature" -> (mixTemperature _),
+    "mm_frame_sample" -> (mmFrameSample _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1262,5 +1395,8 @@ object Pipeline {
     "text_chunk" -> textChunkSql,
     "pack_sequences" -> packSequencesSql,
     "text_unigram_logprob" -> textUnigramLogprobSql,
-    "event_funnel" -> eventFunnelSql)
+    "event_funnel" -> eventFunnelSql,
+    "text_decontaminate" -> textDecontaminateSql,
+    "mix_temperature" -> mixTemperatureSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }

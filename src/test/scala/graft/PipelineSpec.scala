@@ -330,3 +330,95 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("crc") == 3678181428L)
   }
 }
+
+/** Round-6 training-pipeline operators: decontamination, mixture weights,
+  * frame sampling, and the bucketed co-located join. */
+class TrainingOpsSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("decontamination matches a brute-force recompute and broadcasts the eval side") {
+    val docs = Q.t(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def grams(text: String): Set[String] = {
+      val ws = text.trim.split("\\s+")
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet else Set.empty
+    }
+    val evalGrams = docs.collect { case (id, t) if id % 97 == 0 => grams(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = docs.collect {
+      case (id, t) if id % 97 != 0 && (grams(t) & evalGrams).nonEmpty =>
+        id -> (grams(t) & evalGrams).size.toLong
+    }.toMap
+    val got = Pipeline.textDecontaminate(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == expected.keySet)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_shared") == expected(id), s"doc $id")
+      val frac = r.getAs[Double]("contaminated_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // the eval-gram probe must ride a broadcast, not a shuffle join
+    val plan = Pipeline.textDecontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("temperature mixture weights normalize and upweight rare domains") {
+    val rows = Pipeline.mixTemperature(spark, sf).collect()
+    val total = Q.t(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-5, s"weights sum to $wsum")
+    assert(math.abs(rows.map(_.getAs[Long]("target_docs")).sum - 10000L) <= rows.length)
+    // sqrt damping: weight ratios are compressed vs count ratios
+    val byCount = rows.sortBy(_.getAs[Long]("n_docs"))
+    val (lo, hi) = (byCount.head, byCount.last)
+    val countRatio = hi.getAs[Long]("n_docs").toDouble / lo.getAs[Long]("n_docs")
+    val weightRatio = hi.getAs[Double]("weight") / lo.getAs[Double]("weight")
+    assert(weightRatio < countRatio && weightRatio > 1.0,
+      s"weight ratio $weightRatio vs count ratio $countRatio")
+  }
+
+  test("frame sampling yields max(1, len/256) frames with recomputable signatures") {
+    val docs = Q.t(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val frames = Pipeline.mmFrameSample(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(frames.keySet == docs.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    frames.foreach { case (id, rs) =>
+      val bytes = docs(id).getBytes("UTF-8")
+      assert(rs.length.toLong == math.max(1L, bytes.length.toLong / 256))
+      rs.foreach { r =>
+        val i = r.getAs[Long]("frame_idx")
+        assert(r.getAs[Double]("frame_ts") == i / 4.0)
+        val off = (i * 256).toInt
+        val end = math.min(off + 64, bytes.length)
+        val sig = md.digest(java.util.Arrays.copyOfRange(bytes, off, end))
+          .map("%02x".format(_)).mkString
+        assert(r.getAs[String]("frame_sig") == sig, s"doc $id frame $i")
+      }
+    }
+  }
+
+  test("bucketed join plan is shuffle-free and result matches a plain join") {
+    // At sf0.001 Spark rightly prefers broadcasting the tiny customer side;
+    // bucketing exists for the big-big case, so force that shape to prove
+    // the co-located path: no shuffle exchange, both scans bucket-aware.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (joined, plan) =
+      try {
+        val j = Extras.bucketedOrdersJoin(spark, sf)
+        (j, j.queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffleExchange"),
+      s"bucketed join must read co-located buckets without a shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+    val plain = Q.t(spark, sf, "orders").join(Q.t(spark, sf, "customer"),
+      org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+    assert(joined.count() == plain.count())
+  }
+}
