@@ -289,7 +289,36 @@ object Advanced {
       |  min(v) FILTER (WHERE cum >= 0.9 * total) AS p90
       |FROM ordered GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** Heavy hitters over the corpus vocabulary via the Space-Saving
+    * TypedImperativeAggregate (graft.functions.ApproxTopK). The 4096
+    * capacity exceeds the synthetic vocabulary, so no counter is ever
+    * evicted and the sketch degenerates to the exact global top-10 —
+    * which is what lets the DuckDB oracle hash-match it; the lossy
+    * small-capacity guarantee is bounded in ApproxTopKSpec. */
+  def aggApproxTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ApproxTopK.register(s)
+    t(s, d, "documents")
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("w"))
+      .createOrReplaceTempView("doc_words")
+    s.sql(
+      """SELECT CAST(pos + 1 AS BIGINT) AS rank, s.item AS word,
+        |  s.count_est AS cnt, s.max_err AS max_err
+        |FROM (SELECT approx_top_k(w, 10, 4096) AS tk FROM doc_words)
+        |LATERAL VIEW posexplode(tk) AS pos, s
+        |ORDER BY rank""".stripMargin)
+  }
+  val aggApproxTopkSql: String =
+    raw"""WITH w AS (
+         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+         |  FROM documents),
+         |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+         |    AS rank,
+         |  word, cnt, CAST(0 AS BIGINT) AS max_err
+         |FROM c ORDER BY cnt DESC, word LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_topk" -> (aggApproxTopk _),
     "agg_weighted_percentile" -> (aggWeightedPercentile _),
     "win_groups_frame" -> (winGroupsFrame _),
     "win_ema" -> (winEma _),
@@ -299,6 +328,7 @@ object Advanced {
     "fn_array3" -> (fnArray3 _))
 
   val oracle: Map[String, String] = Map(
+    "agg_approx_topk" -> aggApproxTopkSql,
     "agg_weighted_percentile" -> aggWeightedPercentileSql,
     "win_groups_frame" -> winGroupsFrameSql,
     "win_ema" -> winEmaSql,

@@ -422,3 +422,59 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(joined.count() == plain.count())
   }
 }
+
+/** Space-Saving heavy hitters: exact-mode partition invariance and the
+  * lossy-capacity guarantee (any item with true count > n/capacity
+  * survives, with count_est − max_err ≤ true ≤ count_est). */
+class ApproxTopKSpec extends AnyFunSuite {
+  import SparkSpec._
+  import org.apache.spark.sql.functions._
+
+  private def wordsDf(parts: Int) = {
+    graft.functions.ApproxTopK.register(spark)
+    Q.t(spark, sf, "documents")
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("w"))
+      .repartition(parts)
+  }
+
+  private def exactCounts(): Map[String, Long] =
+    wordsDf(4).groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("with capacity above the vocabulary the sketch is exactly the top-k, any partitioning") {
+    val exact = exactCounts().toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+    Seq(1, 7, 32).foreach { parts =>
+      val rows = wordsDf(parts).createOrReplaceTempView("atk_words")
+      val got = spark.sql(
+        """SELECT s.item, s.count_est, s.max_err
+          |FROM (SELECT approx_top_k(w, 10, 4096) AS tk FROM atk_words)
+          |LATERAL VIEW explode(tk) AS s""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(t => (t._1, t._2)).toSeq == exact, s"parts=$parts")
+      assert(got.forall(_._3 == 0L), "no eviction may occur above vocab size")
+    }
+  }
+
+  test("small-capacity sketch keeps the heavy-hitter guarantee") {
+    val exact = exactCounts()
+    val n = exact.values.sum
+    val cap = 8
+    wordsDf(16).createOrReplaceTempView("atk_words_small")
+    val got = spark.sql(
+      s"""SELECT s.item, s.count_est, s.max_err
+         |FROM (SELECT approx_top_k(w, $cap, $cap) AS tk FROM atk_words_small)
+         |LATERAL VIEW explode(tk) AS s""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size <= cap)
+    // every item with true count > n/cap must be tracked
+    val mustSurvive = exact.filter { case (_, c) => c > n / cap }.keySet
+    val tracked = got.map(_._1).toSet
+    assert(mustSurvive.subsetOf(tracked),
+      s"missing heavy hitters: ${mustSurvive -- tracked}")
+    // estimates bound the truth: true ≤ count_est ≤ true + max_err
+    got.foreach { case (w, c, e) =>
+      val truth = exact.getOrElse(w, 0L)
+      assert(truth <= c && c <= truth + e, s"$w: est $c err $e true $truth")
+    }
+  }
+}

@@ -246,6 +246,53 @@ class StreamingSpec extends AnyFunSuite {
       s._6.exists(_ / 1000 <= cut / 1000000)),
       "no as-of match crossed the micro-batch boundary")
   }
+
+  test("stream-stream interval join equals the batch join") {
+    // Two independent file streams joined on user_id with an event-time
+    // range (error within the 6 hours before each click) — Spark's
+    // stream-stream join, where BOTH sides are watermarked so the join
+    // state is bounded: a buffered error can be evicted once the click
+    // watermark passes its ts + 6h. The batch twin is the identical join
+    // on the static frame.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    def src() = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = clicks.join(errors,
+      expr("""user_id = e_user AND
+              e_ts BETWEEN c_ts - INTERVAL 6 HOURS AND c_ts"""))
+      .select(col("c_id"), col("e_id"))
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ssj")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Q.t(spark, sf, "events")
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val be = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+    val batch = bc.join(be,
+      expr("""user_id = e_user AND
+              e_ts BETWEEN c_ts - INTERVAL 6 HOURS AND c_ts"""))
+      .select(col("c_id"), col("e_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "batch interval join found no pairs")
+    assert(streamed == batch)
+  }
 }
 
 /** Latest-right-event state for the streaming as-of join (top-level so
