@@ -160,6 +160,47 @@ object Extras {
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Z-order clustered write: lineitem re-laid-out by the Morton
+    * interleave of (l_partkey, l_suppkey) — range-shuffled on the z-key
+    * and sorted within partitions, so every output file's min/max
+    * envelope is tight on BOTH keys and a reader (or a table format's
+    * file index) can skip most files for a predicate on EITHER
+    * dimension. A lexicographic layout gives that only for its leading
+    * key; the natural (orderkey) layout gives it for neither. The
+    * registry result is a point-band aggregate over the re-read layout
+    * (the oracle computes it on the original table — clustering must
+    * never change query results); the skipping itself is measured in
+    * ZOrderSpec via per-file stat envelopes. At 100 TB this is the
+    * write-side half of data skipping: one range shuffle at ingest buys
+    * stat-based pruning on every later scan. */
+  def writeZorder(s: SparkSession, d: String): DataFrame = {
+    val dir = tmpDir("lineitem_zorder")
+    val li = t(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice")
+    val st = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).collect().head
+    li.withColumn("z",
+        graft.functions.ZOrder.zvalueScaled(
+          col("l_partkey"), st.getLong(0), st.getLong(1),
+          col("l_suppkey"), st.getLong(2), st.getLong(3), 16))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("l_partkey").between(500, 699) &&
+        col("l_suppkey").between(20, 39))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_extendedprice")).as("revenue"))
+  }
+  val writeZorderSql: String =
+    s"""SELECT count(*) AS n, ${DSUM("l_quantity")} AS qty,
+       |  ${DSUM("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN 500 AND 699
+       |  AND l_suppkey BETWEEN 20 AND 39""".stripMargin
+
   /** SQL DDL + DML: CREATE TABLE / INSERT OVERWRITE / SELECT (reference
     * DmlStatement + write_table, expr.py:95-187, dataframe.py:1659). */
   def sqlInsert(s: SparkSession, d: String): DataFrame = {
@@ -450,6 +491,7 @@ object Extras {
     "scan_avro_roundtrip" -> (scanAvroRoundtrip _),
     "write_partitioned" -> (writePartitioned _),
     "join_bucketed" -> (joinBucketed _),
+    "write_zorder" -> (writeZorder _),
     "sql_insert" -> (sqlInsert _),
     "sql_url_table" -> (sqlUrlTable _),
     "sql_unparse" -> (sqlUnparse _),
@@ -472,6 +514,7 @@ object Extras {
     "scan_avro_roundtrip" -> scanAvroRoundtripSql,
     "write_partitioned" -> writePartitionedSql,
     "join_bucketed" -> joinBucketedSql,
+    "write_zorder" -> writeZorderSql,
     "sql_insert" -> sqlInsertSql,
     "sql_url_table" -> sqlUrlTableSql,
     "sql_unparse" -> sqlUnparseSql,

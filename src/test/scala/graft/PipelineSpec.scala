@@ -478,3 +478,82 @@ class ApproxTopKSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Z-order clustering: interleave correctness and measured file skipping. */
+class ZOrderSpec extends AnyFunSuite {
+  import SparkSpec._
+  import org.apache.spark.sql.functions._
+
+  test("zvalue column expression matches the reference interleave") {
+    val rows = Q.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        graft.functions.ZOrder.zvalue(col("l_partkey"), col("l_suppkey"), 16)
+          .as("z"))
+      .limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = graft.functions.ZOrder.zvalueRef(
+        r.getLong(0), r.getLong(1), 16)
+      assert(r.getLong(2) == expected, s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
+  test("z-ordered layout shrinks per-file stat envelopes on both keys") {
+    // Lay lineitem out two ways, 16 files each: natural (orderkey ranges)
+    // and z-ordered on (l_partkey, l_suppkey). For each file compute the
+    // min/max envelope of both keys — the statistics a table format's
+    // file index (or a reader's footer check) prunes with — and count how
+    // many files a band predicate on each key would have to read.
+    val li = Q.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val natDir = java.nio.file.Files.createTempDirectory("graft_znat").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    li.repartitionByRange(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(natDir)
+    val st = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).collect().head
+    li.withColumn("z",
+        graft.functions.ZOrder.zvalueScaled(
+          col("l_partkey"), st.getLong(0), st.getLong(1),
+          col("l_suppkey"), st.getLong(2), st.getLong(3), 16))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z").drop("z")
+      .write.mode("overwrite").parquet(zDir)
+    def envelopes(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nat = envelopes(natDir)
+    val zo = envelopes(zDir)
+    def overlapP(e: Array[(Long, Long, Long, Long)], lo: Long, hi: Long) =
+      e.count { case (pmin, pmax, _, _) => pmax >= lo && pmin <= hi }
+    def overlapS(e: Array[(Long, Long, Long, Long)], lo: Long, hi: Long) =
+      e.count { case (_, _, smin, smax) => smax >= lo && smin <= hi }
+    // bands sized to ~10% of each key's actual domain at this sf
+    val dom = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).collect().head
+    // 10%-wide bands at 30% of each domain — representative point bands
+    // (the exact midpoint would straddle the top-level split of the z
+    // hierarchy, the adversarial worst case for any space-filling curve)
+    def band(a: Long, b: Long): (Long, Long) = {
+      val lo = a + 3 * (b - a) / 10
+      (lo, lo + math.max(1L, (b - a) / 10))
+    }
+    val (pLo, pHi) = band(dom.getLong(0), dom.getLong(1))
+    val (sLo, sHi) = band(dom.getLong(2), dom.getLong(3))
+    // natural layout: keys are uncorrelated with orderkey, so every file's
+    // envelope spans the band and nothing can be skipped
+    assert(overlapP(nat, pLo, pHi) == nat.length)
+    assert(overlapS(nat, sLo, sHi) == nat.length)
+    // z-order: a partkey band touches a fraction of files, and a suppkey
+    // band still skips files (the whole point vs a lexicographic sort)
+    val zp = overlapP(zo, pLo, pHi)
+    val zs = overlapS(zo, sLo, sHi)
+    info(s"partkey band: z-ordered reads $zp/${zo.length} files")
+    info(s"suppkey band: z-ordered reads $zs/${zo.length} files")
+    assert(zp <= zo.length / 2, s"partkey band read $zp of ${zo.length}")
+    assert(zs <= 3 * zo.length / 4, s"suppkey band read $zs of ${zo.length}")
+  }
+}
