@@ -1342,6 +1342,79 @@ object Pipeline {
       |  md5(substr(text, CAST(frame_idx * 256 AS INT) + 1, 64)) AS frame_sig
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Distributed BPE-style tokenizer training — 5 merge steps of the
+    * byte-pair-encoding loop (Sennrich et al. 2016) over word symbols
+    * (character-level is the same algorithm with a different base
+    * alphabet). Each step: count adjacent symbol pairs corpus-wide, pick
+    * the most frequent (ties broken by pair string so both engines agree),
+    * and fuse every non-overlapping left-to-right occurrence. Sequences
+    * ride a `|`-delimited string column so the fuse step is a literal
+    * `replace` with identical greedy semantics in Spark and DuckDB
+    * (corpus words are alphanumeric, so neither delimiter collides).
+    *
+    * Topology per step: one explode + keyed count (map-side combined)
+    * and a 1-row collect of the argmax — the standard distributed-
+    * fixpoint shape (cf. dedupGroups); the fuse itself is map-side only.
+    * Lineage is cut with localCheckpoint each round so step k never
+    * replays steps 1..k-1. At 100 TB each step is one linear pass; real
+    * tokenizer training batches many disjoint merges per pass, which is
+    * this same plan with the argmax widened to a top-m. */
+  def textBpeMerges(s: SparkSession, d: String): DataFrame = {
+    val Steps = 5
+    var seqs = t(s, d, "documents")
+      .select(concat(lit("|"), concat_ws("|", expr(wordsExpr)), lit("|")).as("seq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (step <- 1 to Steps) {
+      val best = seqs
+        .select(expr("filter(split(seq, '\\\\|'), x -> x <> '')").as("tl"))
+        .filter(size(col("tl")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(tl) - 1),
+            |  j -> concat(element_at(tl, j), '|', element_at(tl, j + 1)))"""
+            .stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1).collect()
+      val (pair, c) = (best.head.getString(0), best.head.getLong(1))
+      merges += ((step.toLong, pair, c))
+      val Array(a, b) = pair.split("\\|", 2)
+      val old = seqs
+      seqs = seqs.select(expr(s"replace(seq, '|$a|$b|', '|$a~$b|')").as("seq"))
+        .localCheckpoint()
+      old.unpersist()
+    }
+    import s.implicits._
+    merges.result().toDF("step", "pair", "pair_count").orderBy("step")
+  }
+  val textBpeMergesSql: String = {
+    // NOTE: the enclosing template strips margins AFTER interpolation, so
+    // no line here may begin with "||" — keep concatenations line-final.
+    def stepCtes(i: Int): String =
+      s"""p$i AS (SELECT pair, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(tl) - 1),
+         |      j -> tl[j] || '|' || tl[j + 1])) AS pair
+         |    FROM (SELECT list_filter(string_split(seq, '|'),
+         |            x -> x <> '') AS tl FROM s$i)
+         |    WHERE len(tl) >= 2) GROUP BY pair),
+         |b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |s${i + 1} AS (SELECT replace(seq,
+         |    '|' || split_part((SELECT pair FROM b$i), '|', 1) || '|' ||
+         |      split_part((SELECT pair FROM b$i), '|', 2) || '|',
+         |    '|' || split_part((SELECT pair FROM b$i), '|', 1) || '~' ||
+         |      split_part((SELECT pair FROM b$i), '|', 2) || '|') AS seq
+         |  FROM s$i)""".stripMargin
+    raw"""WITH s1 AS (
+         |  SELECT '|' || array_to_string(
+         |    string_split_regex(trim(text), '\s+'), '|') || '|' AS seq
+         |  FROM documents),
+         |${(1 to 5).map(stepCtes).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 5).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pair, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")})
+         |ORDER BY step""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1371,7 +1444,8 @@ object Pipeline {
     "event_funnel" -> (eventFunnel _),
     "text_decontaminate" -> (textDecontaminate _),
     "mix_temperature" -> (mixTemperature _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "text_bpe_merges" -> (textBpeMerges _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1398,5 +1472,6 @@ object Pipeline {
     "event_funnel" -> eventFunnelSql,
     "text_decontaminate" -> textDecontaminateSql,
     "mix_temperature" -> mixTemperatureSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "text_bpe_merges" -> textBpeMergesSql)
 }

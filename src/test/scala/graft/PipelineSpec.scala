@@ -557,3 +557,39 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zs <= 3 * zo.length / 4, s"suppkey band read $zs of ${zo.length}")
   }
 }
+
+/** BPE merge loop: the distributed merge sequence must equal a plain
+  * in-memory reference run with the same tie-break and greedy fuse. */
+class BpeSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("distributed merge sequence equals the in-memory reference BPE") {
+    var corpus: Seq[Vector[String]] = Q.t(spark, sf, "documents")
+      .select("text").collect()
+      .map(_.getString(0).trim.split("\\s+").toVector).toSeq
+    val expected = Seq.newBuilder[(Long, String, Long)]
+    for (step <- 1L to 5L) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach { ts =>
+        ts.iterator.zip(ts.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + 1L
+        }
+      }
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x + "|" + y) }
+      expected += ((step, s"$a|$b", c))
+      corpus = corpus.map { ts =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+            out += s"$a~$b"; i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        out.result()
+      }
+    }
+    val got = Pipeline.textBpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected.result())
+  }
+}
