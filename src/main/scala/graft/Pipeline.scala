@@ -1390,21 +1390,23 @@ object Pipeline {
     // NOTE: the enclosing template strips margins AFTER interpolation, so
     // no line here may begin with "||" — keep concatenations line-final.
     def stepCtes(i: Int): String =
-      s"""p$i AS (SELECT pair, count(*) AS c FROM (
+      s"""p$i AS MATERIALIZED (SELECT pair, count(*) AS c FROM (
          |    SELECT unnest(list_transform(generate_series(1, len(tl) - 1),
          |      j -> tl[j] || '|' || tl[j + 1])) AS pair
          |    FROM (SELECT list_filter(string_split(seq, '|'),
          |            x -> x <> '') AS tl FROM s$i)
          |    WHERE len(tl) >= 2) GROUP BY pair),
-         |b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
-         |s${i + 1} AS (SELECT replace(seq,
+         |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |s${i + 1} AS MATERIALIZED (SELECT doc_id, n_words, replace(seq,
          |    '|' || split_part((SELECT pair FROM b$i), '|', 1) || '|' ||
          |      split_part((SELECT pair FROM b$i), '|', 2) || '|',
          |    '|' || split_part((SELECT pair FROM b$i), '|', 1) || '~' ||
          |      split_part((SELECT pair FROM b$i), '|', 2) || '|') AS seq
          |  FROM s$i)""".stripMargin
-    raw"""WITH s1 AS (
-         |  SELECT '|' || array_to_string(
+    raw"""WITH s1 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+         |    '|' || array_to_string(
          |    string_split_regex(trim(text), '\s+'), '|') || '|' AS seq
          |  FROM documents),
          |${(1 to 5).map(stepCtes).mkString(",\n")}
@@ -1413,6 +1415,45 @@ object Pipeline {
       s"SELECT CAST($i AS BIGINT) AS step, pair, c AS pair_count FROM b$i")
       .mkString("\nUNION ALL\n")})
          |ORDER BY step""".stripMargin
+  }
+
+  /** Tokenizer apply: encode the corpus with the 5 learned BPE merges —
+    * the inference half of [[textBpeMerges]] (train emits the merge
+    * table; encode replays it over any corpus). Per doc: token count
+    * before and after, and the compression the merges bought. The merge
+    * table is tiny (it is the tokenizer), so at 100 TB it broadcasts and
+    * the whole encode is one map-side pass; here the same 5 fused
+    * replaces are applied in merge order, which is exactly how a BPE
+    * tokenizer's merge ranks are applied at inference. The oracle runs
+    * the identical training chain and diffs s1 vs the final state. */
+  def textBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = textBpeMerges(s, d).collect()
+      .sortBy(_.getAs[Long]("step")).map(_.getAs[String]("pair"))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        expr(s"size($wordsExpr)").cast("long").as("n_words"),
+        concat(lit("|"), concat_ws("|", expr(wordsExpr)), lit("|")).as("seq"))
+    val encoded = merges.foldLeft(docs) { (df, pair) =>
+      val Array(a, b) = pair.split("\\|", 2)
+      df.withColumn("seq", expr(s"replace(seq, '|$a|$b|', '|$a~$b|')"))
+    }
+    encoded
+      .select(col("doc_id"), col("n_words"),
+        expr("size(filter(split(seq, '\\\\|'), x -> x <> ''))")
+          .cast("long").as("n_tokens"))
+      .withColumn("saved", col("n_words") - col("n_tokens"))
+      .select("doc_id", "n_words", "n_tokens", "saved")
+      .orderBy("doc_id")
+  }
+  val textBpeEncodeSql: String = {
+    // reuse the training chain: s6 is the corpus after all 5 merges
+    val chain = textBpeMergesSql.substring(0, textBpeMergesSql.indexOf("SELECT * FROM ("))
+    raw"""${chain}SELECT doc_id, n_words,
+         |  len(list_filter(string_split(seq, '|'), x -> x <> '')) AS n_tokens,
+         |  n_words - len(list_filter(string_split(seq, '|'), x -> x <> ''))
+         |    AS saved
+         |FROM s6
+         |ORDER BY doc_id""".stripMargin
   }
 
   // ---------- registry ----------
@@ -1445,7 +1486,8 @@ object Pipeline {
     "text_decontaminate" -> (textDecontaminate _),
     "mix_temperature" -> (mixTemperature _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "text_bpe_merges" -> (textBpeMerges _))
+    "text_bpe_merges" -> (textBpeMerges _),
+    "text_bpe_encode" -> (textBpeEncode _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1473,5 +1515,6 @@ object Pipeline {
     "text_decontaminate" -> textDecontaminateSql,
     "mix_temperature" -> mixTemperatureSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "text_bpe_merges" -> textBpeMergesSql)
+    "text_bpe_merges" -> textBpeMergesSql,
+    "text_bpe_encode" -> textBpeEncodeSql)
 }
