@@ -1,0 +1,46 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Pipeline-operator benchmark: times registry queries (default: the
+  * training-pipeline set) on SPARK_GRAFT_SF_DIR through the noop sink,
+  * one JSON line out — the non-TPC-H counterpart of [[Bench]], used to
+  * keep BENCH_SF1.md's pipeline table reproducible. One untimed warmup
+  * per op absorbs JIT/codegen; the timed figure is a single steady-state
+  * run (these ops run seconds-to-minutes at SF1, where run-to-run noise
+  * is proportionally small — unlike the sub-second TPC-H medians). */
+object PipeBench {
+  private val DefaultOps = Seq(
+    "text_decontaminate", "mix_temperature", "mm_frame_sample",
+    "text_bpe_merges", "text_bpe_encode", "agg_approx_topk",
+    "join_bucketed", "write_zorder")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ops = if (args.nonEmpty) args.toSeq else DefaultOps
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[pipebench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val timed = ops.map { n => run(n); n -> run(n) }
+    val qs = timed.map { case (k, s) => "\"" + k + "\":" + f"$s%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"pipeline","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

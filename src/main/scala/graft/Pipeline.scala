@@ -1456,6 +1456,37 @@ object Pipeline {
          |ORDER BY doc_id""".stripMargin
   }
 
+  /** Cohort retention — the standard product-analytics matrix: users
+    * cohorted by the week of their first event, counted distinct per
+    * (cohort week, activity week). Two keyed shuffles: the first-seen
+    * aggregation on user_id whose partitioning the subsequent equi-join
+    * reuses (no extra exchange — same-key co-partitioning), then the
+    * cohort-cell count. `count(DISTINCT user_id)` expands to Spark's
+    * two-phase partial-distinct aggregate, so no cell's user set ever
+    * materializes on one node; at 100 TB cells with hot cohorts are
+    * exactly the skew AQE's skew-join handling splits. Weeks truncate
+    * Monday-start in both engines. */
+  def eventRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .withColumn("week_no", (datediff(col("wk"), col("cohort")) / 7).cast("long"))
+      .select("cohort", "wk", "week_no", "n_users")
+      .orderBy("cohort", "wk")
+  }
+  val eventRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+      |SELECT cohort::TIMESTAMP AS cohort, wk::TIMESTAMP AS wk,
+      |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_no,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN first USING (user_id)
+      |GROUP BY cohort, wk ORDER BY cohort, wk""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1487,7 +1518,8 @@ object Pipeline {
     "mix_temperature" -> (mixTemperature _),
     "mm_frame_sample" -> (mmFrameSample _),
     "text_bpe_merges" -> (textBpeMerges _),
-    "text_bpe_encode" -> (textBpeEncode _))
+    "text_bpe_encode" -> (textBpeEncode _),
+    "event_retention" -> (eventRetention _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1516,5 +1548,6 @@ object Pipeline {
     "mix_temperature" -> mixTemperatureSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "text_bpe_merges" -> textBpeMergesSql,
-    "text_bpe_encode" -> textBpeEncodeSql)
+    "text_bpe_encode" -> textBpeEncodeSql,
+    "event_retention" -> eventRetentionSql)
 }
