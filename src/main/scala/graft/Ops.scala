@@ -602,6 +602,70 @@ object Ops {
     """SELECT n_nationkey, CAST(unnest(generate_series(0, n_nationkey % 3)) AS BIGINT) AS i
       |FROM nation ORDER BY n_nationkey, i""".stripMargin
 
+  /** Pivot (long→wide reshape): per line status, quantity by return flag
+    * spread into one column per flag value. Spark's `.pivot(col, values)`
+    * with an explicit value list compiles to one hash aggregate with
+    * conditional sums — a single shuffle by the grouping key, no per-value
+    * scan fan-out, which is exactly the conditional-aggregation SQL the
+    * oracle states. Explicit values also keep the plan static at 100 TB
+    * (no driver-side distinct scan to discover pivot columns). */
+  def rowopPivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .select(col("l_linestatus"), col("A").as("qty_a"),
+        col("N").as("qty_n"), col("R").as("qty_r"))
+      .orderBy("l_linestatus")
+  val rowopPivotSql: String =
+    s"""SELECT l_linestatus,
+       |  ${DSUM("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+       |  ${DSUM("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+       |  ${DSUM("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
+       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Unpivot / melt (wide→long reshape, the inverse of [[rowopPivot]]):
+    * part metric columns stacked into (metric, value) rows. Spark's
+    * `unpivot` is a zero-shuffle map-side expand (each input row emits one
+    * row per value column) — the stacked UNION ALL the oracle states, but
+    * in one scan instead of one per metric. */
+  def rowopUnpivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").filter(col("p_partkey") < 50)
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+  val rowopUnpivotSql: String =
+    """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+      |FROM part WHERE p_partkey < 50
+      |UNION ALL
+      |SELECT p_partkey, 'retailprice', p_retailprice
+      |FROM part WHERE p_partkey < 50
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  /** Fixed-width histogram over a measure: bucket index from explicit
+    * floor arithmetic (bit-identical across engines, unlike width_bucket
+    * whose internal rounding is implementation-defined), count + exact
+    * min/max per bucket. One map-side bucket computation + one keyed
+    * aggregate — the canonical distributed histogram; at 100 TB the
+    * partial aggregation means each executor ships at most n_buckets
+    * rows to the shuffle. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .withColumn("bucket",
+        floor((col("l_extendedprice") - 900.0) / 5000.0).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("bucket")
+  val aggHistogramSql: String =
+    """SELECT CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT) AS bucket,
+      |  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def rowopCaseWhen(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .withColumn("size_class",
@@ -772,6 +836,9 @@ object Ops {
     "rowop_distinct_on" -> (rowopDistinctOn _),
     "rowop_unnest" -> (rowopUnnest _),
     "rowop_case_when" -> (rowopCaseWhen _),
+    "rowop_pivot" -> (rowopPivot _),
+    "rowop_unpivot" -> (rowopUnpivot _),
+    "agg_histogram" -> (aggHistogram _),
     "mem_source" -> (memSource _),
     "sort_nulls" -> (sortNulls _),
     "limit_offset" -> (limitOffset _),
@@ -820,6 +887,9 @@ object Ops {
     "rowop_distinct_on" -> rowopDistinctOnSql,
     "rowop_unnest" -> rowopUnnestSql,
     "rowop_case_when" -> rowopCaseWhenSql,
+    "rowop_pivot" -> rowopPivotSql,
+    "rowop_unpivot" -> rowopUnpivotSql,
+    "agg_histogram" -> aggHistogramSql,
     "mem_source" -> memSourceSql,
     "sort_nulls" -> sortNullsSql,
     "limit_offset" -> limitOffsetSql,

@@ -1487,6 +1487,206 @@ object Pipeline {
       |FROM ev e JOIN first USING (user_id)
       |GROUP BY cohort, wk ORDER BY cohort, wk""".stripMargin
 
+  /** TF-IDF top terms: the classic corpus-statistics op (salient terms
+    * per document). One explode + two keyed aggregations — (doc, term)
+    * term frequencies, then term document frequencies derived from the tf
+    * relation itself (already one row per (doc, term), so a plain count
+    * is the document frequency: no second pass over the token stream).
+    * The corpus size joins in as a broadcast single-row aggregate, never
+    * a driver collect. Ranking orders by the ROUNDED score so the window
+    * order is exactly as reproducible cross-engine as the emitted value,
+    * with the term string as total tie-break. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
+    val words = docs.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"), explode(col("ws")).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"), first(col("n_words")).as("n_words"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val win = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
+    tf.join(dfreq, "w").crossJoin(nDocs)
+      .withColumn("score", round((col("c").cast("double") / col("n_words"))
+        * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("w").as("term"), col("c").as("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+  val tfidfTopTermsSql: String =
+    raw"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         |words AS (SELECT doc_id, len(ws) AS n_words, unnest(ws) AS w FROM w),
+         |tf AS (SELECT doc_id, w, count(*) AS c, any_value(n_words) AS n_words
+         |       FROM words GROUP BY doc_id, w),
+         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, w, c, df,
+         |    round((CAST(c AS DOUBLE) / n_words)
+         |      * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+         |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, w) AS rank FROM scored)
+         |SELECT doc_id, rank, w AS term, c AS tf, df, score
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Corpus-internal duplicated-span detection (the n-gram approximation
+    * of exact-substring dedup, Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better"): every word-8-gram span is
+    * hashed to a 64-bit md5 lane, spans whose gram occurs in ≥2 distinct
+    * documents are flagged, and each document reports its duplicated-span
+    * fraction. Explode → one hash shuffle on the 8-byte gram key → keyed
+    * rollup: the token stream never ships raw gram strings to the
+    * shuffle, which at 100 TB is the difference between shuffling ~8
+    * bytes and ~50 bytes per span. Collision odds at n spans are
+    * ~n²/2⁶⁴ (≈10⁻⁸ at a billion spans); [[dedupSubstringBruteSpans]]
+    * is the raw-string twin the spec checks hash-faithfulness against. */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    dedupSubstringOn(gramCol = md5Lane("concat_ws(' ', slice(ws, i, 8))"))(s, d)
+
+  /** Raw-string-gram twin of [[dedupSubstring]] — spec ground truth only
+    * (not registered): identical topology, gram strings as keys. */
+  def dedupSubstringBruteSpans(s: SparkSession, d: String): DataFrame =
+    dedupSubstringOn(gramCol = "concat_ws(' ', slice(ws, i, 8))")(s, d)
+
+  private def dedupSubstringOn(gramCol: String)(
+      s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
+    val grams = docs.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(ws) - 7), i -> $gramCol)")).as("g"))
+    val spread = grams.groupBy("g").agg(countDistinct("doc_id").as("nd"))
+    val per = grams.join(spread, "g").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+  val dedupSubstringSql: String =
+    raw"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+         |        FROM w WHERE len(ws) >= 8),
+         |grams AS (SELECT doc_id,
+         |    ${md5LaneDuck("array_to_string(ws[i:i+7], ' ')")} AS g FROM pos),
+         |spread AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+         |per AS (SELECT doc_id, count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+         |  FROM grams JOIN spread USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+         |  coalesce(dup_spans, 0) AS dup_spans,
+         |  round(CAST(dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
+         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Scalar (int8) quantized similarity search: each vector is
+    * symmetric-quantized to 127 levels of its own max-abs
+    * (`floor(x·127/max)` — floor, not round, because floor is exactly
+    * reproducible across engines while round's half-way behavior is
+    * implementation-defined), then top-k runs on the INTEGER dot product
+    * — exact arithmetic, bit-identical everywhere, and the cosine
+    * denominator uses IEEE-correctly-rounded sqrt/divide so even the
+    * reported score is deterministic. This is the standard memory-scale
+    * path for ANN: 4× smaller vectors (int8 vs f32) before any index
+    * structure, composable with the IVF/LSH operators' candidate
+    * pruning. Exact baseline topology (probe × corpus) like
+    * [[simCosineTopk]]; [[PipelineSpec]] measures recall vs the
+    * unquantized exact top-5. */
+  def simQuantizedTopk(s: SparkSession, d: String): DataFrame = {
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("mx", expr("greatest(array_max(transform(v, x -> abs(x))), 1e-12d)"))
+      .withColumn("q", expr("transform(v, x -> cast(floor(x * 127.0 / mx) as bigint))"))
+      .withColumn("qn", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+      .select("vec_id", "q", "qn")
+    val probes = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q").as("qa"), col("qn").as("qna"))
+    val cands = vecs.select(col("vec_id").as("cand_id"),
+      col("q").as("qb"), col("qn").as("qnb"))
+    val win = Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cand_id"))
+    probes.join(cands, col("q_id") =!= col("cand_id"))
+      .withColumn("qdot",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("qcos", round(col("qdot").cast("double")
+        / (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double"))), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("qcos"))
+      .orderBy("q_id", "rank")
+  }
+  val simQuantizedTopkSql: String =
+    """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qv AS (SELECT vec_id,
+      |    list_transform(v, x -> CAST(floor(x * 127.0 /
+      |      greatest(list_max(list_transform(v, y -> abs(y))), 1e-12)) AS BIGINT)) AS q
+      |  FROM vecs),
+      |qn AS (SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn FROM qv),
+      |scored AS (
+      |  SELECT p.vec_id AS q_id, c.vec_id AS cand_id,
+      |    round(list_inner_product(p.q::DOUBLE[], c.q::DOUBLE[])
+      |      / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(c.qn AS DOUBLE))), 6) AS qcos
+      |  FROM qn p JOIN qn c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY qcos DESC, cand_id) AS rank FROM scored)
+      |SELECT q_id, rank, cand_id, qcos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** RFM user segmentation (recency / frequency / monetary quartiles) —
+    * the standard product-analytics cohort op. Per-user rollup is one
+    * keyed aggregate over the event stream (monetary through the exact
+    * decimal-sum lane); the corpus max timestamp attaches as a broadcast
+    * single-row aggregate. Quartile assignment (`ntile(4)`, user_id
+    * tie-break so buckets are deterministic) runs over the USER dimension
+    * — cardinality orders of magnitude below the event count, but still a
+    * single-partition sort; at 100 TB users you'd swap it for
+    * approx-percentile boundaries + a map-side bucket lookup, trading
+    * bit-exact quartile edges for a fully parallel plan. */
+  def eventRfm(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val maxTs = broadcast(ev.agg(max(col("ts")).as("max_ts")))
+    val per = ev.groupBy("user_id").agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("freq"),
+      dsum(col("value")).as("monetary"))
+    def quart(c: Column) = ntile(4).over(Window.orderBy(c, col("user_id")))
+    per.crossJoin(maxTs)
+      .withColumn("recency_days",
+        datediff(to_date(col("max_ts")), to_date(col("last_ts"))).cast("long"))
+      .withColumn("r_q", quart(col("recency_days")).cast("long"))
+      .withColumn("f_q", quart(col("freq").desc).cast("long"))
+      .withColumn("m_q", quart(col("monetary").desc).cast("long"))
+      .withColumn("segment", concat(col("r_q"), col("f_q"), col("m_q")))
+      .select("user_id", "recency_days", "freq", "monetary",
+        "r_q", "f_q", "m_q", "segment")
+      .orderBy("user_id")
+  }
+  val eventRfmSql: String =
+    s"""WITH per AS (
+       |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+       |    ${DSUM("value")} AS monetary
+       |  FROM events GROUP BY user_id),
+       |mx AS (SELECT max(ts) AS max_ts FROM events),
+       |scored AS (
+       |  SELECT user_id, freq, monetary,
+       |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(max_ts AS DATE))
+       |      AS BIGINT) AS recency_days
+       |  FROM per CROSS JOIN mx),
+       |q AS (SELECT *,
+       |    ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+       |    ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+       |    ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+       |  FROM scored)
+       |SELECT user_id, recency_days, freq, monetary, r_q, f_q, m_q,
+       |  r_q || f_q || m_q AS segment
+       |FROM q ORDER BY user_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1519,7 +1719,11 @@ object Pipeline {
     "mm_frame_sample" -> (mmFrameSample _),
     "text_bpe_merges" -> (textBpeMerges _),
     "text_bpe_encode" -> (textBpeEncode _),
-    "event_retention" -> (eventRetention _))
+    "event_retention" -> (eventRetention _),
+    "tfidf_top_terms" -> (tfidfTopTerms _),
+    "dedup_substring" -> (dedupSubstring _),
+    "sim_quantized_topk" -> (simQuantizedTopk _),
+    "event_rfm" -> (eventRfm _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1549,5 +1753,9 @@ object Pipeline {
     "mm_frame_sample" -> mmFrameSampleSql,
     "text_bpe_merges" -> textBpeMergesSql,
     "text_bpe_encode" -> textBpeEncodeSql,
-    "event_retention" -> eventRetentionSql)
+    "event_retention" -> eventRetentionSql,
+    "tfidf_top_terms" -> tfidfTopTermsSql,
+    "dedup_substring" -> dedupSubstringSql,
+    "sim_quantized_topk" -> simQuantizedTopkSql,
+    "event_rfm" -> eventRfmSql)
 }

@@ -421,6 +421,50 @@ class TrainingOpsSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("c_custkey"))
     assert(joined.count() == plain.count())
   }
+
+  test("hashed substring dedup equals the raw-string-gram twin") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val hashed = Pipeline.dedupSubstring(spark, sf).collect().map(key).toSeq
+    val brute = Pipeline.dedupSubstringBruteSpans(spark, sf).collect()
+      .map(key).toSeq
+    assert(hashed == brute,
+      "md5-lane gram keys changed the duplicated-span stats (collision?)")
+    assert(hashed.exists(_._3 > 0), "corpus has no duplicated 8-gram spans")
+  }
+
+  test("int8-quantized top-5 recalls the exact cosine top-5") {
+    val exact = Pipeline.simCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Pipeline.simQuantizedTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(quant.size == exact.size)
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"int8 quantization recall $recall below 0.8")
+  }
+
+  test("RFM quartile buckets are balanced within one user") {
+    val rows = Pipeline.eventRfm(spark, sf).collect()
+    for (c <- Seq("r_q", "f_q", "m_q")) {
+      val sizes = rows.groupBy(_.getAs[Long](c)).view.mapValues(_.length)
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L), s"$c buckets: ${sizes.toMap}")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$c quartiles unbalanced: ${sizes.toMap}")
+    }
+  }
+
+  test("tf-idf emits contiguous ranks and its top term maximizes the score") {
+    val byDoc = Pipeline.tfidfTopTerms(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getLong(1))
+      assert(ranked.map(_.getLong(1)).toSeq == (1L to ranked.length).toSeq)
+      val scores = ranked.map(_.getDouble(5))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b },
+        "scores not non-increasing down the ranks")
+    }
+  }
 }
 
 /** Space-Saving heavy hitters: exact-mode partition invariance and the
