@@ -1687,6 +1687,109 @@ object Pipeline {
        |  r_q || f_q || m_q AS segment
        |FROM q ORDER BY user_id""".stripMargin
 
+  /** Deterministic epoch shuffle: the corpus in a reproducible pseudo-
+    * random order (seeded md5 lane of the doc id), with the global
+    * position assigned DISTRIBUTED — a range shuffle on the key, a
+    * per-partition rank (window partitioned by the physical partition id,
+    * so it parallelizes), and partition-size offsets cumsum'd over a
+    * partition-count-sized frame joined back by broadcast. No global
+    * single-partition window, no driver zipWithIndex: the classic
+    * distributed position-assignment topology, correct for any partition
+    * boundaries because ranges are non-overlapping and the offset is
+    * computed from actual partition contents. */
+  def shuffleEpoch(s: SparkSession, d: String): DataFrame = {
+    val seed = 42
+    val keyed = t(s, d, "documents")
+      .select(col("doc_id"), expr(md5Lane(s"concat('epoch$seed#', doc_id)")).as("k"))
+      .repartitionByRange(8, col("k"), col("doc_id"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // consumed twice (offsets + join): pin the materialized partition
+      // ids so both consumers see one evaluation of the range shuffle
+      .localCheckpoint()
+    val offsets = keyed.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val rank = Window.partitionBy("pid").orderBy("k", "doc_id")
+    keyed.join(broadcast(offsets), "pid")
+      .withColumn("pos", col("offset") + row_number().over(rank) - 1)
+      .select(col("pos"), col("doc_id"), col("k").as("shuffle_key"))
+      .orderBy("pos")
+  }
+  val shuffleEpochSql: String =
+    s"""WITH keyed AS (SELECT doc_id,
+       |    ${md5LaneDuck("'epoch42#' || doc_id")} AS k FROM documents)
+       |SELECT row_number() OVER (ORDER BY k, doc_id) - 1 AS pos,
+       |  doc_id, k AS shuffle_key
+       |FROM keyed ORDER BY pos""".stripMargin
+
+  /** Deterministic train/val/test holdout split: assignment by hash
+    * bucket of the doc id (90/5/5), so membership is stable under corpus
+    * growth and reshuffling — the property a content- or position-based
+    * split lacks. Pure map-side assignment + one keyed rollup. */
+  def splitHoldout(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("bucket", expr(md5Lane("concat('split#', doc_id)")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(s"size($wordsExpr)")).cast("long").as("n_words"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("split")
+  val splitHoldoutSql: String =
+    raw"""WITH b AS (SELECT doc_id, text,
+         |    ${md5LaneDuck("'split#' || doc_id")} % 100 AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_words,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM b GROUP BY split ORDER BY split""".stripMargin
+
+  /** Per-source corpus report: the summary table a pipeline run ends
+    * with — document/token counts, exact-duplicate rate, language spread,
+    * mean document length. All order-independent exact aggregates (counts,
+    * min/max, integer sums; the mean is an exact integer-sum ratio), one
+    * keyed rollup plus a distinct-hash subaggregate. */
+  def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("source"), col("lang"), col("doc_id"),
+        expr(s"size($wordsExpr)").cast("long").as("wc"), md5(col("text")).as("h"))
+    val uniq = docs.groupBy("source")
+      .agg(countDistinct(col("h")).as("n_unique"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("wc")).as("n_words"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("wc")).as("min_words"), max(col("wc")).as("max_words"))
+      .join(uniq, "source")
+      .withColumn("dup_rate",
+        round((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"), 6))
+      .withColumn("mean_words",
+        round(col("n_words").cast("double") / col("n_docs"), 6))
+      .select("source", "n_docs", "n_words", "n_langs", "min_words",
+        "max_words", "n_unique", "dup_rate", "mean_words")
+      .orderBy("source")
+  }
+  val corpusStatsSql: String =
+    raw"""WITH docs AS (SELECT source, lang, doc_id,
+         |    len(string_split_regex(trim(text), '\s+')) AS wc,
+         |    md5(text) AS h FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(wc) AS BIGINT) AS n_words,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(min(wc) AS BIGINT) AS min_words,
+         |  CAST(max(wc) AS BIGINT) AS max_words,
+         |  count(DISTINCT h) AS n_unique,
+         |  round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*), 6)
+         |    AS dup_rate,
+         |  round(CAST(sum(wc) AS DOUBLE) / count(*), 6) AS mean_words
+         |FROM docs GROUP BY source ORDER BY source""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1723,7 +1826,10 @@ object Pipeline {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "dedup_substring" -> (dedupSubstring _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
-    "event_rfm" -> (eventRfm _))
+    "event_rfm" -> (eventRfm _),
+    "shuffle_epoch" -> (shuffleEpoch _),
+    "split_holdout" -> (splitHoldout _),
+    "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1757,5 +1863,8 @@ object Pipeline {
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "dedup_substring" -> dedupSubstringSql,
     "sim_quantized_topk" -> simQuantizedTopkSql,
-    "event_rfm" -> eventRfmSql)
+    "event_rfm" -> eventRfmSql,
+    "shuffle_epoch" -> shuffleEpochSql,
+    "split_holdout" -> splitHoldoutSql,
+    "corpus_stats" -> corpusStatsSql)
 }

@@ -453,6 +453,55 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("plan audit: ranked top-k filters run through WindowGroupLimit") {
+    // Spark's WindowGroupLimit pushes rank-predicate top-k below the
+    // window sort (partial per-partition limit before the shuffle) —
+    // the reason a rank<=k filter survives a 100x scale-up. Pin that
+    // the optimization actually fires for the registry's ranked queries.
+    Seq("rowop_distinct_on" -> Ops.rowopDistinctOn(spark, sf),
+      "tfidf_top_terms" -> Pipeline.tfidfTopTerms(spark, sf),
+      "sim_quantized_topk" -> Pipeline.simQuantizedTopk(spark, sf))
+      .foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("WindowGroupLimit"),
+          s"$name: no WindowGroupLimit in plan:\n${plan.take(2000)}")
+      }
+  }
+
+  test("epoch shuffle assigns a dense deterministic permutation") {
+    val rows = Pipeline.shuffleEpoch(spark, sf).collect()
+    val n = Q.t(spark, sf, "documents").count()
+    assert(rows.length == n)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until n).toSeq,
+      "positions are not dense 0..N-1")
+    assert(rows.map(_.getLong(1)).distinct.length == n,
+      "doc_ids are not a permutation")
+    // position order must equal (shuffle_key, doc_id) order
+    val sorted = rows.sortBy(r => (r.getLong(2), r.getLong(1))).map(_.getLong(1))
+    assert(rows.sortBy(_.getLong(0)).map(_.getLong(1)).toSeq == sorted.toSeq)
+    val again = Pipeline.shuffleEpoch(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("holdout split covers the corpus with stable hash assignment") {
+    val rows = Pipeline.splitHoldout(spark, sf).collect()
+    val n = Q.t(spark, sf, "documents").count()
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName.values.sum == n)
+    assert(byName("train").toDouble / n > 0.8,
+      s"train fraction ${byName("train").toDouble / n} implausibly low")
+  }
+
+  test("corpus stats totals agree with the token-count operator") {
+    val stats = Pipeline.corpusStats(spark, sf).collect()
+    val totalWords = stats.map(_.getAs[Long]("n_words")).sum
+    val totalDocs = stats.map(_.getAs[Long]("n_docs")).sum
+    val tok = Pipeline.textTokens(spark, sf).collect()
+    assert(totalDocs == tok.length)
+    assert(totalWords == tok.map(_.getAs[Long]("word_count")).sum)
+  }
+
   test("tf-idf emits contiguous ranks and its top term maximizes the score") {
     val byDoc = Pipeline.tfidfTopTerms(spark, sf).collect()
       .groupBy(_.getLong(0))
