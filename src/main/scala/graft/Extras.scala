@@ -481,7 +481,50 @@ object Extras {
       |AS t(table_name, column_name, ordinal_position, data_type, is_nullable)
       |ORDER BY table_name, ordinal_position""".stripMargin
 
+  /** Row types for the typed cogroup demo (top-level in the object so
+    * product encoders derive statically). */
+  case class CustRow(c_custkey: Long, c_mktsegment: String)
+  case class OrdRow(o_custkey: Long, o_totalprice: Double)
+
+  /** Typed Dataset cogroup (`KeyValueGroupedDataset.cogroup`): per
+    * customer, merge the customer row with its order group in one typed
+    * merge function — the Dataset[T]/Encoder surface for per-key
+    * imperative logic Spark can't express relationally. Both sides
+    * shuffle-partition by the key and stream one pass per group (the
+    * sort-merge-join topology, so it scales like a join). The monetary
+    * total accumulates in exact BigDecimal (order-independent, matching
+    * the oracle's decimal-sum lane) — never a raw double fold. */
+  def typedCogroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val custs = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).as[CustRow]
+    val ords = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).as[OrdRow]
+    custs.groupByKey(_.c_custkey)
+      .cogroup(ords.groupByKey(_.o_custkey)) { (key, cs, os) =>
+        cs.toSeq.headOption.iterator.map { c =>
+          var n = 0L
+          var total = BigDecimal(0)
+          os.foreach { o =>
+            n += 1
+            total += BigDecimal(o.o_totalprice)
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          }
+          (key, c.c_mktsegment, n, total.toDouble)
+        }
+      }
+      .toDF("custkey", "segment", "n_orders", "total")
+      .orderBy("custkey")
+  }
+  val typedCogroupSql: String =
+    s"""SELECT c_custkey AS custkey, c_mktsegment AS segment,
+       |  count(o_orderkey) AS n_orders,
+       |  coalesce(${DSUM("o_totalprice")}, 0.0) AS total
+       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_mktsegment ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_cogroup" -> (typedCogroup _),
     "dsv2_pushdown" -> (dsv2Pushdown _),
     "info_schema_tables" -> (infoSchemaTables _),
     "info_schema_columns" -> (infoSchemaColumns _),
@@ -522,6 +565,7 @@ object Extras {
     "fn_vector" -> fnVectorSql,
     "fn_arrow_typeof" -> fnArrowTypeofSql,
     "mem_batches" -> memBatchesSql,
+    "typed_cogroup" -> typedCogroupSql,
     "udf_surface" -> udfSurfaceSql,
     "udtf_series" -> udtfSeriesSql)
 }

@@ -12,7 +12,9 @@ object PipeBench {
   private val DefaultOps = Seq(
     "text_decontaminate", "mix_temperature", "mm_frame_sample",
     "text_bpe_merges", "text_bpe_encode", "agg_approx_topk",
-    "join_bucketed", "write_zorder")
+    "join_bucketed", "write_zorder",
+    "tfidf_top_terms", "dedup_substring", "sim_quantized_topk",
+    "event_rfm", "shuffle_epoch", "split_holdout", "corpus_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
