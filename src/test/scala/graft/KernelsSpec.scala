@@ -144,6 +144,35 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // The complement of the salted join: when AQE is available, a hot
+    // key needs no manual salting — the skew-join rule splits the
+    // oversized shuffle partition into parallel sub-reads at runtime.
+    // Pin that the rule actually fires (plan carries skew=true) on a
+    // 99%-one-key join with thresholds scaled to test-sized data.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val big = s.range(0, 100000)
+      .select(when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val small = s.range(0, 1000).select(col("id").as("k2"), (col("id") * 2).as("v"))
+    val joined = big.join(small, col("k") === col("k2"))
+    // execute through the Dataset's own QueryExecution (count() would
+    // plan a separate query and leave this one un-finalized)
+    assert(joined.collect().nonEmpty)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE skew-join did not fire:\n${plan.take(3000)}")
+  }
+
   test("KernelSimplify rewrites cosine self-similarity exactly") {
     GraftFunctions.register(spark)
     val base = Q.t(spark, sf, "embeddings")
