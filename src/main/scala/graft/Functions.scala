@@ -548,6 +548,34 @@ object Functions {
         soundex(col("n_name")).as("sdx"))
       .orderBy("key")
 
+  /** Fuzzy string matching: edit distance (levenshtein, plus a bounded
+    * variant returning -1 over the threshold, and a length-normalized
+    * similarity) — the record-linkage battery. All integer-exact except
+    * the similarity ratio, an exact-rational division rounded at 6.
+    * Map-side only. */
+  def fnFuzzy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").filter(col("p_partkey") < 200)
+      .select(
+        col("p_partkey").as("key"),
+        levenshtein(col("p_name"), col("p_type")).cast("long").as("lev"),
+        levenshtein(col("p_name"), reverse(col("p_name"))).cast("long")
+          .as("lev_rev"),
+        levenshtein(col("p_brand"), col("p_type"), 3).cast("long")
+          .as("lev_capped"),
+        round(lit(1.0) - levenshtein(col("p_name"), col("p_type"))
+          .cast("double") / greatest(length(col("p_name")), length(col("p_type"))),
+          6).as("sim_ratio"))
+      .orderBy("key")
+  val fnFuzzySql: String =
+    """SELECT p_partkey AS key,
+      |  levenshtein(p_name, p_type) AS lev,
+      |  levenshtein(p_name, reverse(p_name)) AS lev_rev,
+      |  CASE WHEN levenshtein(p_brand, p_type) > 3 THEN -1
+      |       ELSE levenshtein(p_brand, p_type) END AS lev_capped,
+      |  round(1.0 - CAST(levenshtein(p_name, p_type) AS DOUBLE)
+      |    / greatest(length(p_name), length(p_type)), 6) AS sim_ratio
+      |FROM part WHERE p_partkey < 200 ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string1" -> (fnString1 _),
     "fn_string2" -> (fnString2 _),
@@ -564,6 +592,7 @@ object Functions {
     "fn_json" -> (fnJson _),
     "fn_bitwise" -> (fnBitwise _),
     "fn_misc" -> (fnMisc _),
+    "fn_fuzzy" -> (fnFuzzy _),
     "fn_bitmap" -> (fnBitmap _),
     "fn_hash_engine" -> (fnHashEngine _))
 
@@ -583,5 +612,6 @@ object Functions {
     "fn_json" -> fnJsonSql,
     "fn_bitwise" -> fnBitwiseSql,
     "fn_misc" -> fnMiscSql,
+    "fn_fuzzy" -> fnFuzzySql,
     "fn_bitmap" -> fnBitmapSql)
 }

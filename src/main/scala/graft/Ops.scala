@@ -602,6 +602,26 @@ object Ops {
     """SELECT n_nationkey, CAST(unnest(generate_series(0, n_nationkey % 3)) AS BIGINT) AS i
       |FROM nation ORDER BY n_nationkey, i""".stripMargin
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): null keys match
+    * each other instead of dropping out. EqualNullSafe on the join keys
+    * still compiles to a hash join (null is just another key value), so
+    * the plan keeps the shuffle/broadcast topology of a plain equi-join —
+    * no fallback to nested-loop. */
+  def joinNullsafe(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "nation")
+      .select(col("n_nationkey"), nullif(col("n_regionkey"), lit(2)).as("rk"))
+    val b = t(s, d, "region")
+      .select(nullif(col("r_regionkey"), lit(2)).as("rk2"), col("r_name"))
+    a.join(b, col("rk") <=> col("rk2"))
+      .select(col("n_nationkey"), col("rk"), col("r_name"))
+      .orderBy("n_nationkey", "r_name")
+  }
+  val joinNullsafeSql: String =
+    """SELECT n_nationkey, nullif(n_regionkey, 2) AS rk, r_name
+      |FROM nation JOIN region
+      |  ON nullif(n_regionkey, 2) IS NOT DISTINCT FROM nullif(r_regionkey, 2)
+      |ORDER BY n_nationkey, r_name""".stripMargin
+
   /** Pivot (long→wide reshape): per line status, quantity by return flag
     * spread into one column per flag value. Spark's `.pivot(col, values)`
     * with an explicit value list compiles to one hash aggregate with
@@ -807,6 +827,7 @@ object Ops {
     "join_cross" -> (joinCross _),
     "join_theta" -> (joinTheta _),
     "join_range" -> (joinRange _),
+    "join_nullsafe" -> (joinNullsafe _),
     "set_union_all" -> (setUnionAll _),
     "set_union_distinct" -> (setUnionDistinct _),
     "set_union_by_name" -> (setUnionByName _),
@@ -858,6 +879,7 @@ object Ops {
     "join_cross" -> joinCrossSql,
     "join_theta" -> joinThetaSql,
     "join_range" -> joinRangeSql,
+    "join_nullsafe" -> joinNullsafeSql,
     "set_union_all" -> setUnionAllSql,
     "set_union_distinct" -> setUnionDistinctSql,
     "set_union_by_name" -> setUnionByNameSql,
