@@ -560,8 +560,12 @@ object Functions {
         levenshtein(col("p_name"), col("p_type")).cast("long").as("lev"),
         levenshtein(col("p_name"), reverse(col("p_name"))).cast("long")
           .as("lev_rev"),
-        levenshtein(col("p_brand"), col("p_type"), 3).cast("long")
-          .as("lev_capped"),
+        // distance to p_brand + (p_size % 6) appended chars = p_size % 6,
+        // so rows land on BOTH sides of the threshold (0..3 pass, 4..5
+        // cap to -1) and the oracle CASE pins both branches
+        levenshtein(col("p_brand"),
+          concat(col("p_brand"), repeat(lit("x"), col("p_size") % 6)), 3)
+          .cast("long").as("lev_capped"),
         round(lit(1.0) - levenshtein(col("p_name"), col("p_type"))
           .cast("double") / greatest(length(col("p_name")), length(col("p_type"))),
           6).as("sim_ratio"))
@@ -570,8 +574,10 @@ object Functions {
     """SELECT p_partkey AS key,
       |  levenshtein(p_name, p_type) AS lev,
       |  levenshtein(p_name, reverse(p_name)) AS lev_rev,
-      |  CASE WHEN levenshtein(p_brand, p_type) > 3 THEN -1
-      |       ELSE levenshtein(p_brand, p_type) END AS lev_capped,
+      |  CASE WHEN levenshtein(p_brand, p_brand || repeat('x', p_size % 6)) > 3
+      |       THEN -1
+      |       ELSE levenshtein(p_brand, p_brand || repeat('x', p_size % 6))
+      |       END AS lev_capped,
       |  round(1.0 - CAST(levenshtein(p_name, p_type) AS DOUBLE)
       |    / greatest(length(p_name), length(p_type)), 6) AS sim_ratio
       |FROM part WHERE p_partkey < 200 ORDER BY key""".stripMargin

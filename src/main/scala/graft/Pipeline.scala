@@ -1759,14 +1759,14 @@ object Pipeline {
     val docs = t(s, d, "documents")
       .select(col("source"), col("lang"), col("doc_id"),
         expr(s"size($wordsExpr)").cast("long").as("wc"), md5(col("text")).as("h"))
-    val uniq = docs.groupBy("source")
-      .agg(countDistinct(col("h")).as("n_unique"))
+    // both distinct aggregates in ONE rollup: Spark plans multi-distinct
+    // via Expand, so the text-bearing table is scanned once, no join back
     docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("wc")).as("n_words"),
         countDistinct(col("lang")).as("n_langs"),
-        min(col("wc")).as("min_words"), max(col("wc")).as("max_words"))
-      .join(uniq, "source")
+        min(col("wc")).as("min_words"), max(col("wc")).as("max_words"),
+        countDistinct(col("h")).as("n_unique"))
       .withColumn("dup_rate",
         round((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"), 6))
       .withColumn("mean_words",
