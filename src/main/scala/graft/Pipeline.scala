@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /** Training-data pipeline operators over the `documents`, `embeddings` and
@@ -1790,6 +1791,154 @@ object Pipeline {
          |  round(CAST(sum(wc) AS DOUBLE) / count(*), 6) AS mean_words
          |FROM docs GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------- graph analytics ----------
+
+  /** PageRank over the word co-occurrence graph: nodes are vocabulary
+    * words, directed edges are adjacent-word (bigram) pairs weighted by
+    * corpus frequency, ranks follow the classical damped update
+    * r(v) = (1−d)/N + d·Σ_{u→v} r(u)·w(u,v)/outdeg(u) for [[PrIters]]
+    * iterations (d = 0.85, uniform init, no dangling-mass redistribution —
+    * the same simplification Spark GraphX's `staticPageRank` makes).
+    *
+    * Cross-engine determinism: iterative double summation is
+    * order-dependent, so ranks are kept in fixed-point — scaled by
+    * [[PrScale]] and stored as BIGINT, every edge contribution
+    * floor-quantized before the (exact, order-independent) integer sum,
+    * and the damping multiply floor-quantized after it. floor and IEEE
+    * multiply/divide are bit-reproducible across engines, so the DuckDB
+    * oracle (the identical update as 5 chained MATERIALIZED CTEs) matches
+    * hash-exact.
+    *
+    * Scale shape: edge extraction is pure map-side (per-row `transform`
+    * over the word array + explode, no shuffle); edge weighting is one
+    * hash aggregation keyed (src,dst). The iterated state — the rank
+    * table — is vocabulary-sized, orders of magnitude smaller than the
+    * corpus, so each iteration explicitly broadcasts the (checkpointed)
+    * rank and out-degree tables against the edge table — map-side joins
+    * plus one vocab-keyed partial-aggregated shuffle per iteration; the
+    * corpus text is read exactly once. For vocabularies too big to
+    * broadcast, drop the hint and the same plan shuffle-joins on the
+    * word key. `localCheckpoint` after edges/nodes and
+    * per-iteration ranks truncates the growing lineage — the standard
+    * iterative-algorithm hygiene that keeps the 5th iteration's plan the
+    * same size as the 1st. */
+  val PrIters = 5
+  val PrScale = 1e12
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "documents")
+      .select(expr(wordsExpr).as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = pairs.groupBy("src", "dst")
+      .agg(count(lit(1)).as("wt")).localCheckpoint()
+    val nodes = edges.select(col("src").as("w"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outdeg = edges.groupBy(col("src")).agg(sum("wt").as("od"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("w"), floor(lit(PrScale) / col("n")).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(broadcast(ranks.withColumnRenamed("w", "src")), "src")
+        .join(broadcast(outdeg), "src")
+        .select(col("dst").as("w"),
+          floor(col("r").cast("double") * col("wt") / col("od")).as("ctr"))
+        .groupBy("w").agg(sum("ctr").as("s"))
+      ranks = nodes.crossJoin(broadcast(nn))
+        .join(contrib, Seq("w"), "left")
+        .select(col("w"),
+          (floor(lit(0.15) * lit(PrScale) / col("n")) +
+            floor(lit(0.85) * coalesce(col("s"), lit(0L)))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("w"), col("r").as("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("w"))
+  }
+  val graphPagerankSql: String = {
+    def iterCte(k: Int): String =
+      raw"""r$k AS MATERIALIZED (
+           |  SELECT n.w, CAST(floor(0.15 * 1e12 / nn.n) AS BIGINT)
+           |       + CAST(floor(0.85 * COALESCE(c.s, 0)) AS BIGINT) AS r
+           |  FROM nodes n CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst AS w,
+           |      CAST(sum(CAST(floor(CAST(p.r AS DOUBLE) * e.wt / o.od)
+           |        AS BIGINT)) AS BIGINT) AS s
+           |    FROM edges e JOIN r${k - 1} p ON p.w = e.src
+           |      JOIN outdeg o ON o.w = e.src
+           |    GROUP BY e.dst) c ON c.w = n.w)""".stripMargin
+    raw"""WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS w
+         |       FROM documents),
+         |e0 AS (SELECT w[i] AS src, w[i+1] AS dst
+         |       FROM ws, UNNEST(range(1, len(w))) AS t(i)),
+         |edges AS MATERIALIZED (SELECT src, dst,
+         |       CAST(count(*) AS BIGINT) AS wt FROM e0 GROUP BY src, dst),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS w FROM edges
+         |       UNION SELECT DISTINCT dst FROM edges),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |outdeg AS MATERIALIZED (SELECT src AS w, CAST(sum(wt) AS BIGINT) AS od
+         |       FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT w, CAST(floor(1e12 / nn.n) AS BIGINT) AS r
+         |       FROM nodes CROSS JOIN nn),
+         |""".stripMargin +
+      (1 to PrIters).map(iterCte).mkString(",\n") +
+      s"\nSELECT w, r AS rank_e12 FROM r$PrIters ORDER BY rank_e12 DESC, w"
+  }
+
+  /** Per-document Shannon entropy of the word distribution — the
+    * information-theoretic quality signal (low entropy ⇒ repetitive /
+    * template-like text, a standard pre-training filter alongside the
+    * Gopher repetition ratios). Emits the raw entropy
+    * H = −Σ_w p_w·ln p_w and the normalized H/ln(n_unique) ∈ [0,1]
+    * (null for single-word-type docs, where the normalizer is 0).
+    *
+    * Determinism: each term is quantized to DECIMAL(30,12) and summed
+    * exactly (order-independent, the [[Q.dsum]] recipe at higher scale);
+    * ln inputs come from the small set of distinct count/total ratios, so
+    * the 6-decimal rounding swallows sub-ulp libm variation. Scale shape:
+    * one (doc_id, word) hash aggregation, then a doc_id-partitioned
+    * window + final aggregation that reuse the same hash partitioning —
+    * two shuffles total, no driver-side state. */
+  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+    val p = col("c").cast("double") / col("wc")
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .withColumn("wc", sum("c").over(byDoc))
+      .withColumn("term", (-p * log(p)).cast(DecimalType(30, 12)))
+      .groupBy("doc_id")
+      .agg(max("wc").as("n_words"), count(lit(1)).as("n_unique"),
+        sum("term").cast("double").as("e_raw"))
+      .select(col("doc_id"), col("n_words"), col("n_unique"),
+        round(col("e_raw"), 6).as("entropy"),
+        when(col("n_unique") > 1,
+          round(col("e_raw") / log(col("n_unique").cast("double")), 6))
+          .as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+  val textEntropySql: String =
+    raw"""WITH wd AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnts AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM wd GROUP BY doc_id, w),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS wc,
+         |    CAST(count(*) AS BIGINT) AS nu FROM cnts GROUP BY doc_id)
+         |SELECT c.doc_id, t.wc AS n_words, t.nu AS n_unique,
+         |  round(CAST(sum(CAST(-(CAST(c.c AS DOUBLE) / t.wc)
+         |      * ln(CAST(c.c AS DOUBLE) / t.wc) AS DECIMAL(30, 12)))
+         |    AS DOUBLE), 6) AS entropy,
+         |  CASE WHEN t.nu > 1 THEN
+         |    round(CAST(sum(CAST(-(CAST(c.c AS DOUBLE) / t.wc)
+         |        * ln(CAST(c.c AS DOUBLE) / t.wc) AS DECIMAL(30, 12)))
+         |      AS DOUBLE) / ln(CAST(t.nu AS DOUBLE)), 6) END AS norm_entropy
+         |FROM cnts c JOIN tot t USING (doc_id)
+         |GROUP BY c.doc_id, t.wc, t.nu
+         |ORDER BY c.doc_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1829,7 +1978,9 @@ object Pipeline {
     "event_rfm" -> (eventRfm _),
     "shuffle_epoch" -> (shuffleEpoch _),
     "split_holdout" -> (splitHoldout _),
-    "corpus_stats" -> (corpusStats _))
+    "corpus_stats" -> (corpusStats _),
+    "graph_pagerank" -> (graphPagerank _),
+    "text_entropy" -> (textEntropy _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -1866,5 +2017,7 @@ object Pipeline {
     "event_rfm" -> eventRfmSql,
     "shuffle_epoch" -> shuffleEpochSql,
     "split_holdout" -> splitHoldoutSql,
-    "corpus_stats" -> corpusStatsSql)
+    "corpus_stats" -> corpusStatsSql,
+    "graph_pagerank" -> graphPagerankSql,
+    "text_entropy" -> textEntropySql)
 }

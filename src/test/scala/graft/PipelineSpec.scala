@@ -685,4 +685,69 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == expected.result())
   }
+
+  test("distributed pagerank equals the in-memory fixed-point reference") {
+    // Same fixed-point update, computed single-threaded over the raw text:
+    // a divergence would indicate order-dependence (the exact failure the
+    // BIGINT quantization exists to rule out) or a graph-extraction bug.
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).trim)
+    val edges = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val w = t.split("\\s+")
+      w.indices.dropRight(1).foreach { i =>
+        edges((w(i), w(i + 1))) = edges.getOrElse((w(i), w(i + 1)), 0L) + 1
+      }
+    }
+    val nodes = (edges.keySet.map(_._1) ++ edges.keySet.map(_._2)).toSeq.sorted
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1._1).map { case (s0, es) => s0 -> es.values.sum }
+    var r = nodes.map(_ -> math.floor(Pipeline.PrScale / n).toLong).toMap
+    val base = math.floor(0.15 * Pipeline.PrScale / n).toLong
+    (1 to Pipeline.PrIters).foreach { _ =>
+      val s0 = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case ((u, v), wt) =>
+        s0(v) = s0.getOrElse(v, 0L) +
+          math.floor(r(u).toDouble * wt / outdeg(u)).toLong
+      }
+      r = nodes.map(w => w -> (base + math.floor(0.85 * s0.getOrElse(w, 0L)).toLong)).toMap
+    }
+    val expected = r.toSeq.sortBy { case (w, rk) => (-rk, w) }
+    val got = Pipeline.graphPagerank(spark, sf).collect()
+      .map(row => (row.getString(0), row.getLong(1))).toSeq
+    assert(got == expected)
+    // Damped rank mass stays conserved up to quantization leak: each of the
+    // N per-node updates floors at most twice, so sum ∈ (1e12 − 2N, 1e12].
+    val total = got.map(_._2).sum
+    assert(total <= Pipeline.PrScale.toLong && total > Pipeline.PrScale.toLong - 2L * n,
+      s"rank mass $total outside quantization envelope for $n nodes")
+  }
+
+  test("word entropy is bounded by ln(n_unique) and exact for a local recompute") {
+    val rows = Pipeline.textEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nu = r.getAs[Long]("n_unique")
+      val e = r.getAs[Double]("entropy")
+      assert(e >= 0.0 && e <= math.log(nu.toDouble) + 1e-6,
+        s"entropy $e out of [0, ln($nu)] for doc ${r.getLong(0)}")
+      if (nu > 1) {
+        val ne = r.getAs[Double]("norm_entropy")
+        assert(ne >= 0.0 && ne <= 1.0 + 1e-12)
+      } else assert(r.isNullAt(r.fieldIndex("norm_entropy")))
+    }
+    val byDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")).toMap
+    rows.take(50).foreach { r =>
+      val ws = byDoc(r.getLong(0))
+      val wc = ws.length.toDouble
+      val h = ws.groupBy(identity).values
+        .map { g => val p = g.length / wc; -p * math.log(p) }
+        .map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(math.abs(h.toDouble - r.getAs[Double]("entropy")) < 2e-6,
+        s"doc ${r.getLong(0)}: local $h vs ${r.getAs[Double]("entropy")}")
+      assert(r.getAs[Long]("n_words") == ws.length.toLong)
+    }
+  }
 }
