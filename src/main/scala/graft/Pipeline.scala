@@ -1887,6 +1887,157 @@ object Pipeline {
       s"\nSELECT w, r AS rank_e12 FROM r$PrIters ORDER BY rank_e12 DESC, w"
   }
 
+  /** Bigram PMI collocation extraction: for every adjacent word pair with
+    * corpus frequency ≥ [[PmiMinCount]], the pointwise mutual information
+    * ln(c(a,b)·T / (c(a,·)·c(·,b))) against the bigram margins — the
+    * classical collocation / multi-word-expression detector (Church &
+    * Hanks 1990). All counts are exact integers; the single ln-of-ratio
+    * is rounded to 6, so the result is cross-engine reproducible.
+    *
+    * Scale shape: bigram extraction is map-side; one (src,dst) hash
+    * aggregation reduces the corpus to a ≤|V|² table, and the margin /
+    * total joins run on that reduced table (broadcast total). Nothing
+    * after the first aggregation ever touches corpus-sized data. */
+  val PmiMinCount = 5
+  def textCollocations(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "documents")
+      .select(expr(wordsExpr).as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("pair_count"))
+      .localCheckpoint()
+    val tot = e.agg(sum("pair_count").as("tt"))
+    val ls = e.groupBy("src").agg(sum("pair_count").as("ca"))
+    val rs = e.groupBy("dst").agg(sum("pair_count").as("cb"))
+    e.join(ls, "src").join(rs, "dst").crossJoin(broadcast(tot))
+      .where(col("pair_count") >= PmiMinCount)
+      .select(col("src"), col("dst"), col("pair_count"),
+        round(log(col("pair_count").cast("double") * col("tt") /
+          (col("ca") * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("src"), col("dst"))
+  }
+  val textCollocationsSql: String =
+    raw"""WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS w
+         |       FROM documents),
+         |bg AS (SELECT w[i] AS src, w[i+1] AS dst
+         |       FROM ws, UNNEST(range(1, len(w))) AS t(i)),
+         |e AS MATERIALIZED (SELECT src, dst,
+         |       CAST(count(*) AS BIGINT) AS pair_count
+         |     FROM bg GROUP BY src, dst),
+         |m AS (SELECT CAST(sum(pair_count) AS BIGINT) AS tt FROM e),
+         |ls AS (SELECT src, CAST(sum(pair_count) AS BIGINT) AS ca
+         |       FROM e GROUP BY src),
+         |rs AS (SELECT dst, CAST(sum(pair_count) AS BIGINT) AS cb
+         |       FROM e GROUP BY dst)
+         |SELECT e.src, e.dst, e.pair_count,
+         |  round(ln(CAST(e.pair_count AS DOUBLE) * m.tt / (ls.ca * rs.cb)), 6)
+         |    AS pmi
+         |FROM e JOIN ls USING (src) JOIN rs USING (dst) CROSS JOIN m
+         |WHERE e.pair_count >= $PmiMinCount
+         |ORDER BY pmi DESC, src, dst""".stripMargin
+
+  /** BFS hop depth over the directed co-occurrence graph from a
+    * deterministic source (the most frequent word, lexicographic
+    * tie-break), [[BfsIters]] frontier expansions — the reachability /
+    * graph-distance primitive (the same iterated min-plus pattern
+    * computes single-source shortest paths with weights). Depth updates
+    * are integer `min`s, so no quantization is needed for cross-engine
+    * exactness. Each iteration broadcasts the vocabulary-sized distance
+    * table against the (deduplicated, checkpointed) edge list; words
+    * unreached after [[BfsIters]] hops are absent, matching the oracle's
+    * fixed CTE chain. */
+  val BfsIters = 4
+  def graphBfsDepth(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "documents")
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+    val edges = words
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct().localCheckpoint()
+    val uc = words.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var dist = uc.orderBy(col("c").desc, col("w")).limit(1)
+      .select(col("w"), lit(0L).as("depth")).localCheckpoint()
+    for (_ <- 1 to BfsIters) {
+      val next = edges
+        .join(broadcast(dist.withColumnRenamed("w", "src")
+          .withColumnRenamed("depth", "pd")), "src")
+        .select(col("dst").as("w"), (col("pd") + 1L).as("depth"))
+      dist = dist.union(next).groupBy("w")
+        .agg(min("depth").as("depth")).localCheckpoint()
+    }
+    dist.orderBy("depth", "w")
+  }
+  val graphBfsDepthSql: String = {
+    def step(k: Int): String =
+      raw"""d$k AS MATERIALIZED (SELECT w, CAST(min(depth) AS BIGINT) AS depth
+           |  FROM (SELECT w, depth FROM d${k - 1} UNION ALL
+           |    SELECT e.dst AS w, p.depth + 1 AS depth
+           |    FROM edges e JOIN d${k - 1} p ON p.w = e.src) u
+           |  GROUP BY w)""".stripMargin
+    raw"""WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS w
+         |       FROM documents),
+         |bg AS (SELECT w[i] AS src, w[i+1] AS dst
+         |       FROM ws, UNNEST(range(1, len(w))) AS t(i)),
+         |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM bg),
+         |wd AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+         |       FROM documents),
+         |uc AS (SELECT w, count(*) AS c FROM wd GROUP BY w),
+         |d0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS depth
+         |     FROM (SELECT w FROM uc ORDER BY c DESC, w LIMIT 1)),
+         |""".stripMargin +
+      (1 to BfsIters).map(step).mkString(",\n") +
+      s"\nSELECT w, depth FROM d$BfsIters ORDER BY depth, w"
+  }
+
+  // ---------- event analytics ----------
+
+  /** Per-type z-score anomaly detection over the event stream: events
+    * whose `value` deviates more than [[ZCut]] population standard
+    * deviations from their event-type mean. Moments come from exact
+    * decimal sums (Σv at scale 6, Σv² at scale 12 — the [[Q.dsum]]
+    * recipe), so mean/variance are order-independent; sqrt and the final
+    * divide are correctly-rounded IEEE ops, making the z-scores
+    * cross-engine exact. Scale shape: one keyed aggregation to a
+    * #event-types-sized stats table, broadcast back over the stream —
+    * no window over an unpartitioned frame, no second pass. */
+  val ZCut = 3.0
+  def eventOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val st = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(30, 6))).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast(DecimalType(30, 12)))
+        .cast("double").as("s2"))
+    val mv = st.select(col("event_type"), col("n"),
+      (col("s1") / col("n")).as("m1"),
+      sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+        .as("sd"))
+    val z = (col("value") - col("m1")) / col("sd")
+    ev.join(broadcast(mv), "event_type")
+      .where(col("sd") > 0 && abs(z) > ZCut)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(z, 6).as("zscore"))
+      .orderBy("event_id")
+  }
+  val eventOutliersSql: String =
+    raw"""WITH st AS (SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(30, 6))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(value * value AS DECIMAL(30, 12))) AS DOUBLE) AS s2
+         |  FROM events GROUP BY event_type),
+         |mv AS (SELECT event_type, n, s1 / n AS m1,
+         |    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd FROM st)
+         |SELECT e.event_id, e.event_type, e.value,
+         |  round((e.value - mv.m1) / mv.sd, 6) AS zscore
+         |FROM events e JOIN mv USING (event_type)
+         |WHERE mv.sd > 0 AND abs((e.value - mv.m1) / mv.sd) > $ZCut
+         |ORDER BY e.event_id""".stripMargin
+
   /** Per-document Shannon entropy of the word distribution — the
     * information-theoretic quality signal (low entropy ⇒ repetitive /
     * template-like text, a standard pre-training filter alongside the
@@ -1980,7 +2131,10 @@ object Pipeline {
     "split_holdout" -> (splitHoldout _),
     "corpus_stats" -> (corpusStats _),
     "graph_pagerank" -> (graphPagerank _),
-    "text_entropy" -> (textEntropy _))
+    "text_entropy" -> (textEntropy _),
+    "text_collocations" -> (textCollocations _),
+    "graph_bfs_depth" -> (graphBfsDepth _),
+    "event_outliers" -> (eventOutliers _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -2019,5 +2173,8 @@ object Pipeline {
     "split_holdout" -> splitHoldoutSql,
     "corpus_stats" -> corpusStatsSql,
     "graph_pagerank" -> graphPagerankSql,
-    "text_entropy" -> textEntropySql)
+    "text_entropy" -> textEntropySql,
+    "text_collocations" -> textCollocationsSql,
+    "graph_bfs_depth" -> graphBfsDepthSql,
+    "event_outliers" -> eventOutliersSql)
 }

@@ -685,6 +685,13 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == expected.result())
   }
+}
+
+/** Graph analytics, collocation, entropy and event-outlier operators:
+  * each checked exactly against a single-threaded in-memory reference
+  * over the raw sf0.001 text/events. */
+class GraphTextSpec extends AnyFunSuite {
+  import SparkSpec._
 
   test("distributed pagerank equals the in-memory fixed-point reference") {
     // Same fixed-point update, computed single-threaded over the raw text:
@@ -716,11 +723,95 @@ class BpeSpec extends AnyFunSuite {
     val got = Pipeline.graphPagerank(spark, sf).collect()
       .map(row => (row.getString(0), row.getLong(1))).toSeq
     assert(got == expected)
-    // Damped rank mass stays conserved up to quantization leak: each of the
-    // N per-node updates floors at most twice, so sum ∈ (1e12 − 2N, 1e12].
+    // Damped rank mass stays conserved up to quantization leak: each
+    // iteration floors once per edge contribution and twice per node, and
+    // the damped map lets at most 1/(1−0.85) ≈ 6.7× of that steady-state
+    // loss accumulate — bound it by 7×(E + 2N).
     val total = got.map(_._2).sum
-    assert(total <= Pipeline.PrScale.toLong && total > Pipeline.PrScale.toLong - 2L * n,
-      s"rank mass $total outside quantization envelope for $n nodes")
+    val leakCap = 7L * (edges.size + 2L * n)
+    assert(total <= Pipeline.PrScale.toLong && total > Pipeline.PrScale.toLong - leakCap,
+      s"rank mass $total outside quantization envelope ($leakCap) for $n nodes")
+  }
+
+  test("bigram PMI equals a local recompute and flags genuine collocations") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).trim)
+    val c = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val w = t.split("\\s+")
+      w.indices.dropRight(1).foreach { i =>
+        c((w(i), w(i + 1))) = c.getOrElse((w(i), w(i + 1)), 0L) + 1
+      }
+    }
+    val tt = c.values.sum
+    val ca = c.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val cb = c.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val expected = c.toSeq.collect {
+      case ((a, b), n) if n >= Pipeline.PmiMinCount =>
+        val pmi = BigDecimal(math.log(n.toDouble * tt / (ca(a) * cb(b))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b, n, pmi)
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }
+    val got = Pipeline.textCollocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // PMI must be positive for the top collocation and the table must
+    // contain negative-association pairs too (otherwise the margin math
+    // degenerated to a constant).
+    assert(got.head._4 > 0 && got.last._4 < 0)
+  }
+
+  test("bfs depth equals a local breadth-first search from the modal word") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).trim)
+    val edges = scala.collection.mutable.Set.empty[(String, String)]
+    val uc = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val w = t.split("\\s+")
+      w.foreach(x => uc(x) = uc.getOrElse(x, 0L) + 1)
+      w.indices.dropRight(1).foreach(i => edges += ((w(i), w(i + 1))))
+    }
+    val src = uc.toSeq.sortBy { case (w, n) => (-n, w) }.head._1
+    val adj = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    var depth = Map(src -> 0L)
+    (1 to Pipeline.BfsIters).foreach { _ =>
+      val next = depth.toSeq.flatMap { case (u, du) =>
+        adj.getOrElse(u, Set.empty).map(_ -> (du + 1))
+      }
+      depth = (depth.toSeq ++ next).groupBy(_._1)
+        .map { case (w, ds) => w -> ds.map(_._2).min }
+    }
+    val expected = depth.toSeq.sortBy { case (w, d0) => (d0, w) }
+    val got = Pipeline.graphBfsDepth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("event outliers all exceed the z cut and agree with a local recompute") {
+    val rows = Pipeline.eventOutliers(spark, sf).collect()
+    val byType = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._2)
+    val expected = byType.toSeq.flatMap { case (_, evs) =>
+      val n = evs.length
+      val s1 = evs.map(e => BigDecimal(e._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val s2 = evs.map(e => BigDecimal(e._3 * e._3).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val m1 = s1 / n
+      val sd = math.sqrt(s2 / n - m1 * m1)
+      if (sd <= 0) Seq.empty
+      else evs.collect {
+        case (id, et, v) if math.abs((v - m1) / sd) > Pipeline.ZCut =>
+          (id, et, v,
+            BigDecimal((v - m1) / sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy(_._1)
+    val got = rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    assert(got.forall { case (_, _, _, z) => math.abs(z) > Pipeline.ZCut })
   }
 
   test("word entropy is bounded by ln(n_unique) and exact for a local recompute") {
