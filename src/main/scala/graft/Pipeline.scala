@@ -2038,6 +2038,61 @@ object Pipeline {
          |WHERE mv.sd > 0 AND abs((e.value - mv.m1) / mv.sd) > $ZCut
          |ORDER BY e.event_id""".stripMargin
 
+  /** Time-series resampling with gap fill: the event stream downsampled
+    * to a dense per-type hourly grid (sparse hours appear with
+    * n_events = 0) and the hourly mean forward-filled across gaps — the
+    * standard resample → ffill preparation before feature extraction.
+    * The grid is generated per group from its own [min, max] hour
+    * (`sequence(h0, h1, interval 1 hour)` exploded — map-side), then
+    * left-joined against the hourly aggregate and carried forward with
+    * `last(_, ignoreNulls)` over a type-partitioned running frame.
+    * Hourly means use exact decimal sums ([[Q.dsum]]) for
+    * order-independence.
+    *
+    * Scale: grid size is #types × span-hours — tiny next to the event
+    * stream; the only corpus-sized work is the first keyed aggregation.
+    * The fill window partitions by event_type, which is fine while
+    * per-type span-hours fit a partition; for years×millions-of-keys
+    * grids, partition by (type, day) and carry each day's last value in
+    * via the same two-phase offset construction pack_sequences uses. */
+  def eventResample(s: SparkSession, d: String): DataFrame = {
+    val hourly = t(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(dsum(col("value")) / count(lit(1)), 6).as("mean_value"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val fillW = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("mean_value"),
+        last(col("mean_value"), ignoreNulls = true).over(fillW)
+          .as("filled_value"))
+      .orderBy("event_type", "hour")
+  }
+  val eventResampleSql: String =
+    s"""WITH hourly AS (SELECT event_type,
+       |    date_trunc('hour', ts)::TIMESTAMP AS hour,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    round(${DSUM("value")} / count(*), 6) AS mean_value
+       |  FROM events GROUP BY event_type, hour),
+       |span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+       |  FROM hourly GROUP BY event_type),
+       |grid AS (SELECT event_type,
+       |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+       |  FROM span)
+       |SELECT g.event_type, g.hour, COALESCE(h.n_events, 0) AS n_events,
+       |  h.mean_value,
+       |  last_value(h.mean_value IGNORE NULLS) OVER (
+       |    PARTITION BY g.event_type ORDER BY g.hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+       |FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+       |ORDER BY event_type, hour""".stripMargin
+
   /** Per-document Shannon entropy of the word distribution — the
     * information-theoretic quality signal (low entropy ⇒ repetitive /
     * template-like text, a standard pre-training filter alongside the
@@ -2134,7 +2189,8 @@ object Pipeline {
     "text_entropy" -> (textEntropy _),
     "text_collocations" -> (textCollocations _),
     "graph_bfs_depth" -> (graphBfsDepth _),
-    "event_outliers" -> (eventOutliers _))
+    "event_outliers" -> (eventOutliers _),
+    "event_resample" -> (eventResample _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -2176,5 +2232,6 @@ object Pipeline {
     "text_entropy" -> textEntropySql,
     "text_collocations" -> textCollocationsSql,
     "graph_bfs_depth" -> graphBfsDepthSql,
-    "event_outliers" -> eventOutliersSql)
+    "event_outliers" -> eventOutliersSql,
+    "event_resample" -> eventResampleSql)
 }

@@ -814,6 +814,32 @@ class GraphTextSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, _, z) => math.abs(z) > Pipeline.ZCut })
   }
 
+  test("resampled grid is dense, count-preserving, and gap-filled") {
+    val rows = Pipeline.eventResample(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val hours = rs.map(_.getTimestamp(1).getTime).sorted
+      // dense hourly grid: every consecutive step is exactly one hour
+      hours.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a == 3600000L, s"grid hole between $a and $b")
+      }
+    }
+    val total = rows.map(_.getLong(2)).sum
+    val raw = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == raw, s"resample lost events: $total vs $raw")
+    // forward fill: every gap hour after the first observation carries the
+    // most recent mean; observed hours carry their own mean verbatim.
+    byType.foreach { case (_, rs) =>
+      var carry: Option[Double] = None
+      rs.sortBy(_.getTimestamp(1).getTime).foreach { r =>
+        val mean = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        if (mean.isDefined) carry = mean
+        val filled = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+        assert(filled == carry, s"fill mismatch at ${r.getTimestamp(1)}")
+      }
+    }
+  }
+
   test("word entropy is bounded by ln(n_unique) and exact for a local recompute") {
     val rows = Pipeline.textEntropy(spark, sf).collect()
     assert(rows.nonEmpty)
