@@ -1824,22 +1824,28 @@ object Pipeline {
     * same size as the 1st. */
   val PrIters = 5
   val PrScale = 1e12
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+  def graphPagerank(s: SparkSession, d: String): DataFrame =
+    graphPagerankImpl(s, d, checkpoint = true)
+  /** checkpoint=false keeps the full multi-iteration lineage visible —
+    * used by the plan-audit spec to assert the broadcast-join shape that
+    * `localCheckpoint` otherwise hides behind an RDD scan. */
+  private[graft] def graphPagerankImpl(
+      s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
+    def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val pairs = t(s, d, "documents")
       .select(expr(wordsExpr).as("ws"))
       .select(explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val edges = pairs.groupBy("src", "dst")
-      .agg(count(lit(1)).as("wt")).localCheckpoint()
-    val nodes = edges.select(col("src").as("w"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val edges = cp(pairs.groupBy("src", "dst")
+      .agg(count(lit(1)).as("wt")))
+    val nodes = cp(edges.select(col("src").as("w"))
+      .union(edges.select(col("dst"))).distinct())
     val nn = nodes.agg(count(lit(1)).as("n"))
     val outdeg = edges.groupBy(col("src")).agg(sum("wt").as("od"))
-    var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("w"), floor(lit(PrScale) / col("n")).as("r"))
-      .localCheckpoint()
+    var ranks = cp(nodes.crossJoin(broadcast(nn))
+      .select(col("w"), floor(lit(PrScale) / col("n")).as("r")))
     for (_ <- 1 to PrIters) {
       val contrib = edges
         .join(broadcast(ranks.withColumnRenamed("w", "src")), "src")
@@ -1847,12 +1853,11 @@ object Pipeline {
         .select(col("dst").as("w"),
           floor(col("r").cast("double") * col("wt") / col("od")).as("ctr"))
         .groupBy("w").agg(sum("ctr").as("s"))
-      ranks = nodes.crossJoin(broadcast(nn))
-        .join(contrib, Seq("w"), "left")
+      ranks = cp(nodes.crossJoin(broadcast(nn))
+        .join(broadcast(contrib), Seq("w"), "left")
         .select(col("w"),
           (floor(lit(0.15) * lit(PrScale) / col("n")) +
-            floor(lit(0.85) * coalesce(col("s"), lit(0L)))).as("r"))
-        .localCheckpoint()
+            floor(lit(0.85) * coalesce(col("s"), lit(0L)))).as("r")))
     }
     ranks.select(col("w"), col("r").as("rank_e12"))
       .orderBy(col("rank_e12").desc, col("w"))
@@ -1949,26 +1954,30 @@ object Pipeline {
     * unreached after [[BfsIters]] hops are absent, matching the oracle's
     * fixed CTE chain. */
   val BfsIters = 4
-  def graphBfsDepth(s: SparkSession, d: String): DataFrame = {
+  def graphBfsDepth(s: SparkSession, d: String): DataFrame =
+    graphBfsDepthImpl(s, d, checkpoint = true)
+  private[graft] def graphBfsDepthImpl(
+      s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
+    def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val words = t(s, d, "documents")
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
-    val edges = words
+    val edgesCp = cp(words
       .select(explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct())
     val uc = words.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    var dist = uc.orderBy(col("c").desc, col("w")).limit(1)
-      .select(col("w"), lit(0L).as("depth")).localCheckpoint()
+    var dist = cp(uc.orderBy(col("c").desc, col("w")).limit(1)
+      .select(col("w"), lit(0L).as("depth")))
     for (_ <- 1 to BfsIters) {
-      val next = edges
+      val next = edgesCp
         .join(broadcast(dist.withColumnRenamed("w", "src")
           .withColumnRenamed("depth", "pd")), "src")
         .select(col("dst").as("w"), (col("pd") + 1L).as("depth"))
-      dist = dist.union(next).groupBy("w")
-        .agg(min("depth").as("depth")).localCheckpoint()
+      dist = cp(dist.union(next).groupBy("w")
+        .agg(min("depth").as("depth")))
     }
     dist.orderBy("depth", "w")
   }
@@ -2093,6 +2102,99 @@ object Pipeline {
        |FROM grid g LEFT JOIN hourly h USING (event_type, hour)
        |ORDER BY event_type, hour""".stripMargin
 
+  /** Chi-square test of independence on the source × word contingency
+    * table (is vocabulary usage independent of the corpus source?) plus
+    * Cramér's V effect size — the categorical-association test a corpus
+    * audit runs before trusting per-source mixing weights. Observed and
+    * marginal counts are exact integers; each (o−e)²/e term is
+    * decimal-quantized before the (exact) sum, and sqrt is a
+    * correctly-rounded IEEE op, so statistic and effect size are
+    * cross-engine exact. Scale: one corpus-sized keyed aggregation; all
+    * contingency math happens on the #sources × |V| table with broadcast
+    * marginals. */
+  def statChiSquare(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "documents")
+      .select(col("source"), explode(expr(wordsExpr)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rt = o.groupBy("source").agg(sum("o").as("rt"))
+    val ct = o.groupBy("w").agg(sum("o").as("ct"))
+    val nn = o.agg(sum("o").as("n"),
+      countDistinct(col("source")).as("r_levels"),
+      countDistinct(col("w")).as("c_levels"))
+    val e = col("rt") * col("ct") / col("n")
+    o.join(broadcast(rt), "source").join(broadcast(ct), "w")
+      .crossJoin(broadcast(nn))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("o") - e) * (col("o") - e) / e)
+          .cast(DecimalType(30, 6)).as("term"))
+      .groupBy("n", "r_levels", "c_levels")
+      .agg(sum("term").cast("double").as("chi2_raw"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        round(col("chi2_raw"), 4).as("chi2"),
+        round(sqrt(col("chi2_raw") /
+          (col("n") * least(col("r_levels") - 1, col("c_levels") - 1))), 6)
+          .as("cramers_v"))
+  }
+  val statChiSquareSql: String =
+    raw"""WITH wd AS (SELECT source,
+         |    unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |o AS (SELECT source, w, CAST(count(*) AS BIGINT) AS o
+         |  FROM wd GROUP BY source, w),
+         |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt
+         |  FROM o GROUP BY source),
+         |ct AS (SELECT w, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY w),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    count(DISTINCT source) AS r_levels,
+         |    count(DISTINCT w) AS c_levels FROM o),
+         |terms AS (SELECT nn.n, nn.r_levels, nn.c_levels,
+         |    CAST((o.o - rt.rt * ct.ct / nn.n) * (o.o - rt.rt * ct.ct / nn.n)
+         |      / (rt.rt * ct.ct / nn.n) AS DECIMAL(30, 6)) AS term
+         |  FROM o JOIN rt USING (source) JOIN ct USING (w) CROSS JOIN nn)
+         |SELECT n, r_levels, c_levels,
+         |  (r_levels - 1) * (c_levels - 1) AS dof,
+         |  round(CAST(sum(term) AS DOUBLE), 4) AS chi2,
+         |  round(sqrt(CAST(sum(term) AS DOUBLE)
+         |    / (n * least(r_levels - 1, c_levels - 1))), 6) AS cramers_v
+         |FROM terms GROUP BY n, r_levels, c_levels""".stripMargin
+
+  /** Winsorization (percentile clipping) of event values: per-type
+    * [[WinsLo]]/[[WinsHi]] interpolated percentiles bound each event's
+    * value — the robust-preprocessing step that tames heavy tails before
+    * z-scoring or featurization. The percentile pair is one keyed
+    * aggregation to a #types-sized table broadcast back over the stream
+    * (same single-pass topology as event_outliers); clipping is
+    * least/greatest, and bounds are emitted rounded while the clipped
+    * value stays raw wherever it isn't replaced. */
+  val WinsLo = 0.05
+  val WinsHi = 0.95
+  def eventWinsorize(s: SparkSession, d: String): DataFrame = {
+    val bounds = t(s, d, "events").groupBy("event_type")
+      .agg(expr(s"percentile(value, $WinsLo)").as("lo"),
+        expr(s"percentile(value, $WinsHi)").as("hi"))
+    t(s, d, "events").join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("lo"), 6).as("p_lo"), round(col("hi"), 6).as("p_hi"),
+        round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+          .as("clipped"),
+        (col("value") < col("lo") || col("value") > col("hi"))
+          .as("was_clipped"))
+      .orderBy("event_id")
+  }
+  val eventWinsorizeSql: String =
+    s"""WITH b AS (SELECT event_type,
+       |    quantile_cont(value, $WinsLo) AS lo,
+       |    quantile_cont(value, $WinsHi) AS hi
+       |  FROM events GROUP BY event_type)
+       |SELECT e.event_id, e.event_type,
+       |  round(b.lo, 6) AS p_lo, round(b.hi, 6) AS p_hi,
+       |  round(least(greatest(e.value, b.lo), b.hi), 6) AS clipped,
+       |  (e.value < b.lo OR e.value > b.hi) AS was_clipped
+       |FROM events e JOIN b USING (event_type)
+       |ORDER BY e.event_id""".stripMargin
+
   /** Per-document Shannon entropy of the word distribution — the
     * information-theoretic quality signal (low entropy ⇒ repetitive /
     * template-like text, a standard pre-training filter alongside the
@@ -2190,7 +2292,9 @@ object Pipeline {
     "text_collocations" -> (textCollocations _),
     "graph_bfs_depth" -> (graphBfsDepth _),
     "event_outliers" -> (eventOutliers _),
-    "event_resample" -> (eventResample _))
+    "event_resample" -> (eventResample _),
+    "stat_chi_square" -> (statChiSquare _),
+    "event_winsorize" -> (eventWinsorize _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -2233,5 +2337,7 @@ object Pipeline {
     "text_collocations" -> textCollocationsSql,
     "graph_bfs_depth" -> graphBfsDepthSql,
     "event_outliers" -> eventOutliersSql,
-    "event_resample" -> eventResampleSql)
+    "event_resample" -> eventResampleSql,
+    "stat_chi_square" -> statChiSquareSql,
+    "event_winsorize" -> eventWinsorizeSql)
 }

@@ -840,6 +840,68 @@ class GraphTextSpec extends AnyFunSuite {
     }
   }
 
+  test("chi-square statistic equals a local recompute on the contingency table") {
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").map(w => (r.getString(0), w)))
+    val o = raw.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rt = o.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val ct = o.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val n = o.values.sum
+    val chi2Raw = o.map { case ((s0, w), obs) =>
+      val e = rt(s0) * ct(w) / n.toDouble
+      BigDecimal((obs - e) * (obs - e) / e)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val row = Pipeline.statChiSquare(spark, sf).collect().head
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("dof") ==
+      (rt.size - 1).toLong * (ct.size - 1).toLong)
+    assert(row.getAs[Double]("chi2") ==
+      BigDecimal(chi2Raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("winsorized values are clipped to in-group percentile bounds") {
+    val rows = Pipeline.eventWinsorize(spark, sf).collect()
+    val byId = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.length == byId.size)
+    var clipped = 0
+    rows.foreach { r =>
+      val (lo, hi, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val raw = byId(r.getLong(0))
+      assert(lo <= hi && c >= lo - 1e-9 && c <= hi + 1e-9)
+      if (r.getBoolean(5)) {
+        clipped += 1
+        // replaced by a bound, never by the raw value
+        assert(c == lo || c == hi)
+      } else {
+        assert(c == BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    // nominal clip mass: 10% of each group up to interpolation ties
+    assert(clipped > 0 && clipped <= (rows.length * 0.12).toInt,
+      s"$clipped of ${rows.length} clipped")
+  }
+
+  test("plan audit: iterative graph ops broadcast the state table") {
+    // checkpoint=false keeps the whole multi-iteration lineage in one
+    // plan (the production path truncates it per round); every
+    // state-vs-edges join must be a BroadcastHashJoin, never a shuffle
+    // or cartesian — the property that keeps an iteration O(edges).
+    Seq(Pipeline.graphPagerankImpl(spark, sf, checkpoint = false),
+      Pipeline.graphBfsDepthImpl(spark, sf, checkpoint = false))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"), plan)
+        assert(!plan.contains("CartesianProduct"), plan)
+        assert(!plan.contains("SortMergeJoin"), plan)
+      }
+  }
+
   test("word entropy is bounded by ln(n_unique) and exact for a local recompute") {
     val rows = Pipeline.textEntropy(spark, sf).collect()
     assert(rows.nonEmpty)
