@@ -106,6 +106,29 @@ final case class Frame(df: DataFrame) {
   def count(): Long = df.count()
   def describe(cols: String*): Frame = Frame(df.describe(cols: _*))
 
+  // §2.11 incremental result delivery (reference dataframe.py:1681-1689)
+  /** execute_stream (reference dataframe.py:1681, record_batch.py:70):
+    * rows stream to the caller incrementally — Spark's toLocalIterator
+    * fetches one partition at a time, so driver memory is bounded by a
+    * single partition, not the result. */
+  def executeStream(): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+  /** execute_stream_partitioned (reference dataframe.py:1689,
+    * dataframe.rs:1250): one stream per partition, preserving partition
+    * boundaries. Outer iterator is lazy — each partition is fetched with
+    * its own single-partition job only when reached, the same
+    * incremental-delivery contract as the reference's per-partition
+    * RecordBatchStreams. */
+  def executeStreamPartitioned(): Iterator[Iterator[Row]] = {
+    val rdd = df.rdd
+    val sc = df.sparkSession.sparkContext
+    (0 until rdd.getNumPartitions).iterator.map { i =>
+      sc.runJob(rdd, (it: Iterator[Row]) => it.toArray, Seq(i)).head.iterator
+    }
+  }
+
   // §2.13 introspection (reference dataframe.py:1205-1258)
   /** Plan → SQL text (reference unparser.py:18); raises outside the
     * relational core [[Unparser]] covers. */

@@ -14,7 +14,10 @@ object PipeBench {
     "text_bpe_merges", "text_bpe_encode", "agg_approx_topk",
     "join_bucketed", "write_zorder",
     "tfidf_top_terms", "dedup_substring", "sim_quantized_topk",
-    "event_rfm", "shuffle_epoch", "split_holdout", "corpus_stats")
+    "event_rfm", "shuffle_epoch", "split_holdout", "corpus_stats",
+    "graph_pagerank", "graph_bfs_depth", "text_entropy",
+    "text_collocations", "event_outliers", "event_resample",
+    "stat_chi_square", "event_winsorize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

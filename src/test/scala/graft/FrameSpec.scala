@@ -85,4 +85,16 @@ class FrameSpec extends AnyFunSuite {
     val plan = Tpch.q5(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("execute_stream delivers every row; partitioned variant preserves boundaries") {
+    val f = Frame(Q.t(spark, sf, "nation").repartition(4))
+    val collected = f.df.collect().map(_.toString).sorted.toSeq
+    assert(f.executeStream().map(_.toString).toSeq.sorted == collected)
+    val parts = f.executeStreamPartitioned().map(_.map(_.toString).toSeq).toSeq
+    assert(parts.length == f.partitionCount)
+    assert(parts.flatten.sorted == collected)
+    // boundary fidelity: per-partition contents equal the RDD's own layout
+    val glom = f.df.rdd.glom().collect().map(_.map(_.toString).toSeq).toSeq
+    assert(parts == glom)
+  }
 }
