@@ -2003,6 +2003,68 @@ object Pipeline {
       s"\nSELECT w, depth FROM d$BfsIters ORDER BY depth, w"
   }
 
+  /** Triangle count + global clustering coefficient over the undirected
+    * co-occurrence graph — the standard cohesion metrics (counting via
+    * the canonical a<b<c edge orientation, so each triangle is
+    * enumerated exactly once from its two forward wedges). Every output
+    * is an exact integer except the coefficient, a single rounded
+    * division of exact integers — nothing to quantize.
+    *
+    * Scale: the corpus reduces to the deduplicated canonical edge list
+    * (vocabulary²-bounded) in one map-side pass + one distinct; the
+    * two-step wedge-close join runs entirely on that reduced table. For
+    * graphs whose edge list is NOT tiny relative to the cluster, the
+    * same oriented-join topology is the distributed-triangle standard
+    * (order vertices by degree so high-degree nodes close wedges, which
+    * bounds the wedge intermediate — the classic compact-forward
+    * refinement); here orientation is lexicographic for oracle parity. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val und = t(s, d, "documents")
+      .select(expr(wordsExpr).as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
+      .where(col("e.src") =!= col("e.dst"))
+      .select(least(col("e.src"), col("e.dst")).as("a"),
+        greatest(col("e.src"), col("e.dst")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = und.as("e1")
+      .join(broadcast(und.as("e2")), col("e1.b") === col("e2.a"))
+      .join(broadcast(und.as("e3")),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val agg0 = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val ec = und.agg(count(lit(1)).as("n_edges"))
+    agg0.crossJoin(broadcast(ec)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
+  val graphTrianglesSql: String =
+    raw"""WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS w
+         |       FROM documents),
+         |bg AS (SELECT w[i] AS src, w[i+1] AS dst
+         |       FROM ws, UNNEST(range(1, len(w))) AS t(i)),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+         |       greatest(src, dst) AS b FROM bg WHERE src <> dst),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |       SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u
+         |     GROUP BY v),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM und e1
+         |     JOIN und e2 ON e2.a = e1.b
+         |     JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |agg0 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |     CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+         |SELECT agg0.n_nodes, ec.n_edges, tri.n_triangles, agg0.n_wedges,
+         |  round(3.0 * tri.n_triangles / agg0.n_wedges, 6) AS clustering_coeff
+         |FROM agg0 CROSS JOIN ec CROSS JOIN tri""".stripMargin
+
   // ---------- event analytics ----------
 
   /** Per-type z-score anomaly detection over the event stream: events
@@ -2294,7 +2356,8 @@ object Pipeline {
     "event_outliers" -> (eventOutliers _),
     "event_resample" -> (eventResample _),
     "stat_chi_square" -> (statChiSquare _),
-    "event_winsorize" -> (eventWinsorize _))
+    "event_winsorize" -> (eventWinsorize _),
+    "graph_triangles" -> (graphTriangles _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -2339,5 +2402,6 @@ object Pipeline {
     "event_outliers" -> eventOutliersSql,
     "event_resample" -> eventResampleSql,
     "stat_chi_square" -> statChiSquareSql,
-    "event_winsorize" -> eventWinsorizeSql)
+    "event_winsorize" -> eventWinsorizeSql,
+    "graph_triangles" -> graphTrianglesSql)
 }

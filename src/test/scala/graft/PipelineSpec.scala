@@ -902,6 +902,36 @@ class GraphTextSpec extends AnyFunSuite {
       }
   }
 
+  test("triangle census equals a local adjacency-set recompute") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).trim)
+    val und = scala.collection.mutable.Set.empty[(String, String)]
+    texts.foreach { t =>
+      val w = t.split("\\s+")
+      w.indices.dropRight(1).foreach { i =>
+        if (w(i) != w(i + 1)) {
+          val (a, b) = if (w(i) < w(i + 1)) (w(i), w(i + 1)) else (w(i + 1), w(i))
+          und += ((a, b))
+        }
+      }
+    }
+    val adj = scala.collection.mutable.Map.empty[String, Set[String]]
+      .withDefaultValue(Set.empty)
+    und.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val nodes = adj.keys.toSeq.sorted
+    val tris = nodes.combinations(3).count { case Seq(x, y, z) =>
+      adj(x)(y) && adj(x)(z) && adj(y)(z)
+    }
+    val wedges = nodes.map { v => val d = adj(v).size.toLong; d * (d - 1) / 2 }.sum
+    val r = Pipeline.graphTriangles(spark, sf).collect().head
+    assert(r.getAs[Long]("n_nodes") == nodes.size.toLong)
+    assert(r.getAs[Long]("n_edges") == und.size.toLong)
+    assert(r.getAs[Long]("n_triangles") == tris.toLong)
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Double]("clustering_coeff") ==
+      BigDecimal(3.0 * tris / wedges).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("word entropy is bounded by ln(n_unique) and exact for a local recompute") {
     val rows = Pipeline.textEntropy(spark, sf).collect()
     assert(rows.nonEmpty)
