@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the sketch/sampling/sequence operators — the
+  * properties the DuckDB hash-compare cannot express (one-sided sketch
+  * error, sampling bias direction, window coverage). */
+class StatsSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("CMS estimates are never below the exact count and mostly tight") {
+    val rows = Stats.sketchCms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt")),
+      "CMS underestimated a key — impossible for a correct sketch")
+    val tight = rows.count(r => r.getAs[Long]("est_cnt") == r.getAs[Long]("exact_cnt"))
+    assert(tight.toDouble / rows.length >= 0.5,
+      s"only $tight/${rows.length} exact at width 256 — hashing is broken")
+  }
+
+  test("bloom filter has no false negatives and a bounded false-positive rate") {
+    val rows = Stats.sketchBloom(spark, sf).collect()
+    val withOrders = rows.filter(_.getAs[Long]("has_orders") == 1L)
+    assert(withOrders.nonEmpty)
+    assert(withOrders.forall(_.getAs[Long]("maybe_present") == 1L),
+      "bloom false negative — impossible for a correct filter")
+    val absent = rows.filter(_.getAs[Long]("has_orders") == 0L)
+    if (absent.length >= 20) {
+      val fp = absent.count(_.getAs[Long]("maybe_present") == 1L)
+      assert(fp.toDouble / absent.length <= 0.5,
+        s"false-positive rate $fp/${absent.length} — far above the k=4,m=8192 design point")
+    }
+  }
+
+  test("HLL estimate lands within the m=64 error envelope") {
+    val rows = Stats.sketchHll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val est = r.getAs[Double]("hll_users")
+      assert(est > 0.0)
+      // 1.04/sqrt(64) = 13% std error; 30% is a generous 2.3-sigma gate
+      assert(math.abs(est - exact) / exact <= 0.30,
+        s"${r.getString(0)}: HLL $est vs exact $exact drifts past 30%")
+    }
+  }
+
+  test("ACF values are bounded and pair counts shrink with the lag") {
+    val rows = Stats.statAcf(spark, sf).collect()
+    assert(rows.length == 24)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9))
+    val np = rows.sortBy(_.getAs[Long]("lag")).map(_.getAs[Long]("n_pairs"))
+    np.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => }
+  }
+
+  test("association rules have consistent supports and bounded confidence") {
+    val rows = Stats.assocRules(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val pair = r.getAs[Long]("pair_orders")
+      assert(pair <= r.getAs[Long]("supp_a") && pair <= r.getAs[Long]("supp_b"),
+        "a pair cannot out-support its items")
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"))
+    }
+    val counts = rows.map(_.getAs[Long]("pair_orders"))
+    counts.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => }
+  }
+
+  test("priority sampling returns K rows biased toward heavy documents") {
+    val sample = Stats.sampleWeighted(spark, sf).collect()
+    assert(sample.length == 100)
+    val sampleMean = sample.map(_.getAs[Long]("n_chars").toDouble).sum / sample.length
+    val corpusMean = Q.t(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("decile bins partition the orders with near-equal support") {
+    val bins = Stats.binQuantile(spark, sf).collect()
+    assert(bins.map(_.getAs[Long]("bin")).toSeq == (1L to 10L))
+    val total = Q.t(spark, sf, "orders").count()
+    assert(bins.map(_.getAs[Long]("n")).sum == total)
+    val sizes = bins.map(_.getAs[Long]("n"))
+    assert(sizes.max - sizes.min <= 1, "ntile bins must differ by at most one row")
+    // bins are ordered ranges: each bin's lo is >= the previous bin's hi
+    val byBin = bins.sortBy(_.getAs[Long]("bin"))
+    byBin.sliding(2).foreach { w =>
+      assert(w(1).getAs[Double]("lo") >= w(0).getAs[Double]("hi"))
+    }
+  }
+
+  test("markov transition probabilities sum to one per source state") {
+    val sums = Stats.eventMarkov(spark, sf)
+      .groupBy(col("event_type")).agg(sum(col("prob")).as("p"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p") - 1.0) < 1e-4,
+        s"${r.getString(0)} rows sum to ${r.getAs[Double]("p")}")
+    }
+  }
+
+  test("sliding windows cover each event exactly twice") {
+    val windowed = Stats.eventSlidingWindow(spark, sf)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val events = Q.t(spark, sf, "events").count()
+    assert(windowed == 2 * events,
+      s"2h/1h hopping windows must double-count: $windowed vs ${2 * events}")
+  }
+
+  test("correlation matrix diagonal is exactly one after rounding") {
+    val m = Stats.statCorrMatrix(spark, sf).collect()
+    assert(m.length == 10) // 4 measures -> 6 pairs + 4 diagonal
+    val diag = m.filter(r => r.getString(0) == r.getString(1))
+    assert(diag.length == 4)
+    diag.foreach(r => assert(r.getAs[Double]("corr") == 1.0))
+    m.foreach(r => assert(math.abs(r.getAs[Double]("corr")) <= 1.0))
+  }
+
+  test("toleranced as-of join only differs from the plain join beyond tolerance") {
+    val plain = Pipeline.joinAsof(spark, sf)
+      .select(col("event_id"), col("ts"), col("match_event_id"), col("match_ts"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val tol = Stats.joinAsofTolerance(spark, sf).collect()
+    assert(tol.length == plain.size)
+    var beyond = 0
+    tol.foreach { r =>
+      val p = plain(r.getAs[Long]("event_id"))
+      if (r.isNullAt(r.fieldIndex("match_event_id"))) {
+        // either no match at all, or the plain match was older than 30 min
+        if (!p.isNullAt(2)) {
+          val gapMs = p.getAs[java.sql.Timestamp](1).getTime -
+            p.getAs[java.sql.Timestamp](3).getTime
+          assert(gapMs > 30 * 60 * 1000L, s"nulled a within-tolerance match: $r")
+          beyond += 1
+        }
+      } else {
+        assert(r.getAs[Long]("match_event_id") == p.getAs[Long]("match_event_id"))
+      }
+    }
+    assert(beyond > 0, "corpus produced no beyond-tolerance matches — tolerance untested")
+  }
+
+  test("merge-schema scan surfaces the added column as null for old files") {
+    val rows = Stats.scanMergeSchema(spark, sf).collect()
+    val (a, b) = rows.partition(_.getAs[String]("v") == "a")
+    assert(a.nonEmpty && b.nonEmpty)
+    assert(a.forall(_.isNullAt(2)), "v=a files predate `extra` — must read as null")
+    assert(b.forall(!_.isNullAt(2)))
+  }
+}
