@@ -120,10 +120,15 @@ final case class Frame(df: DataFrame) {
     * boundaries. Outer iterator is lazy — each partition is fetched with
     * its own single-partition job only when reached, the same
     * incremental-delivery contract as the reference's per-partition
-    * RecordBatchStreams. */
+    * RecordBatchStreams. The plan is localCheckpoint'ed first so the P
+    * single-partition jobs replay materialized partitions instead of
+    * recomputing the full upstream plan P times (quadratic work for wide
+    * plans) — which also pins one evaluation of any nondeterministic
+    * expression across partitions. */
   def executeStreamPartitioned(): Iterator[Iterator[Row]] = {
-    val rdd = df.rdd
-    val sc = df.sparkSession.sparkContext
+    val pinned = df.localCheckpoint()
+    val rdd = pinned.rdd
+    val sc = pinned.sparkSession.sparkContext
     (0 until rdd.getNumPartitions).iterator.map { i =>
       sc.runJob(rdd, (it: Iterator[Row]) => it.toArray, Seq(i)).head.iterator
     }

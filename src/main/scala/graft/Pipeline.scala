@@ -1643,12 +1643,11 @@ object Pipeline {
     * the standard product-analytics cohort op. Per-user rollup is one
     * keyed aggregate over the event stream (monetary through the exact
     * decimal-sum lane); the corpus max timestamp attaches as a broadcast
-    * single-row aggregate. Quartile assignment (`ntile(4)`, user_id
-    * tie-break so buckets are deterministic) runs over the USER dimension
-    * — cardinality orders of magnitude below the event count, but still a
-    * single-partition sort; at 100 TB users you'd swap it for
-    * approx-percentile boundaries + a map-side bucket lookup, trading
-    * bit-exact quartile edges for a fully parallel plan. */
+    * single-row aggregate. Each quartile assignment runs through
+    * [[Q.distNtile]] (range shuffle + parallel per-partition rank +
+    * broadcast offsets), so even at hundreds of millions of users no
+    * single partition ever sorts the whole dimension — while remaining
+    * bit-identical to the `ntile(4)` oracle (user_id tie-break). */
   def eventRfm(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
     val maxTs = broadcast(ev.agg(max(col("ts")).as("max_ts")))
@@ -1656,13 +1655,15 @@ object Pipeline {
       max(col("ts")).as("last_ts"),
       count(lit(1)).as("freq"),
       dsum(col("value")).as("monetary"))
-    def quart(c: Column) = ntile(4).over(Window.orderBy(c, col("user_id")))
-    per.crossJoin(maxTs)
+    val scored = per.crossJoin(maxTs)
       .withColumn("recency_days",
         datediff(to_date(col("max_ts")), to_date(col("last_ts"))).cast("long"))
-      .withColumn("r_q", quart(col("recency_days")).cast("long"))
-      .withColumn("f_q", quart(col("freq").desc).cast("long"))
-      .withColumn("m_q", quart(col("monetary").desc).cast("long"))
+    val withQ = Seq[(String, Seq[Column])](
+      ("r_q", Seq(col("recency_days"), col("user_id"))),
+      ("f_q", Seq(col("freq").desc, col("user_id"))),
+      ("m_q", Seq(col("monetary").desc, col("user_id"))))
+      .foldLeft(scored) { case (df, (out, ord)) => Q.distNtile(df, 4, out, ord: _*) }
+    withQ
       .withColumn("segment", concat(col("r_q"), col("f_q"), col("m_q")))
       .select("user_id", "recency_days", "freq", "monetary",
         "r_q", "f_q", "m_q", "segment")
@@ -2184,7 +2185,10 @@ object Pipeline {
     val nn = o.agg(sum("o").as("n"),
       countDistinct(col("source")).as("r_levels"),
       countDistinct(col("w")).as("c_levels"))
-    val e = col("rt") * col("ct") / col("n")
+    // rt*ct in double, not BIGINT: a 100 TB contingency table overflows the
+    // long product silently in Spark (non-ANSI wrap) while DuckDB errors —
+    // the double path is exact for the test scales and diverges loudly never
+    val e = col("rt").cast("double") * col("ct") / col("n")
     o.join(broadcast(rt), "source").join(broadcast(ct), "w")
       .crossJoin(broadcast(nn))
       .select(col("n"), col("r_levels"), col("c_levels"),
@@ -2212,8 +2216,9 @@ object Pipeline {
          |    count(DISTINCT source) AS r_levels,
          |    count(DISTINCT w) AS c_levels FROM o),
          |terms AS (SELECT nn.n, nn.r_levels, nn.c_levels,
-         |    CAST((o.o - rt.rt * ct.ct / nn.n) * (o.o - rt.rt * ct.ct / nn.n)
-         |      / (rt.rt * ct.ct / nn.n) AS DECIMAL(30, 6)) AS term
+         |    CAST((o.o - CAST(rt.rt AS DOUBLE) * ct.ct / nn.n)
+         |      * (o.o - CAST(rt.rt AS DOUBLE) * ct.ct / nn.n)
+         |      / (CAST(rt.rt AS DOUBLE) * ct.ct / nn.n) AS DECIMAL(30, 6)) AS term
          |  FROM o JOIN rt USING (source) JOIN ct USING (w) CROSS JOIN nn)
          |SELECT n, r_levels, c_levels,
          |  (r_levels - 1) * (c_levels - 1) AS dof,
@@ -2232,11 +2237,38 @@ object Pipeline {
     * value stays raw wherever it isn't replaced. */
   val WinsLo = 0.05
   val WinsHi = 0.95
+  /** The interpolated percentile is built EXPLICITLY from the two
+    * neighboring order statistics with one fixed expression tree
+    * (`x_k + f*(x_{k+1} - x_k)`, `f = p*(n-1) - floor(p*(n-1))`) evaluated
+    * identically here and in the DuckDB oracle — engine-internal
+    * `percentile()`/`quantile_cont()` use differently-ordered interpolation
+    * formulas whose 1-ulp drift could flip `was_clipped` on adversarial
+    * data. Order statistics come from a per-type rank (parallel window);
+    * when `f = 0` the upper neighbor may not exist — coalesce to `x_k`,
+    * which the zero `f` multiplies away exactly. */
   def eventWinsorize(s: SparkSession, d: String): DataFrame = {
-    val bounds = t(s, d, "events").groupBy("event_type")
-      .agg(expr(s"percentile(value, $WinsLo)").as("lo"),
-        expr(s"percentile(value, $WinsHi)").as("hi"))
-    t(s, d, "events").join(broadcast(bounds), "event_type")
+    val ev = t(s, d, "events")
+    val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ranked = ev.select(col("event_type"), col("value"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("value")) - 1)
+    def interp(p: Double, a: String, b: String): Column =
+      expr(s"$a + (CAST($p AS DOUBLE) * (n - 1) " +
+        s"- floor(CAST($p AS DOUBLE) * (n - 1))) * (coalesce($b, $a) - $a)")
+    val bounds = ranked.join(broadcast(cnt), "event_type")
+      .withColumn("k_lo", expr(s"CAST(floor(CAST($WinsLo AS DOUBLE) * (n - 1)) AS BIGINT)"))
+      .withColumn("k_hi", expr(s"CAST(floor(CAST($WinsHi AS DOUBLE) * (n - 1)) AS BIGINT)"))
+      .filter(col("rn") === col("k_lo") || col("rn") === col("k_lo") + 1 ||
+        col("rn") === col("k_hi") || col("rn") === col("k_hi") + 1)
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === col("k_lo"), col("value"))).as("lo0"),
+        max(when(col("rn") === col("k_lo") + 1, col("value"))).as("lo1"),
+        max(when(col("rn") === col("k_hi"), col("value"))).as("hi0"),
+        max(when(col("rn") === col("k_hi") + 1, col("value"))).as("hi1"))
+      .select(col("event_type"),
+        interp(WinsLo, "lo0", "lo1").as("lo"), interp(WinsHi, "hi0", "hi1").as("hi"))
+    ev.join(broadcast(bounds), "event_type")
       .select(col("event_id"), col("event_type"),
         round(col("lo"), 6).as("p_lo"), round(col("hi"), 6).as("p_hi"),
         round(least(greatest(col("value"), col("lo")), col("hi")), 6)
@@ -2245,17 +2277,37 @@ object Pipeline {
           .as("was_clipped"))
       .orderBy("event_id")
   }
-  val eventWinsorizeSql: String =
-    s"""WITH b AS (SELECT event_type,
-       |    quantile_cont(value, $WinsLo) AS lo,
-       |    quantile_cont(value, $WinsHi) AS hi
-       |  FROM events GROUP BY event_type)
+  val eventWinsorizeSql: String = {
+    def interp(p: Double, a: String, b: String): String =
+      s"$a + (CAST($p AS DOUBLE) * (n - 1) " +
+        s"- floor(CAST($p AS DOUBLE) * (n - 1))) * (COALESCE($b, $a) - $a)"
+    s"""WITH cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY event_type),
+       |ranked AS (SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn
+       |  FROM events),
+       |sel AS (SELECT r.event_type, r.value, r.rn, c.n,
+       |    CAST(floor(CAST($WinsLo AS DOUBLE) * (c.n - 1)) AS BIGINT) AS k_lo,
+       |    CAST(floor(CAST($WinsHi AS DOUBLE) * (c.n - 1)) AS BIGINT) AS k_hi
+       |  FROM ranked r JOIN cnt c USING (event_type)),
+       |b AS (SELECT event_type, max(n) AS n,
+       |    max(CASE WHEN rn = k_lo THEN value END) AS lo0,
+       |    max(CASE WHEN rn = k_lo + 1 THEN value END) AS lo1,
+       |    max(CASE WHEN rn = k_hi THEN value END) AS hi0,
+       |    max(CASE WHEN rn = k_hi + 1 THEN value END) AS hi1
+       |  FROM sel WHERE rn = k_lo OR rn = k_lo + 1 OR rn = k_hi OR rn = k_hi + 1
+       |  GROUP BY event_type),
+       |bounds AS (SELECT event_type,
+       |    ${interp(WinsLo, "lo0", "lo1")} AS lo,
+       |    ${interp(WinsHi, "hi0", "hi1")} AS hi
+       |  FROM b)
        |SELECT e.event_id, e.event_type,
        |  round(b.lo, 6) AS p_lo, round(b.hi, 6) AS p_hi,
        |  round(least(greatest(e.value, b.lo), b.hi), 6) AS clipped,
        |  (e.value < b.lo OR e.value > b.hi) AS was_clipped
-       |FROM events e JOIN b USING (event_type)
+       |FROM events e JOIN bounds b USING (event_type)
        |ORDER BY e.event_id""".stripMargin
+  }
 
   /** Per-document Shannon entropy of the word distribution — the
     * information-theoretic quality signal (low entropy ⇒ repetitive /

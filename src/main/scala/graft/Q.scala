@@ -105,6 +105,44 @@ object Q {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Distributed exact ntile: SQL-identical buckets to
+    * `ntile(buckets) OVER (ORDER BY order...)` with no single-partition
+    * global sort. Topology: range repartition on the order key → per-
+    * partition rank (parallel window keyed by the physical partition id) →
+    * partition-size offsets cumsum'd on the driver (a partition-count-sized
+    * collect — the same bookkeeping `RDD.zipWithIndex` does) broadcast back.
+    * Bucket from the 0-based global position by the standard ntile split
+    * (first n%B buckets take one extra row), so the result is bit-identical
+    * to the engine builtin while every heavy stage stays parallel. The
+    * order must be a total order (add a key tie-break) for reproducibility. */
+  def distNtile(df: DataFrame, buckets: Int, out: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .repartitionByRange(8, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      // consumed twice (size census + rank join): pin partition contents
+      .localCheckpoint()
+    val sizes = keyed.groupBy("__pid").agg(count(lit(1)).as("pn")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = sizes.map(_._2).sum
+    val q = n / buckets
+    val r = n % buckets
+    val offsets = sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    val bin =
+      if (q == 0L) s"__pos + 1"
+      else s"CASE WHEN __pos < ${r * (q + 1)} THEN __pos div ${q + 1} + 1 " +
+        s"ELSE (__pos - ${r * (q + 1)}) div $q + $r + 1 END"
+    keyed.join(offDf, "__pid")
+      .withColumn("__pos", col("__off") + row_number().over(w) - 1)
+      .withColumn(out, expr(bin).cast("long"))
+      .drop("__pid", "__off", "__pos")
+  }
+
   // --- DuckDB oracle SQL fragments mirroring the helpers above ---
   def DSUM(e: String): String =
     s"CAST(sum(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"

@@ -260,15 +260,15 @@ object Stats {
     * before categorical encoders or drift monitors. The bin assignment is
     * ntile over a total order (amount, key) so it is reproducible.
     *
-    * Scale: a global ntile needs a global sort; at 100 TB compute the
-    * boundaries with approx_percentile (one aggregation, no sort) and
-    * bin by range comparison instead — same output schema, sketch-exact
-    * boundaries. The exact global form is registered because it is the
-    * oracle-checkable one. */
+    * Scale: NOT a global `ntile` window (that is a single-partition sort
+    * of the fact table). [[Q.distNtile]] computes the identical buckets
+    * with a range shuffle + parallel per-partition ranks + broadcast
+    * partition offsets — the shuffle_epoch position-assignment topology —
+    * so every heavy stage parallelizes while staying bit-exact to the
+    * DuckDB `ntile` oracle. */
   def binQuantile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, d, "orders")
-      .withColumn("bin", ntile(Bins).over(w).cast("long"))
+    Q.distNtile(t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey")),
+        Bins, "bin", col("o_totalprice"), col("o_orderkey"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice")).as("lo"),
@@ -603,9 +603,13 @@ object Stats {
     * discovered from the directory layout.
     *
     * Scale: schema merging reconciles footers, not data — the read stays
-    * a parallel parquet scan with pushdown intact. */
+    * a parallel parquet scan with pushdown intact. The fixture footprint
+    * is written to a per-invocation unique directory so concurrent
+    * sessions/JVMs running the registry never read each other's
+    * partially-written files. */
   def scanMergeSchema(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/merge_schema"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/merge_schema_" +
+      java.util.UUID.randomUUID().toString
     t(s, d, "region")
       .select(col("r_regionkey").cast("long").as("id"), col("r_name").as("name"))
       .write.mode("overwrite").parquet(s"$dir/v=a")

@@ -9,6 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurationSpec extends AnyFunSuite {
   import SparkSpec._
 
+  /** Timestamp columns surface as java.sql.Timestamp or java.time.LocalDateTime
+    * depending on the session's NTZ/java8 datetime settings — compare epoch-agnostic. */
+  private def tsVal(r: org.apache.spark.sql.Row, col: String): Option[Long] =
+    if (r.isNullAt(r.fieldIndex(col))) None
+    else r.getAs[Any](col) match {
+      case t: java.sql.Timestamp        => Some(t.getTime)
+      case t: java.time.LocalDateTime   => Some(t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      case t: java.time.Instant         => Some(t.toEpochMilli)
+      case other => fail(s"unexpected timestamp type ${other.getClass} in $col")
+    }
+
   test("SCD2 intervals chain half-open with exactly one current row per customer") {
     val rows = Curation.dimScd2(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -16,19 +27,17 @@ class CurationSpec extends AnyFunSuite {
     byCust.foreach { case (ck, rs) =>
       assert(rs.count(_.getAs[Long]("is_current") == 1L) == 1,
         s"customer $ck must have exactly one open interval")
-      val ordered = rs.sortBy(r => (r.getAs[java.sql.Timestamp]("valid_from").getTime))
+      val ordered = rs.sortBy(r => tsVal(r, "valid_from").get)
       ordered.sliding(2).foreach {
         case Array(a, b) =>
           // half-open chaining: each interval ends where the next begins
-          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
-            b.getAs[java.sql.Timestamp]("valid_from"), s"gap/overlap at customer $ck")
+          assert(tsVal(a, "valid_to") == tsVal(b, "valid_from"),
+            s"gap/overlap at customer $ck")
           // runs are maximal: consecutive islands differ in priority unless
           // they share the same start date (two priorities on one day)
-          if (a.getAs[java.sql.Timestamp]("valid_from") !=
-              b.getAs[java.sql.Timestamp]("valid_from"))
+          if (tsVal(a, "valid_from") != tsVal(b, "valid_from"))
             assert(a.getAs[String]("priority") != b.getAs[String]("priority") ||
-              a.getAs[java.sql.Timestamp]("valid_to") ==
-                b.getAs[java.sql.Timestamp]("valid_from"))
+              tsVal(a, "valid_to") == tsVal(b, "valid_from"))
         case _ =>
       }
       assert(ordered.last.isNullAt(ordered.last.fieldIndex("valid_to")))

@@ -46,12 +46,20 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
-  test("ACF values are bounded and pair counts shrink with the lag") {
+  test("ACF values are bounded and pair counts respect the series size") {
     val rows = Stats.statAcf(spark, sf).collect()
     assert(rows.length == 24)
     assert(rows.forall(r => math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9))
-    val np = rows.sortBy(_.getAs[Long]("lag")).map(_.getAs[Long]("n_pairs"))
-    np.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => }
+    // n_pairs(k) = |{h : h and h-k both observed}|. On a gapped hourly grid
+    // this is NOT monotone in k (nor <= n-k); the tight safe bound is n-1,
+    // since the earliest observed hour can never be the right end of a pair.
+    val n = Q.t(spark, sf, "events")
+      .selectExpr("unix_seconds(date_trunc('HOUR', ts)) div 3600 AS h")
+      .distinct().count()
+    rows.foreach { r =>
+      val np = r.getAs[Long]("n_pairs")
+      assert(np > 0L && np <= n - 1, s"lag ${r.getAs[Long]("lag")}: n_pairs $np vs n $n")
+    }
   }
 
   test("association rules have consistent supports and bounded confidence") {
