@@ -271,6 +271,88 @@ object Extras {
       """GROUP BY "c_mktsegment") AS __u1 """ +
       """ORDER BY "c_mktsegment" ASC NULLS FIRST"""
 
+  /** Unparser PostgreSQL dialect (reference unparser.py:44-46). Like the
+    * DuckDB entry, the ORACLE IS THE EMITTED TEXT: Postgres's double-quoted
+    * identifiers, correlated-EXISTS semi join, and explicit NULLS ordering
+    * all sit inside DuckDB's accepted grammar, so the driver executing the
+    * text in DuckDB proves the dialect end-to-end; the query asserts the
+    * text equals the oracle literal so renderer drift fails loudly. */
+  def sqlUnparsePostgres(s: SparkSession, d: String): DataFrame = {
+    registerAll(s, d)
+    val df = s.table("customer")
+      .join(s.table("orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .filter(col("c_acctbal") > 1000.0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+    val text = Unparser(df, Unparser.Postgres)
+    require(text == sqlUnparsePostgresSql,
+      s"Postgres unparse drifted from the oracle literal:\n$text")
+    df
+  }
+  val sqlUnparsePostgresSql: String =
+    """SELECT * FROM (SELECT "c_custkey", "c_mktsegment" FROM """ +
+      """(SELECT * FROM (SELECT * FROM "customer" AS __u0 WHERE EXISTS """ +
+      """(SELECT 1 FROM "orders" AS __u1 WHERE ("__u0"."c_custkey" = "__u1"."o_custkey"))) AS __u2 """ +
+      """WHERE ("c_acctbal" > 1000.0)) AS __u3) AS __u4 """ +
+      """ORDER BY "c_custkey" ASC NULLS FIRST"""
+
+  /** Unparser MySQL dialect (reference unparser.py:40-42): backtick
+    * quoting, `<=>` null-safe equality, CAST-to-CHAR, the `(expr IS NULL)`
+    * prefix key emulating the missing NULLS clause, and the documented
+    * all-rows `LIMIT 18446744073709551615 OFFSET n` idiom. MySQL text is
+    * not DuckDB-parseable, so Spark executes the original frame against an
+    * equivalent DuckDB oracle while the emitted text is pinned by the
+    * equality assert. */
+  def sqlUnparseMysql(s: SparkSession, d: String): DataFrame = {
+    registerAll(s, d)
+    val df = s.table("nation")
+      .filter(col("n_regionkey") <=> 1L)
+      .select(col("n_nationkey"), col("n_name"),
+        col("n_nationkey").cast("string").as("nk_str"))
+      .orderBy(col("n_name").asc_nulls_last)
+      .offset(3)
+    val text = Unparser(df, Unparser.MySql)
+    require(text == sqlUnparseMysqlText,
+      s"MySQL unparse drifted from the pinned text:\n$text")
+    df
+  }
+  val sqlUnparseMysqlText: String =
+    "SELECT * FROM (SELECT * FROM (SELECT `n_nationkey`, `n_name`, " +
+      "CAST(`n_nationkey` AS CHAR) AS `nk_str` FROM " +
+      "(SELECT * FROM `nation` WHERE (CAST(`n_regionkey` AS SIGNED) <=> 1)) AS __u0) AS __u1 " +
+      "ORDER BY (`n_name` IS NULL) ASC, `n_name` ASC) AS __u2 " +
+      "LIMIT 18446744073709551615 OFFSET 3"
+  val sqlUnparseMysqlSql: String =
+    """SELECT n_nationkey, n_name, CAST(n_nationkey AS VARCHAR) AS nk_str
+      |FROM nation WHERE n_regionkey IS NOT DISTINCT FROM 1
+      |ORDER BY n_name ASC NULLS LAST OFFSET 3""".stripMargin
+
+  /** Unparser SQLite dialect (reference unparser.py:48-50): double-quote
+    * quoting, `IS` as null-safe equality, storage-class CAST targets
+    * (REAL/INTEGER/TEXT), and the `LIMIT -1 OFFSET n` all-rows idiom.
+    * Same pinned-text + equivalent-DuckDB-oracle contract as MySQL. */
+  def sqlUnparseSqlite(s: SparkSession, d: String): DataFrame = {
+    registerAll(s, d)
+    val df = s.table("nation")
+      .filter(col("n_regionkey") <=> 2L)
+      .select(col("n_name"), col("n_nationkey").cast("double").as("nk_real"))
+      .orderBy("n_name")
+      .offset(2)
+    val text = Unparser(df, Unparser.Sqlite)
+    require(text == sqlUnparseSqliteText,
+      s"SQLite unparse drifted from the pinned text:\n$text")
+    df
+  }
+  val sqlUnparseSqliteText: String =
+    """SELECT * FROM (SELECT * FROM (SELECT "n_name", """ +
+      """CAST("n_nationkey" AS REAL) AS "nk_real" FROM """ +
+      """(SELECT * FROM "nation" WHERE (CAST("n_regionkey" AS INTEGER) IS 2)) AS __u0) AS __u1 """ +
+      """ORDER BY "n_name" ASC NULLS FIRST) AS __u2 LIMIT -1 OFFSET 2"""
+  val sqlUnparseSqliteSql: String =
+    """SELECT n_name, CAST(n_nationkey AS DOUBLE) AS nk_real
+      |FROM nation WHERE n_regionkey IS NOT DISTINCT FROM 2
+      |ORDER BY n_name OFFSET 2""".stripMargin
+
   /** Sketch aggregates (reference approx_distinct functions/__init__.py:4926,
     * approx_median :4966, approx_percentile_cont :5001). Rows-only: HLL and
     * KLL sketches are engine-specific; exactness is asserted in ExtrasSpec
@@ -539,6 +621,9 @@ object Extras {
     "sql_url_table" -> (sqlUrlTable _),
     "sql_unparse" -> (sqlUnparse _),
     "sql_unparse_duckdb" -> (sqlUnparseDuckdb _),
+    "sql_unparse_postgres" -> (sqlUnparsePostgres _),
+    "sql_unparse_mysql" -> (sqlUnparseMysql _),
+    "sql_unparse_sqlite" -> (sqlUnparseSqlite _),
     "agg_approx" -> (aggApprox _),
     "rowop_describe" -> (rowopDescribe _),
     "fn_vector" -> (fnVector _),
@@ -562,6 +647,9 @@ object Extras {
     "sql_url_table" -> sqlUrlTableSql,
     "sql_unparse" -> sqlUnparseSql,
     "sql_unparse_duckdb" -> sqlUnparseDuckdbSql,
+    "sql_unparse_postgres" -> sqlUnparsePostgresSql,
+    "sql_unparse_mysql" -> sqlUnparseMysqlSql,
+    "sql_unparse_sqlite" -> sqlUnparseSqliteSql,
     "fn_vector" -> fnVectorSql,
     "fn_arrow_typeof" -> fnArrowTypeofSql,
     "mem_batches" -> memBatchesSql,

@@ -121,6 +121,71 @@ class UnparserSpec extends AnyFunSuite {
     }
   }
 
+  test("postgres dialect: EXISTS semi/anti, double quotes, bare OFFSET") {
+    ready
+    val n = spark.table("up_nation")
+    val r = spark.table("up_region")
+    val semi = Unparser(
+      n.join(r, col("n_regionkey") === col("r_regionkey"), "left_semi"),
+      Unparser.Postgres)
+    assert(semi.contains("WHERE EXISTS (SELECT 1 FROM"), semi)
+    assert(!semi.contains("SEMI JOIN"))
+    val anti = Unparser(
+      n.join(r, col("n_regionkey") === col("r_regionkey"), "left_anti"),
+      Unparser.Postgres)
+    assert(anti.contains("WHERE NOT EXISTS"), anti)
+    val off = Unparser(n.orderBy("n_nationkey").offset(4), Unparser.Postgres)
+    assert(off.endsWith("OFFSET 4") && !off.contains("LIMIT"), off)
+    val cast = Unparser(
+      n.select(col("n_nationkey").cast("double").as("d")), Unparser.Postgres)
+    assert(cast.contains("AS DOUBLE PRECISION") && cast.contains("\"d\""), cast)
+    // the registry entry pins the full text against the oracle literal
+    assert(Extras.sqlUnparsePostgres(spark, sf).count() > 0)
+  }
+
+  test("mysql dialect: backticks, <=>, CHAR cast, NULLS emulation, LIMIT-all OFFSET") {
+    ready
+    val n = spark.table("up_nation")
+    val ens = Unparser(n.filter(col("n_regionkey") <=> 1), Unparser.MySql)
+    assert(ens.contains("<=>") && ens.contains("`n_regionkey`"), ens)
+    // MySQL defaults match Spark's: default orderings emit no emulation key
+    val asc = Unparser(n.orderBy(col("n_name")), Unparser.MySql)
+    assert(asc.endsWith("ORDER BY `n_name` ASC") && !asc.contains("IS NULL"), asc)
+    // non-default null ordering prepends the IS NULL key
+    val nl = Unparser(n.orderBy(col("n_name").asc_nulls_last), Unparser.MySql)
+    assert(nl.contains("(`n_name` IS NULL) ASC, `n_name` ASC"), nl)
+    val nf = Unparser(n.orderBy(col("n_name").desc_nulls_first), Unparser.MySql)
+    assert(nf.contains("(`n_name` IS NULL) DESC, `n_name` DESC"), nf)
+    val off = Unparser(n.orderBy("n_nationkey").offset(2), Unparser.MySql)
+    assert(off.contains("LIMIT 18446744073709551615 OFFSET 2"), off)
+    assert(Extras.sqlUnparseMysql(spark, sf).count() > 0)
+  }
+
+  test("sqlite dialect: IS null-safe, storage-class casts, LIMIT -1 OFFSET, no ALL set ops") {
+    ready
+    val n = spark.table("up_nation")
+    val ens = Unparser(n.filter(col("n_regionkey") <=> 1), Unparser.Sqlite)
+    assert(ens.contains("IS 1") && !ens.contains("DISTINCT FROM"), ens)
+    val cast = Unparser(
+      n.select(col("n_nationkey").cast("string").as("s"),
+        col("n_nationkey").cast("double").as("r")), Unparser.Sqlite)
+    assert(cast.contains("AS TEXT") && cast.contains("AS REAL"), cast)
+    val off = Unparser(n.orderBy("n_nationkey").offset(3), Unparser.Sqlite)
+    assert(off.contains("LIMIT -1 OFFSET 3"), off)
+    val a = n.select("n_regionkey")
+    intercept[UnsupportedOperationException] {
+      Unparser(a.intersectAll(a), Unparser.Sqlite)
+    }
+    intercept[UnsupportedOperationException] {
+      Unparser(a.exceptAll(a), Unparser.Sqlite)
+    }
+    // SQLite has no date types: typed literals degrade to plain strings
+    val dt = Unparser(n.filter(col("n_name") > lit(java.sql.Date.valueOf("2020-01-02"))
+      .cast("string")), Unparser.Sqlite)
+    assert(!dt.contains("DATE '"), dt)
+    assert(Extras.sqlUnparseSqlite(spark, sf).count() > 0)
+  }
+
   test("unsupported plans fail loudly, not silently") {
     ready
     val e = intercept[UnsupportedOperationException] {
