@@ -708,9 +708,17 @@ object Pipeline {
     * `nProbe` nearest centroids' inverted lists and exact cosine re-ranks
     * inside them. At 100 TB the same plan trains on a sample, broadcasts
     * the (tiny) centroid table, and shards the inverted lists by cluster
-    * id — candidate generation stays linear. Rows-only (k-means in the
-    * oracle engine is impractical); recall and score agreement against
-    * the brute-force baseline are spec-asserted. */
+    * id — candidate generation stays linear.
+    *
+    * Oracle: k-means itself is spec-validated (recall/determinism), but
+    * the SEARCH half is hash-checked — the trained centroids are rounded
+    * to 6 decimals, collected (16×64 doubles), and inlined into a
+    * dynamically-built DuckDB oracle that replays assignment, probe
+    * selection, and re-rank over the same literals. Distances and dot
+    * products are emitted as UNROLLED left-associative 64-term expressions
+    * in both engines — the identical IEEE op sequence on identical inputs,
+    * so every comparison (argmin, probe rank, cosine rank) is bit-exact
+    * with no engine-internal float path. */
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
     // nProbe 6/16: with weakly-clustered embeddings (top-5 cosine ≈0.3)
     // 2 probes recalled only 38% of the brute-force top-5 and 4 recalled
@@ -743,16 +751,32 @@ object Pipeline {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
     }
-    // Materialize the trained centroids once (16 rows) — `lists` and
-    // `probes` both consume them, and without this each would replay the
-    // full 3-iteration k-means lineage.
-    centroids = centroids.localCheckpoint()
-    val lists = assign(centroids) // inverted lists: cluster id per vector
+    // Materialize the trained centroids once, quantized to 6 decimals so
+    // the values survive a text round-trip into the oracle SQL, then
+    // collect them (16 rows × 64 doubles — centroid tables are driver-
+    // sized by construction; at 100 TB this is the table you'd broadcast).
+    val centRows = centroids
+      .select(col("cid"), expr("transform(cv, x -> round(x, 6))").as("cv"))
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    import s.implicits._
+    val centLit = broadcast(centRows.toSeq.toDF("cid", "cv"))
+    simAnnIvfOracle = Some(simAnnIvfSql(centRows, k, nProbe))
+    // Search half — shared bit-exact arithmetic with the oracle: unrolled
+    // left-associative element sums (element_at is 1-based, like DuckDB's
+    // list indexing)
+    val assignW = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cid"))
+    val lists = vecs.join(centLit)
+      .withColumn("dist", expr(IvfDist(IvfDim, "v", "cv")))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
     val probeW = Window.partitionBy("q_id").orderBy(asc("pdist"), asc("pcid"))
     val probes = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .join(broadcast(centroids.select(col("cid").as("pcid"), col("cv"))))
-      .withColumn("pdist", l2sq(col("qv"), col("cv")))
+      .join(centLit.select(col("cid").as("pcid"), col("cv")))
+      .withColumn("pdist", expr(IvfDist(IvfDim, "qv", "cv")))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("qv"), col("pcid"))
@@ -761,13 +785,73 @@ object Pipeline {
       .join(lists.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
         col("cid").as("ccid")), col("pcid") === col("ccid") &&
           col("q_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv2")) /
-        (norm2(col("qv")) * norm2(col("cv2"))))
+      .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
+        (sqrt(expr(IvfDot(IvfDim, "qv", "qv"))) * sqrt(expr(IvfDot(IvfDim, "cv2", "cv2")))))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Embedding dimensionality of the corpus (TESTDATA.md). */
+  val IvfDim = 64
+  /** Unrolled `Σ (a_i - b_i)²`, left-associative — `idx` renders one
+    * 1-based element access per engine (`element_at(v,i)` / `v[i]`). */
+  private def unrolled(dim: Int, term: Int => String): String =
+    (1 to dim).map(term).mkString(" + ")
+  private def IvfDist(dim: Int, a: String, b: String): String =
+    unrolled(dim, i => s"(element_at($a,$i)-element_at($b,$i))*(element_at($a,$i)-element_at($b,$i))")
+  private def IvfDot(dim: Int, a: String, b: String): String =
+    unrolled(dim, i => s"element_at($a,$i)*element_at($b,$i)")
+  private def duckDist(dim: Int, a: String, b: String): String =
+    unrolled(dim, i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])")
+  private def duckDot(dim: Int, a: String, b: String): String =
+    unrolled(dim, i => s"$a[$i]*$b[$i]")
+
+  /** Set by [[simAnnIvf]] after training; read by [[oracle]]. */
+  @volatile private var simAnnIvfOracle: Option[String] = None
+
+  private def simAnnIvfSql(
+      cents: Array[(Long, Seq[Double])], k: Int, nProbe: Int): String = {
+    // double → text → double is exact: Double.toString is the shortest
+    // round-trip representation and CAST(VARCHAR AS DOUBLE) parses
+    // correctly rounded
+    val values = cents.map { case (cid, cv) =>
+      cv.map(x => s"'$x'").mkString(s"($cid, [", ", ", "])")
+    }.mkString(",\n    ")
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT cid, list_transform(cs, s -> CAST(s AS DOUBLE)) AS cv
+       |  FROM (VALUES
+       |    $values) t(cid, cs)),
+       |vecs AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |lists AS MATERIALIZED (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT a.vec_id, a.v, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${duckDist(IvfDim, "a.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM vecs a CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT q_id, qv, pcid FROM (
+       |    SELECT p.vec_id AS q_id, p.v AS qv, c.cid AS pcid,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${duckDist(IvfDim, "p.v", "c.cv")} ASC, c.cid ASC) AS prn
+       |    FROM vecs p CROSS JOIN cents c WHERE p.vec_id < 10)
+       |  WHERE prn <= $nProbe),
+       |scored AS (
+       |  SELECT pr.q_id, li.vec_id AS cand_id,
+       |    ${duckDot(IvfDim, "pr.qv", "li.v")}
+       |      / (sqrt(${duckDot(IvfDim, "pr.qv", "pr.qv")})
+       |         * sqrt(${duckDot(IvfDim, "li.v", "li.v")})) AS cos
+       |  FROM probes pr JOIN lists li
+       |    ON li.cid = pr.pcid AND pr.q_id <> li.vec_id)
+       |SELECT q_id, rank, cand_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT q_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold 0.95). Default plan:
@@ -2411,7 +2495,7 @@ object Pipeline {
     "event_winsorize" -> (eventWinsorize _),
     "graph_triangles" -> (graphTriangles _))
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
@@ -2456,4 +2540,13 @@ object Pipeline {
     "stat_chi_square" -> statChiSquareSql,
     "event_winsorize" -> eventWinsorizeSql,
     "graph_triangles" -> graphTrianglesSql)
+
+  /** `oracle` is a def: sim_ann_ivf's oracle SQL embeds the Spark-trained
+    * centroids as literals, so it exists only after the query has run in
+    * this JVM (Verify dumps oracle_sql.json after executing the queries —
+    * same-process ordering the driver always satisfies). k-means training
+    * itself stays spec-validated; the oracle hash-checks everything
+    * downstream of it: assignment, probe selection, and exact re-rank. */
+  def oracle: Map[String, String] =
+    oracleBase ++ simAnnIvfOracle.map("sim_ann_ivf" -> _)
 }
