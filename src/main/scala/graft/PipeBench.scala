@@ -15,9 +15,9 @@ object PipeBench {
     "join_bucketed", "write_zorder",
     "tfidf_top_terms", "dedup_substring", "sim_quantized_topk",
     "event_rfm", "shuffle_epoch", "split_holdout", "corpus_stats",
-    "graph_pagerank", "graph_bfs_depth", "text_entropy",
+    "graph_pagerank", "graph_bfs_depth", "graph_triangles", "text_entropy",
     "text_collocations", "event_outliers", "event_resample",
-    "stat_chi_square", "event_winsorize")
+    "stat_chi_square", "event_winsorize", "bin_quantile", "sim_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

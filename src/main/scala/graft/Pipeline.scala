@@ -528,6 +528,49 @@ object Pipeline {
          |SELECT doc_id, min(reach) AS keep_id FROM walk
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Canonical-representative selection — the step that turns near-dup
+    * CLUSTERS ([[dedupGroups]]' connected components over MinHash-LSH
+    * pairs) into a keep/drop decision per document: every doc maps to its
+    * cluster id (its component's min doc id; singletons are their own
+    * cluster), the minimum member is canonical, the rest are drops. This
+    * is the actual dedup OUTPUT a pipeline materializes — `filter
+    * is_canonical` is the cleaned corpus.
+    *
+    * Scale: inherits dedup_groups' topology (banded LSH candidates +
+    * min-label fixpoint over pair participants only); the extension is
+    * one left join of the label table onto the corpus plus one
+    * cluster-keyed size count — both key-equi shuffles. */
+  def dedupKeepCanonical(s: SparkSession, d: String): DataFrame = {
+    val labels = dedupGroups(s, d) // (doc_id, keep_id) for docs in any pair
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val lab = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("keep_id"), col("doc_id")))
+    val sizes = lab.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+  val dedupKeepCanonicalSql: String =
+    raw"""WITH RECURSIVE $minhashPairsCtes,
+         |cand AS (SELECT doc1, doc2 FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT doc1 AS src, doc2 AS dst FROM cand
+         |          UNION ALL SELECT doc2, doc1 FROM cand),
+         |walk(doc_id, reach) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+         |lab AS (SELECT doc_id, min(reach) AS keep_id FROM walk GROUP BY doc_id),
+         |alld AS (SELECT d.doc_id, COALESCE(l.keep_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM alld GROUP BY cluster_id)
+         |SELECT a.doc_id, a.cluster_id, a.doc_id = a.cluster_id AS is_canonical,
+         |  s.cluster_size
+         |FROM alld a JOIN sizes s USING (cluster_id) ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs: 32-bit signature from md5-lane word hashes,
     * candidates from matching 16-bit halves (Hamming ≤ pigeonhole),
     * verified with bit_count(xor) ≤ 3. Fully oracle-checked — the DuckDB
@@ -1541,6 +1584,87 @@ object Pipeline {
          |ORDER BY doc_id""".stripMargin
   }
 
+  /** Last-touch conversion attribution: each purchase event is attributed
+    * to the user's most recent PRECEDING click within [[AttrWindowS]]
+    * seconds — the standard marketing/causal bookkeeping op, and the
+    * event-stream shape of an as-of join expressed as a single keyed
+    * window (`last(..., ignoreNulls)` over strictly-preceding rows, total
+    * (ts, event_id) order). One shuffle on user_id, no self-join; gaps
+    * are floor-epoch second differences so both engines do identical
+    * integer arithmetic. */
+  def eventAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    t(s, d, "events")
+      .withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
+      .withColumn("click_ts", last(clickTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_s",
+        unix_seconds(col("ts")) - unix_seconds(col("click_ts")))
+      .select(col("event_id"), col("user_id"),
+        when(col("gap_s") <= AttrWindowS, col("click_id")).as("click_id"),
+        when(col("gap_s") <= AttrWindowS, col("gap_s")).as("gap_s"),
+        coalesce(col("gap_s") <= AttrWindowS, lit(false)).as("attributed"))
+      .orderBy("event_id")
+  }
+  val AttrWindowS = 7L * 24 * 3600
+  val eventAttributionSql: String =
+    s"""WITH lasts AS (SELECT event_id, user_id, ts, event_type,
+       |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+       |      IGNORE NULLS) OVER w AS click_id,
+       |    last_value(CASE WHEN event_type = 'click' THEN ts END
+       |      IGNORE NULLS) OVER w AS click_ts
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |purch AS (SELECT event_id, user_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT)
+       |      - CAST(floor(epoch(click_ts)) AS BIGINT) AS gap_s, click_id
+       |  FROM lasts WHERE event_type = 'purchase')
+       |SELECT event_id, user_id,
+       |  CASE WHEN gap_s <= $AttrWindowS THEN click_id END AS click_id,
+       |  CASE WHEN gap_s <= $AttrWindowS THEN gap_s END AS gap_s,
+       |  COALESCE(gap_s <= $AttrWindowS, FALSE) AS attributed
+       |FROM purch ORDER BY event_id""".stripMargin
+
+  /** Size-balanced shard assignment: documents ranked globally by token
+    * count (descending, doc_id tie-break) and dealt to [[Shards]] shards
+    * in boustrophedon (snake) order — 0,1,…,S−1,S−1,…,1,0 — the
+    * deterministic greedy layout that equalizes per-shard token totals
+    * (within one document) without any driver-side bin-packing state.
+    * The standard step that turns a scored corpus into balanced training
+    * shards.
+    *
+    * Scale: the global rank is [[Q.distPos]] — range shuffle + parallel
+    * per-partition ranks + broadcast offsets, never a single-partition
+    * window; the snake map is pure per-row arithmetic on the position. */
+  val Shards = 8
+  def shardPack(s: SparkSession, d: String): DataFrame = {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), expr(s"cast(size($wordsExpr) as bigint)").as("n_tokens"))
+    Q.distPos(tok, "pos", col("n_tokens").desc, col("doc_id").asc)
+      .withColumn("shard",
+        expr(s"CASE WHEN (pos div $Shards) % 2 = 0 THEN pos % $Shards " +
+          s"ELSE ${Shards - 1} - pos % $Shards END").cast("long"))
+      .select("doc_id", "n_tokens", "pos", "shard")
+      .orderBy("doc_id")
+  }
+  val shardPackSql: String =
+    raw"""WITH tok AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+         |      AS BIGINT) AS pos
+         |  FROM tok)
+         |SELECT doc_id, n_tokens, pos,
+         |  CAST(CASE WHEN (pos // $Shards) % 2 = 0 THEN pos % $Shards
+         |    ELSE ${Shards - 1} - pos % $Shards END AS BIGINT) AS shard
+         |FROM p ORDER BY doc_id""".stripMargin
+
   /** Cohort retention — the standard product-analytics matrix: users
     * cohorted by the week of their first event, counted distinct per
     * (cohort week, activity week). Two keyed shuffles: the first-seen
@@ -2457,6 +2581,7 @@ object Pipeline {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_groups" -> (dedupGroups _),
+    "dedup_keep_canonical" -> (dedupKeepCanonical _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_cosine_topk" -> (simCosineTopk _),
@@ -2478,6 +2603,8 @@ object Pipeline {
     "text_bpe_merges" -> (textBpeMerges _),
     "text_bpe_encode" -> (textBpeEncode _),
     "event_retention" -> (eventRetention _),
+    "event_attribution" -> (eventAttribution _),
+    "shard_pack" -> (shardPack _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "dedup_substring" -> (dedupSubstring _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
@@ -2505,6 +2632,7 @@ object Pipeline {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_groups" -> dedupGroupsSql,
+    "dedup_keep_canonical" -> dedupKeepCanonicalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "sim_cosine_topk" -> simCosineTopkSql,
@@ -2524,6 +2652,8 @@ object Pipeline {
     "text_bpe_merges" -> textBpeMergesSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "event_retention" -> eventRetentionSql,
+    "event_attribution" -> eventAttributionSql,
+    "shard_pack" -> shardPackSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "dedup_substring" -> dedupSubstringSql,
     "sim_quantized_topk" -> simQuantizedTopkSql,

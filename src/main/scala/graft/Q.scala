@@ -143,6 +143,31 @@ object Q {
       .drop("__pid", "__off", "__pos")
   }
 
+  /** Distributed exact global position: SQL-identical to
+    * `row_number() OVER (ORDER BY order...) - 1` with no single-partition
+    * sort — the same range-shuffle → parallel per-partition rank →
+    * broadcast partition-offset topology as [[distNtile]], emitting the
+    * 0-based position itself. The order must be a total order. */
+  def distPos(df: DataFrame, out: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .repartitionByRange(8, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      // consumed twice (size census + rank join): pin partition contents
+      .localCheckpoint()
+    val sizes = keyed.groupBy("__pid").agg(count(lit(1)).as("pn")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    keyed.join(offDf, "__pid")
+      .withColumn(out, col("__off") + row_number().over(w) - 1)
+      .drop("__pid", "__off")
+  }
+
   // --- DuckDB oracle SQL fragments mirroring the helpers above ---
   def DSUM(e: String): String =
     s"CAST(sum(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"

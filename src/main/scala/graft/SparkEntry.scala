@@ -11,11 +11,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Tpch.queries ++ Ops.queries ++ Functions.queries ++ Pipeline.queries ++
-      Extras.queries ++ Advanced.queries ++ Stats.queries ++ Curation.queries
+      Extras.queries ++ Advanced.queries ++ Stats.queries ++ Curation.queries ++
+      Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Tpch.oracle ++ Ops.oracle ++ Functions.oracle ++ Pipeline.oracle ++
-      Extras.oracle ++ Advanced.oracle ++ Stats.oracle ++ Curation.oracle
+      Extras.oracle ++ Advanced.oracle ++ Stats.oracle ++ Curation.oracle ++
+      Quality.oracle
 }

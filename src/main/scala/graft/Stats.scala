@@ -253,6 +253,112 @@ object Stats {
        |FROM documents
        |ORDER BY priority DESC, doc_id LIMIT $SampleK""".stripMargin
 
+  /** Class-balanced deterministic downsample: every source keeps its
+    * ceil(min_class/2) lowest-hash documents, so all sources contribute
+    * equally to the sampled corpus regardless of their raw sizes — the
+    * standard class-rebalancing step before training on skewed source
+    * mixes, with hash-ranked membership that is stable under corpus
+    * reshuffling (same property as [[splitHoldout]]).
+    *
+    * Scale: one keyed count to a #sources-sized table, its global min as
+    * a broadcast single-row aggregate, and a per-source ranked window
+    * (parallel across sources) — no global sort, no driver collect. */
+  def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val cap = broadcast(docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(ceil(min(col("n")).cast("double") / 2.0).cast("long").as("cap")))
+    val w = Window.partitionBy("source").orderBy(col("rnd"), col("doc_id"))
+    docs
+      .withColumn("rnd", expr(lane("concat('bal#', cast(doc_id as string))")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(cap)
+      .select(col("doc_id"), col("source"), col("rk"),
+        (col("rk") <= col("cap")).as("keep"))
+      .orderBy("doc_id")
+  }
+  val sampleBalancedSql: String =
+    s"""WITH cap AS (SELECT CAST(ceil(CAST(min(n) AS DOUBLE) / 2.0) AS BIGINT)
+       |    AS cap
+       |  FROM (SELECT source, count(*) AS n FROM documents GROUP BY source)),
+       |rk AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ${laneDuck("'bal#' || CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT doc_id, source, rk, rk <= cap.cap AS keep
+       |FROM rk CROSS JOIN cap ORDER BY doc_id""".stripMargin
+
+  /** Rolling 24-hour correlation between the hourly click and purchase
+    * count series — the co-movement monitor that flags when two activity
+    * streams decouple (incidents, bot traffic, tracking breakage). The
+    * event stream is resampled to a zero-filled hourly grid (the
+    * event_resample recipe), then Pearson r over a 24-row sliding frame
+    * is computed EXPLICITLY from windowed integer sums (n, Σx, Σy, Σx²,
+    * Σy², Σxy are exact BIGINTs) in one fixed double expression —
+    * engine-internal `corr()` implementations differ one-pass vs
+    * two-pass and would drift. Degenerate frames (either variance zero)
+    * yield null via null-on-zero division in both engines.
+    *
+    * Scale: the only corpus-sized stage is the hourly rollup; the
+    * unpartitioned ordered window runs over the resampled series, whose
+    * length is bounded by the time span (#hours — ~10⁵ rows for a
+    * decade), not by corpus size. */
+  def eventRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val cc = t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val grid = cc.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.orderBy("h").rowsBetween(-23, Window.currentRow)
+    val dbl = (c: Column) => c.cast("double")
+    grid.join(cc, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("x"), lit(0L)).as("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sy", sum("y").over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("den",
+        sqrt(col("n") * dbl(col("sxx")) - dbl(col("sx")) * col("sx")) *
+          sqrt(col("n") * dbl(col("syy")) - dbl(col("sy")) * col("sy")))
+      .select(col("h"), col("x"), col("y"), col("n"),
+        // ANSI mode: zero-variance frames must skip the division (DuckDB
+        // yields NULL on /0; the guard reproduces that)
+        round(when(col("den") =!= 0.0,
+          (col("n") * dbl(col("sxy")) - dbl(col("sx")) * col("sy")) / col("den")),
+          6).as("corr24"))
+      .orderBy("h")
+  }
+  val eventRollingCorrSql: String =
+    """WITH cc AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS h,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM cc),
+      |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM span),
+      |g AS (SELECT grid.h, COALESCE(cc.x, 0) AS x, COALESCE(cc.y, 0) AS y
+      |  FROM grid LEFT JOIN cc USING (h)),
+      |win AS (SELECT h, x, y,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+      |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+      |    CAST(sum(x*x) OVER w AS BIGINT) AS sxx,
+      |    CAST(sum(y*y) OVER w AS BIGINT) AS syy,
+      |    CAST(sum(x*y) OVER w AS BIGINT) AS sxy
+      |  FROM g WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT h, x, y, n,
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+      |    (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+      |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+      |    AS corr24
+      |FROM win ORDER BY h""".stripMargin
+
   // ---------- discretization ----------
 
   /** Equal-frequency binning: deciles of the order value distribution with
@@ -638,6 +744,8 @@ object Stats {
     "sketch_cms" -> (sketchCms _),
     "sketch_bloom" -> (sketchBloom _),
     "sample_weighted" -> (sampleWeighted _),
+    "sample_balanced" -> (sampleBalanced _),
+    "event_rolling_corr" -> (eventRollingCorr _),
     "bin_quantile" -> (binQuantile _),
     "event_markov" -> (eventMarkov _),
     "event_paths" -> (eventPaths _),
@@ -653,6 +761,8 @@ object Stats {
     "sketch_cms" -> sketchCmsSql,
     "sketch_bloom" -> sketchBloomSql,
     "sample_weighted" -> sampleWeightedSql,
+    "sample_balanced" -> sampleBalancedSql,
+    "event_rolling_corr" -> eventRollingCorrSql,
     "bin_quantile" -> binQuantileSql,
     "event_markov" -> eventMarkovSql,
     "event_paths" -> eventPathsSql,
