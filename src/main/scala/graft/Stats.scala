@@ -359,6 +359,147 @@ object Stats {
       |    AS corr24
       |FROM win ORDER BY h""".stripMargin
 
+  /** Classical seasonal decomposition of the hourly event-count series,
+    * per event type: trend = centered 25-hour moving average (complete
+    * frames only), seasonal = mean detrended value per hour-of-day,
+    * residual = x − trend − seasonal — the additive decomposition a
+    * traffic monitor runs before alerting on residuals.
+    *
+    * Determinism: the trend is an exact BIGINT window sum divided once;
+    * detrended terms are decimal-quantized before the seasonal mean (the
+    * dsum recipe); residual is one fixed expression of those. Scale: the
+    * corpus collapses to the hourly rollup first; every window runs over
+    * the bounded #hours-per-type grid. */
+  def eventSeasonal(s: SparkSession, d: String): DataFrame = {
+    val hourly = t(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    val tr = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x"))
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === 25,
+          sum("x").over(w).cast("double") / 25))
+    val seas = tr.filter(col("trend").isNotNull)
+      .groupBy(col("event_type"), hour(col("h")).cast("long").as("hod"))
+      .agg((dsum(col("x") - col("trend")) / count(lit(1))).as("seasonal"))
+    tr.withColumn("hod", hour(col("h")).cast("long"))
+      .join(seas, Seq("event_type", "hod"))
+      .select(col("event_type"), col("h"), col("x"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("x") - col("trend") - col("seasonal"), 6).as("residual"))
+      .orderBy(col("event_type"), col("h"))
+  }
+  val eventSeasonalSql: String =
+    """WITH hourly AS (SELECT event_type,
+      |    date_trunc('hour', ts)::TIMESTAMP AS h,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+      |  FROM hourly GROUP BY 1),
+      |grid AS (SELECT event_type,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+      |g AS (SELECT grid.event_type, grid.h, COALESCE(hourly.x, 0) AS x
+      |  FROM grid LEFT JOIN hourly USING (event_type, h)),
+      |tr AS (SELECT event_type, h, x,
+      |    CASE WHEN count(*) OVER w = 25
+      |      THEN CAST(sum(x) OVER w AS DOUBLE) / 25 END AS trend
+      |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |seas AS (SELECT event_type, CAST(hour(h) AS BIGINT) AS hod,
+      |    CAST(sum(CAST(x - trend AS DECIMAL(30,6))) AS DOUBLE)
+      |      / count(trend) AS seasonal
+      |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2)
+      |SELECT t.event_type, t.h, t.x, round(t.trend, 6) AS trend,
+      |  round(s.seasonal, 6) AS seasonal,
+      |  round(t.x - t.trend - s.seasonal, 6) AS residual
+      |FROM tr t JOIN seas s
+      |  ON s.event_type = t.event_type AND s.hod = CAST(hour(t.h) AS BIGINT)
+      |ORDER BY t.event_type, t.h""".stripMargin
+
+  /** CUSUM change-point detection on the standardized hourly count
+    * series, per event type: with z_t = (x_t − μ)/σ from exact integer
+    * moment sums, the one-sided statistics s_hi = max(0, s_hi + z − k)
+    * and s_lo = max(0, s_lo − z − k) (slack k = 0.5) alarm at > 5 —
+    * Page's control chart, the standard traffic-shift detector.
+    *
+    * The recursion runs through Spark's own window executor via the
+    * [[graft.functions.CusumPositive]] UDWF-analog kernel (the negative
+    * side is the same kernel over −z), so state never leaves codegen;
+    * the DuckDB oracle replays the identical recursion as a recursive
+    * CTE. μ/σ derive from exact BIGINT sums with one fixed expression
+    * tree, making every z — and hence every recursive double op —
+    * bit-identical cross-engine. Scale: hourly rollup first; the
+    * recursion is over the bounded per-type hour series. */
+  def eventCusum(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WindowKernels.register(s)
+    val hourly = t(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val g = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val m = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") /
+          col("n")) / (col("n") - 1)).as("sigma"))
+    g.join(broadcast(m), "event_type")
+      .select(col("event_type"), col("h"), col("x"),
+        ((col("x") - col("mu")) / col("sigma")).as("z"))
+      .createOrReplaceTempView("cusum_z")
+    s.sql(
+      """SELECT event_type, h, x,
+        |  round(s_hi, 6) AS s_hi, round(s_lo, 6) AS s_lo,
+        |  s_hi > 5.0 OR s_lo > 5.0 AS alarm
+        |FROM (SELECT event_type, h, x,
+        |    cusum_pos(z, 0.5) OVER (PARTITION BY event_type ORDER BY h) AS s_hi,
+        |    cusum_pos(-z, 0.5) OVER (PARTITION BY event_type ORDER BY h) AS s_lo
+        |  FROM cusum_z)
+        |ORDER BY event_type, h""".stripMargin)
+  }
+  val eventCusumSql: String =
+    """WITH RECURSIVE hourly AS (SELECT event_type,
+      |    date_trunc('hour', ts)::TIMESTAMP AS h,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+      |  FROM hourly GROUP BY 1),
+      |grid AS (SELECT event_type,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+      |g AS (SELECT grid.event_type, grid.h, COALESCE(hourly.x, 0) AS x
+      |  FROM grid LEFT JOIN hourly USING (event_type, h)),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x*x) AS BIGINT) AS s2
+      |  FROM g GROUP BY 1),
+      |z AS MATERIALIZED (SELECT g.event_type, g.h, g.x,
+      |    (g.x - CAST(s1 AS DOUBLE) / n) /
+      |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+      |      AS z,
+      |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.h) AS rn
+      |  FROM g JOIN m USING (event_type)),
+      |c(event_type, h, x, rn, s_hi, s_lo) AS (
+      |  SELECT event_type, h, x, rn,
+      |    greatest(0.0, z - 0.5), greatest(0.0, -z - 0.5)
+      |  FROM z WHERE rn = 1
+      |  UNION ALL
+      |  SELECT z.event_type, z.h, z.x, z.rn,
+      |    greatest(0.0, c.s_hi + z.z - 0.5), greatest(0.0, c.s_lo - z.z - 0.5)
+      |  FROM c JOIN z ON z.event_type = c.event_type AND z.rn = c.rn + 1)
+      |SELECT event_type, h, x, round(s_hi, 6) AS s_hi, round(s_lo, 6) AS s_lo,
+      |  s_hi > 5.0 OR s_lo > 5.0 AS alarm
+      |FROM c ORDER BY event_type, h""".stripMargin
+
   // ---------- discretization ----------
 
   /** Equal-frequency binning: deciles of the order value distribution with
@@ -746,6 +887,8 @@ object Stats {
     "sample_weighted" -> (sampleWeighted _),
     "sample_balanced" -> (sampleBalanced _),
     "event_rolling_corr" -> (eventRollingCorr _),
+    "event_seasonal" -> (eventSeasonal _),
+    "event_cusum" -> (eventCusum _),
     "bin_quantile" -> (binQuantile _),
     "event_markov" -> (eventMarkov _),
     "event_paths" -> (eventPaths _),
@@ -763,6 +906,8 @@ object Stats {
     "sample_weighted" -> sampleWeightedSql,
     "sample_balanced" -> sampleBalancedSql,
     "event_rolling_corr" -> eventRollingCorrSql,
+    "event_seasonal" -> eventSeasonalSql,
+    "event_cusum" -> eventCusumSql,
     "bin_quantile" -> binQuantileSql,
     "event_markov" -> eventMarkovSql,
     "event_paths" -> eventPathsSql,

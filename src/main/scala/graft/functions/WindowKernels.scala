@@ -197,8 +197,62 @@ case class MovingDecimalSumWindow(child: Expression, nExpr: Expression)
     copy(child = newChildren(0), nExpr = newChildren(1))
 }
 
+/** `cusum_pos(x, k)`: one-sided positive CUSUM over the window order —
+  * s_1 = max(0, x_1 − k); s_i = max(0, s_{i−1} + x_i − k) — the control-
+  * chart recursion for upward-shift detection (Page 1954). The negative
+  * side needs no second kernel: it is `cusum_pos(-x, k)`. Declarative
+  * state machine (one Greatest/Add per row) so it runs inside codegen,
+  * like [[ExponentialMovingAverage]]. Null inputs carry the state
+  * forward unchanged. */
+case class CusumPositive(child: Expression, kExpr: Expression)
+  extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def prettyName: String = "cusum_pos"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("cusum_pos slack k must be a literal")
+    else if (!child.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"cusum_pos requires a numeric column, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val k: Double = kExpr.eval() match {
+    case d: Double => d
+    case d: Decimal => d.toDouble
+    case f: Float => f.toDouble
+    case n: Number => n.doubleValue()
+  }
+
+  private lazy val s =
+    AttributeReference("cusum_state", DoubleType, nullable = false)()
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(s)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0.0))
+  override lazy val updateExpressions: Seq[Expression] = {
+    val x = Cast(child, DoubleType)
+    Seq(If(IsNull(x), s,
+      Greatest(Seq(Literal(0.0), Add(s, Subtract(x, Literal(k)))))))
+  }
+  override lazy val evaluateExpression: Expression = s
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
 object WindowKernels {
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cusum_pos",
+      es => {
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"cusum_pos expects (column, k), got ${es.length} arguments")
+        CusumPositive(es.head, es(1))
+      },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ema",
       es => {

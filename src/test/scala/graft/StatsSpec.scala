@@ -161,4 +161,56 @@ class StatsSpec extends AnyFunSuite {
     assert(a.forall(_.isNullAt(2)), "v=a files predate `extra` — must read as null")
     assert(b.forall(!_.isNullAt(2)))
   }
+
+  test("seasonal decomposition reconstructs x and nulls trend at series edges") {
+    val rows = Stats.eventSeasonal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      // first/last 12 hours have incomplete 25h frames -> null trend
+      (sorted.take(12) ++ sorted.takeRight(12)).foreach(r =>
+        assert(r.isNullAt(r.fieldIndex("trend")), s"edge trend must be null: $r"))
+      sorted.drop(12).dropRight(12).foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("trend")))
+        // additive identity: x = trend + seasonal + residual (to rounding)
+        val x = r.getAs[Long]("x").toDouble
+        val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+          r.getAs[Double]("residual")
+        assert(math.abs(x - recon) < 1e-4, s"decomposition broken: $r")
+      }
+      // one seasonal value per hour-of-day
+      assert(rs.map(_.getAs[Double]("seasonal")).distinct.length <= 24)
+    }
+  }
+
+  test("CUSUM kernel matches a replayed recursion and alarms are non-degenerate") {
+    val rows = Stats.eventCusum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("s_hi") >= 0.0 && r.getAs[Double]("s_lo") >= 0.0)
+    }
+    // replay the recursion in Scala from the raw hourly series and compare
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      val xs = sorted.map(_.getAs[Long]("x").toDouble)
+      val n = xs.length
+      val s1 = xs.sum; val s2 = xs.map(v => v * v).sum
+      val mu = s1 / n
+      val sigma = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+      var hi = 0.0; var lo = 0.0
+      sorted.zip(xs).foreach { case (r, x) =>
+        val z = (x - mu) / sigma
+        hi = math.max(0.0, hi + z - 0.5)
+        lo = math.max(0.0, lo - z - 0.5)
+        assert(math.abs(r.getAs[Double]("s_hi") - hi) < 1e-5 &&
+          math.abs(r.getAs[Double]("s_lo") - lo) < 1e-5,
+          s"kernel diverges from replayed recursion at $r")
+      }
+    }
+    val alarms = rows.count(_.getAs[Boolean]("alarm"))
+    assert(alarms > 0 && alarms < rows.length / 10,
+      s"alarm rate $alarms/${rows.length} is degenerate")
+  }
 }
