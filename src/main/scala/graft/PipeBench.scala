@@ -17,7 +17,12 @@ object PipeBench {
     "event_rfm", "shuffle_epoch", "split_holdout", "corpus_stats",
     "graph_pagerank", "graph_bfs_depth", "graph_triangles", "text_entropy",
     "text_collocations", "event_outliers", "event_resample",
-    "stat_chi_square", "event_winsorize", "bin_quantile", "sim_ann_ivf")
+    "stat_chi_square", "event_winsorize", "bin_quantile", "sim_ann_ivf",
+    "dedup_keep_canonical", "event_attribution", "sample_balanced",
+    "shard_pack", "stat_ks_test", "stat_mann_whitney", "stat_psi",
+    "stat_js_divergence", "stat_welch_t", "event_anomaly_mad",
+    "event_rolling_corr", "event_seasonal", "event_cusum",
+    "stat_gini", "vocab_coverage", "event_lag_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1629,6 +1629,49 @@ object Pipeline {
        |  COALESCE(gap_s <= $AttrWindowS, FALSE) AS attributed
        |FROM purch ORDER BY event_id""".stripMargin
 
+  /** Vocabulary coverage curve: the cumulative fraction of all corpus
+    * tokens covered by the top-[[CovK]] most frequent terms — the
+    * tokenizer-design diagnostic ("how big must the vocab be to cover
+    * 95% of the stream?"). The corpus reduces to (term, count) once; the
+    * top-K cut is a distributed TakeOrdered (count desc, term tie-break),
+    * and only the K-row result flows through the cumulative window — the
+    * unpartitioned window never sees the full vocabulary, so the plan is
+    * clean at any corpus scale. The total-token denominator is a single
+    * broadcast scalar. */
+  val CovK = 100
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val cnt = t(s, d, "documents")
+      .select(explode(expr(wordsExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed twice: total + top-K
+    val tot = cnt.agg(sum("c").as("t"))
+    val top = cnt.orderBy(col("c").desc, col("w")).limit(CovK)
+    val w = Window.orderBy(col("c").desc, col("w"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("w").as("term"), col("c"), col("cum"),
+        round(col("cum").cast("double") / col("t"), 6).as("coverage"))
+      .orderBy("rank")
+  }
+  val vocabCoverageSql: String =
+    raw"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+         |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT $CovK),
+         |rk AS (SELECT w, c,
+         |    CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank,
+         |    CAST(sum(c) OVER (ORDER BY c DESC, w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM top)
+         |SELECT rank, w AS term, c, cum,
+         |  round(CAST(cum AS DOUBLE) / tot.t, 6) AS coverage
+         |FROM rk CROSS JOIN tot ORDER BY rank""".stripMargin
+
   /** Size-balanced shard assignment: documents ranked globally by token
     * count (descending, doc_id tie-break) and dealt to [[Shards]] shards
     * in boustrophedon (snake) order — 0,1,…,S−1,S−1,…,1,0 — the
@@ -2605,6 +2648,7 @@ object Pipeline {
     "event_retention" -> (eventRetention _),
     "event_attribution" -> (eventAttribution _),
     "shard_pack" -> (shardPack _),
+    "vocab_coverage" -> (vocabCoverage _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "dedup_substring" -> (dedupSubstring _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
@@ -2654,6 +2698,7 @@ object Pipeline {
     "event_retention" -> eventRetentionSql,
     "event_attribution" -> eventAttributionSql,
     "shard_pack" -> shardPackSql,
+    "vocab_coverage" -> vocabCoverageSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "dedup_substring" -> dedupSubstringSql,
     "sim_quantized_topk" -> simQuantizedTopkSql,

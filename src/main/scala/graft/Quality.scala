@@ -465,6 +465,43 @@ object Quality {
       |    + (vb/n_b)*(vb/n_b)/(n_b-1)), 6) AS dof
       |FROM pr ORDER BY source_a, source_b""".stripMargin
 
+  // ---------- Gini inequality ----------
+
+  /** Gini coefficient of the document-length distribution per source —
+    * the inequality summary (0 = uniform lengths, →1 = a few giant docs
+    * dominate) used to compare corpus shapes before mixing. Computed by
+    * the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending
+    * (n_chars, doc_id) ranks: every sum is an exact BIGINT, the final
+    * expression is one fixed double tree.
+    *
+    * Scale: the rank window partitions by source (parallel across
+    * sources); the rollup emits one row per source. */
+  def statGini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    t(s, d, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
+        sum(col("i") * col("n_chars")).as("six"))
+      .select(col("source"), col("n"),
+        round(lit(2.0) * col("six") / (col("n") * col("sx").cast("double")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+      .orderBy("source")
+  }
+  val statGiniSql: String =
+    """WITH rk AS (SELECT source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS i
+      |  FROM documents),
+      |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(n_chars) AS BIGINT) AS sx,
+      |    CAST(sum(i * n_chars) AS BIGINT) AS six
+      |  FROM rk GROUP BY source)
+      |SELECT source, n,
+      |  round(2.0 * six / (n * CAST(sx AS DOUBLE)) - (n + 1.0) / n, 6) AS gini
+      |FROM agg ORDER BY source""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -473,7 +510,8 @@ object Quality {
     "event_anomaly_mad" -> (eventAnomalyMad _),
     "stat_psi" -> (statPsi _),
     "stat_js_divergence" -> (statJsDivergence _),
-    "stat_welch_t" -> (statWelchT _))
+    "stat_welch_t" -> (statWelchT _),
+    "stat_gini" -> (statGini _))
 
   val oracle: Map[String, String] = Map(
     "stat_ks_test" -> statKsTestSql,
@@ -481,5 +519,6 @@ object Quality {
     "event_anomaly_mad" -> eventAnomalyMadSql,
     "stat_psi" -> statPsiSql,
     "stat_js_divergence" -> statJsDivergenceSql,
-    "stat_welch_t" -> statWelchTSql)
+    "stat_welch_t" -> statWelchTSql,
+    "stat_gini" -> statGiniSql)
 }

@@ -500,6 +500,56 @@ object Stats {
       |  s_hi > 5.0 OR s_lo > 5.0 AS alarm
       |FROM c ORDER BY event_type, h""".stripMargin
 
+  /** Per-(user, day) ML feature table: daily event count and exact-
+    * decimal value sum, previous-observation lag, calendar-aware
+    * previous-day value (null across gaps — `lag` alone would silently
+    * bridge missing days), and the 7-observation trailing mean — the
+    * standard churn/LTV feature-engineering rollup.
+    *
+    * Determinism: daily sums go through the decimal dsum; the trailing
+    * mean re-quantizes each daily value before the window sum so both
+    * engines accumulate identical decimals. Scale: one corpus-sized
+    * keyed rollup to (user, day); every window partitions by user. */
+  def eventLagFeatures(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("v0"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val ma = w.rowsBetween(-6, Window.currentRow)
+    daily
+      // demo output cap; windows partition by user, so filtering before
+      // them is equivalent and keeps the plan filter-first
+      .filter(col("user_id") <= 100)
+      .withColumn("v", round(col("v0"), 6))
+      .withColumn("v_lag1", lag(col("v"), 1).over(w))
+      .withColumn("v_prev_day",
+        when(lag(col("d"), 1).over(w) === col("d") - expr("interval 1 day"),
+          lag(col("v"), 1).over(w)))
+      .withColumn("v_ma7",
+        round(sum(col("v0").cast(DecimalType(30, 6))).over(ma).cast("double") /
+          count(lit(1)).over(ma), 6))
+      .select("user_id", "d", "n_events", "v", "v_lag1", "v_prev_day", "v_ma7")
+      .orderBy("user_id", "d")
+  }
+  val eventLagFeaturesSql: String =
+    s"""WITH daily AS (SELECT user_id,
+       |    date_trunc('day', ts)::TIMESTAMP AS d,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    ${DSUM("value")} AS v0
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id, d, n_events, round(v0, 6) AS v,
+       |  lag(round(v0, 6), 1) OVER w AS v_lag1,
+       |  CASE WHEN lag(d, 1) OVER w = d - INTERVAL 1 DAY
+       |    THEN lag(round(v0, 6), 1) OVER w END AS v_prev_day,
+       |  round(CAST(sum(CAST(v0 AS DECIMAL(30,6))) OVER (
+       |      PARTITION BY user_id ORDER BY d
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / count(*) OVER (PARTITION BY user_id ORDER BY d
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS v_ma7
+       |FROM daily WHERE user_id <= 100
+       |WINDOW w AS (PARTITION BY user_id ORDER BY d)
+       |ORDER BY user_id, d""".stripMargin
+
   // ---------- discretization ----------
 
   /** Equal-frequency binning: deciles of the order value distribution with
@@ -889,6 +939,7 @@ object Stats {
     "event_rolling_corr" -> (eventRollingCorr _),
     "event_seasonal" -> (eventSeasonal _),
     "event_cusum" -> (eventCusum _),
+    "event_lag_features" -> (eventLagFeatures _),
     "bin_quantile" -> (binQuantile _),
     "event_markov" -> (eventMarkov _),
     "event_paths" -> (eventPaths _),
@@ -908,6 +959,7 @@ object Stats {
     "event_rolling_corr" -> eventRollingCorrSql,
     "event_seasonal" -> eventSeasonalSql,
     "event_cusum" -> eventCusumSql,
+    "event_lag_features" -> eventLagFeaturesSql,
     "bin_quantile" -> binQuantileSql,
     "event_markov" -> eventMarkovSql,
     "event_paths" -> eventPathsSql,
