@@ -1629,6 +1629,130 @@ object Pipeline {
        |  COALESCE(gap_s <= $AttrWindowS, FALSE) AS attributed
        |FROM purch ORDER BY event_id""".stripMargin
 
+  /** Nearest-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')`): each click matches the error with the smallest
+    * absolute time distance, ties to the earlier (backward) side. One
+    * union frame, two keyed windows — the trailing last for the backward
+    * candidate, the leading first for the forward candidate — then a
+    * per-row arbitration on exact microsecond gaps; same-ts errors sort
+    * before clicks so they are backward matches. No self-join, one
+    * shuffle on user_id. */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val lhs = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("bigint").as("m_id"),
+        lit(null).cast("timestamp").as("m_ts"))
+    val rhs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"),
+        col("event_id").as("m_id"), col("ts").as("m_ts"))
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("m_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("m_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val chooseB = col("b_id").isNotNull &&
+      (col("f_id").isNull || col("b_gap") <= col("f_gap"))
+    lhs.unionByName(rhs)
+      .withColumn("b_id", last(col("m_id"), ignoreNulls = true).over(wb))
+      .withColumn("b_ts", last(col("m_ts"), ignoreNulls = true).over(wb))
+      .withColumn("f_id", first(col("m_id"), ignoreNulls = true).over(wf))
+      .withColumn("f_ts", first(col("m_ts"), ignoreNulls = true).over(wf))
+      .filter(col("side") === 1)
+      .withColumn("b_gap", unix_micros(col("ts")) - unix_micros(col("b_ts")))
+      .withColumn("f_gap", unix_micros(col("f_ts")) - unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(chooseB, col("b_id")).otherwise(col("f_id")).as("match_event_id"),
+        when(chooseB, col("b_ts")).otherwise(col("f_ts")).as("match_ts"),
+        when(chooseB, lit("backward")).otherwise(lit("forward")).as("direction"),
+        when(chooseB, col("b_gap")).otherwise(col("f_gap")).as("gap_us"))
+      .orderBy("event_id")
+  }
+  val joinAsofNearestSql: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, 1 AS side, event_id,
+      |    NULL::BIGINT AS m_id, NULL::TIMESTAMP AS m_ts
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0 AS side, NULL::BIGINT, event_id, ts
+      |  FROM events WHERE event_type = 'error'),
+      |w AS (SELECT *,
+      |    last_value(m_id IGNORE NULLS) OVER wb AS b_id,
+      |    last_value(m_ts IGNORE NULLS) OVER wb AS b_ts,
+      |    first_value(m_id IGNORE NULLS) OVER wf AS f_id,
+      |    first_value(m_ts IGNORE NULLS) OVER wf AS f_ts
+      |  FROM u
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side, m_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY user_id ORDER BY ts, side, m_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |c AS (SELECT event_id, user_id, ts,
+      |    epoch_us(ts) - epoch_us(b_ts) AS b_gap,
+      |    epoch_us(f_ts) - epoch_us(ts) AS f_gap,
+      |    b_id, f_id, b_ts, f_ts
+      |  FROM w WHERE side = 1)
+      |SELECT event_id, user_id, ts,
+      |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_gap <= f_gap)
+      |    THEN b_id ELSE f_id END AS match_event_id,
+      |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_gap <= f_gap)
+      |    THEN b_ts ELSE f_ts END AS match_ts,
+      |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_gap <= f_gap)
+      |    THEN 'backward' ELSE 'forward' END AS direction,
+      |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR b_gap <= f_gap)
+      |    THEN b_gap ELSE f_gap END AS gap_us
+      |FROM c ORDER BY event_id""".stripMargin
+
+  /** Smoothed bigram language-model scoring — one step up from
+    * [[textUnigramLogprob]] toward the perplexity filter: per document,
+    * the mean of ln p(w₂|w₁) under the corpus's own add-1-smoothed
+    * bigram MLE, p = (c(w₁,w₂)+1)/(c(w₁)+|V|). Low scores flag
+    * token-order gibberish that unigram scoring cannot see.
+    *
+    * Topology: bigram explode → bigram/unigram hash aggregations →
+    * bigram⋈count equi-joins → per-doc mean of decimal-quantized ln
+    * terms (the chi-square recipe). All keyed shuffles, linear in corpus
+    * size; |V| is one broadcast scalar. */
+  def textBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
+    val bg = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uc = bc.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = docs.select(explode(col("ws")).as("u"))
+      .agg(countDistinct("u").as("v"))
+    bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("c2").cast("double") + 1) / (col("c1") + col("v")))
+          .cast(DecimalType(38, 12)).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("lp").cast("double") / count(lit(1)), 6).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+  val textBigramLogprobSql: String =
+    raw"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM (SELECT doc_id, ws,
+         |    unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bg GROUP BY w1, w2),
+         |uc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+         |v AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS v
+         |  FROM (SELECT unnest(ws) AS u FROM w)),
+         |scored AS (SELECT bg.doc_id,
+         |    CAST(ln((CAST(bc.c2 AS DOUBLE) + 1) / (uc.c1 + v.v))
+         |      AS DECIMAL(38,12)) AS lp
+         |  FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Vocabulary coverage curve: the cumulative fraction of all corpus
     * tokens covered by the top-[[CovK]] most frequent terms — the
     * tokenizer-design diagnostic ("how big must the vocab be to cover
@@ -2649,6 +2773,8 @@ object Pipeline {
     "event_attribution" -> (eventAttribution _),
     "shard_pack" -> (shardPack _),
     "vocab_coverage" -> (vocabCoverage _),
+    "join_asof_nearest" -> (joinAsofNearest _),
+    "text_bigram_logprob" -> (textBigramLogprob _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "dedup_substring" -> (dedupSubstring _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
@@ -2699,6 +2825,8 @@ object Pipeline {
     "event_attribution" -> eventAttributionSql,
     "shard_pack" -> shardPackSql,
     "vocab_coverage" -> vocabCoverageSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
+    "text_bigram_logprob" -> textBigramLogprobSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "dedup_substring" -> dedupSubstringSql,
     "sim_quantized_topk" -> simQuantizedTopkSql,

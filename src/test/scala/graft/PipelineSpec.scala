@@ -932,6 +932,75 @@ class GraphTextSpec extends AnyFunSuite {
       BigDecimal(3.0 * tris / wedges).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("nearest as-of picks the closer side and ties go backward") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.joinAsofNearest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // local ground truth: per user, all error times (microseconds — the
+    // operator's gap unit; Timestamp.getTime alone truncates to ms and
+    // can disagree with the exact µs difference by 1)
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val errs = Q.t(spark, sf, "events")
+      .filter(col("event_type") === "error")
+      .select("user_id", "event_id", "ts").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(r =>
+        (r.getAs[Long]("event_id"),
+          us(r.getAs[java.sql.Timestamp]("ts")))).sortBy(_._2)).toMap
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val ts = us(r.getAs[java.sql.Timestamp]("ts"))
+      errs.get(uid) match {
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("match_event_id")),
+            s"matched with no errors for user: $r")
+        case Some(es) =>
+          assert(!r.isNullAt(r.fieldIndex("match_event_id")))
+          val gap = r.getAs[Long]("gap_us")
+          assert(gap >= 0)
+          val best = es.map(e => math.abs(e._2 - ts)).min
+          assert(gap == best, s"not the nearest error: $r (best=${best}us)")
+      }
+    }
+    val dirs = rows.filter(!_.isNullAt(5)).groupBy(_.getAs[String]("direction"))
+    assert(dirs.keySet == Set("backward", "forward"),
+      s"degenerate direction split: ${dirs.keySet}")
+  }
+
+  test("bigram log-probs are negative and count word_count-1 bigrams per doc") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.textBigramLogprob(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wc = Q.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        expr("size(split(trim(text), '\\\\s+'))").cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_logprob") < 0.0, s"smoothed p<1 always: $r")
+      assert(r.getAs[Long]("n_bigrams") == wc(r.getAs[Long]("doc_id")) - 1,
+        s"bigram count must be word_count-1: $r")
+    }
+    assert(rows.length == wc.count(_._2 >= 2))
+  }
+
+  test("vocab coverage is nondecreasing, self-consistent, and ends at most 1") {
+    val rows = Pipeline.vocabCoverage(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Pipeline.CovK)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("coverage") >= a.getAs[Double]("coverage"))
+        // ranks order by count descending
+        assert(b.getAs[Long]("c") <= a.getAs[Long]("c"))
+        // cumulative sums telescope
+        assert(b.getAs[Long]("cum") - a.getAs[Long]("cum") == b.getAs[Long]("c"))
+      case _ => ()
+    }
+    val last = rows.last.getAs[Double]("coverage")
+    assert(last > 0.0 && last <= 1.0)
+  }
+
   test("word entropy is bounded by ln(n_unique) and exact for a local recompute") {
     val rows = Pipeline.textEntropy(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -164,6 +164,19 @@ class QualitySpec extends AnyFunSuite {
       "hour grid must be contiguous")
   }
 
+  test("Gini coefficients are in [0,1) with one row per source") {
+    val rows = Quality.statGini(spark, sf).collect()
+    val nSources = Q.t(spark, sf, "documents")
+      .select("source").distinct().count().toInt
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+    assert(rows.exists(_.getAs[Double]("gini") > 0.05),
+      "all-uniform Gini is degenerate for this corpus")
+  }
+
   test("canonical selection keeps exactly one doc per cluster") {
     val rows = Pipeline.dedupKeepCanonical(spark, sf).collect()
     val total = Q.t(spark, sf, "documents").count()

@@ -162,6 +162,37 @@ class StatsSpec extends AnyFunSuite {
     assert(b.forall(!_.isNullAt(2)))
   }
 
+  test("lag features: prev-day nulls across gaps, ma7 bounded by window extremes") {
+    val rows = Stats.eventLagFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("d").getTime)
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("v_lag1")))
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          val gapDays = (cur.getAs[java.sql.Timestamp]("d").getTime -
+            prev.getAs[java.sql.Timestamp]("d").getTime) / 86400000L
+          val prevDayIdx = cur.fieldIndex("v_prev_day")
+          if (gapDays == 1)
+            assert(cur.getAs[Double](prevDayIdx) == prev.getAs[Double]("v"),
+              s"consecutive-day lag broken: $cur")
+          else
+            assert(cur.isNullAt(prevDayIdx),
+              s"v_prev_day must null across a $gapDays-day gap: $cur")
+          // v_lag1 always carries the previous observation
+          assert(cur.getAs[Double]("v_lag1") == prev.getAs[Double]("v"))
+        case _ => ()
+      }
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val window = sorted.slice(math.max(0, i - 6), i + 1).map(_.getAs[Double]("v"))
+        val ma = r.getAs[Double]("v_ma7")
+        assert(ma >= window.min - 1e-6 && ma <= window.max + 1e-6,
+          s"ma7 outside window extremes: $r")
+      }
+    }
+  }
+
   test("seasonal decomposition reconstructs x and nulls trend at series edges") {
     val rows = Stats.eventSeasonal(spark, sf).collect()
     assert(rows.nonEmpty)

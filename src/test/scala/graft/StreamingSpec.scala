@@ -247,6 +247,97 @@ class StreamingSpec extends AnyFunSuite {
       "no as-of match crossed the micro-batch boundary")
   }
 
+  test("streaming attribution with cross-batch last-click state matches batch") {
+    import spark.implicits._
+    // split at the median ts so purchases in the later micro-batch must
+    // attribute to clicks held in state from the earlier one
+    val ev = spark.read.parquet(s"$sf/events.parquet") // raw: ts is ns long
+    val cut = ev.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_stream")
+    val stage = java.nio.file.Files.createTempDirectory("graft_attr_stage")
+    def writeHalf(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val out = stage.resolve(name)
+      ev.filter(cond).coalesce(1).write.parquet(out.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(out).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+      }
+      java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
+    }
+    writeHalf(col("ts") <= cut, "b1")
+    Thread.sleep(1100) // distinct mtimes: the file source orders batches by them
+    writeHalf(col("ts") > cut, "b2")
+
+    val out = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .select(col("event_id"), col("user_id"), col("ts").as("ns"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[AttrClickState]) =>
+          // group iterators are unordered within a micro-batch: replay in
+          // (ts, event_id) order so a same-ts click counts only for larger
+          // event ids — the batch window's strictly-preceding-row frame
+          val evs = it.toSeq.sortBy(e => (e._3, e._1))
+          var cur = state.getOption
+          val res = Seq.newBuilder[(Long, Long, Option[Long], Option[Long], Boolean)]
+          evs.foreach {
+            case (id, _, ns, "purchase") =>
+              val gap = cur.map(c => ns / 1000000000L - c.ns / 1000000000L)
+              val in = gap.exists(_ <= Pipeline.AttrWindowS)
+              res += ((id, uid,
+                if (in) cur.map(_.id) else None,
+                if (in) gap else None, in))
+            case (id, _, ns, "click") =>
+              cur = Some(AttrClickState(id, ns))
+            case _ => ()
+          }
+          cur.foreach(state.update)
+          res.result().iterator
+      }
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName("attr_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attr_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4)))
+      .sortBy(_._1)
+    val batch = Pipeline.eventAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s == b, s"stream=$s batch=$b")
+    }
+    // the split must exercise cross-batch state: some purchase after the
+    // cut attributes to a click from before it
+    val cutS = cut / 1000000000L
+    assert(streamed.exists(s => s._5 &&
+      s._4.exists(g => purchaseTs(s._1) > cutS && purchaseTs(s._1) - g <= cutS)),
+      "no attribution crossed the micro-batch boundary")
+  }
+
+  /** Purchase event-time (epoch seconds) looked up from the raw events
+    * table, for the cross-batch assertion. */
+  private lazy val purchaseTs: Map[Long, Long] =
+    spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), expr("ts div 1000000000").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("stream-stream interval join equals the batch join") {
     // Two independent file streams joined on user_id with an event-time
     // range (error within the 6 hours before each click) — Spark's
@@ -298,6 +389,9 @@ class StreamingSpec extends AnyFunSuite {
 /** Latest-right-event state for the streaming as-of join (top-level so
   * the product encoder derives cleanly). */
 case class AsofMatchState(id: Long, us: Long, value: Double)
+
+/** Last-click state for the streaming attribution twin. */
+case class AttrClickState(id: Long, ns: Long)
 
 /** Plan audits across the whole headline suite: no accidental cartesian
   * products, lineitem filters reach the scan. */
