@@ -2736,6 +2736,282 @@ object Pipeline {
          |GROUP BY c.doc_id, t.wc, t.nu
          |ORDER BY c.doc_id""".stripMargin
 
+  // ---------- readability / novelty / survival / reliability ----------
+
+  /** Flesch reading-ease and Flesch–Kincaid grade per document, with a
+    * deterministic syllable proxy (count of `[aeiouy]+` vowel groups —
+    * the standard dictionary-free heuristic, identical under Java and
+    * RE2 regex semantics for this simple class). The quality-filter
+    * complement to [[textQuality]]: readability bands are a common
+    * pretraining-mix stratification key. Pure map-side — scales
+    * embarrassingly. */
+  def textReadability(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        expr(s"size($wordsExpr)").cast("long").as("n_words"),
+        greatest(lit(1L),
+          expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"))
+          .as("n_sentences"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+          .cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences"))
+      .withColumn("spw", col("n_syllables").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * col("wps")
+          - lit(84.6) * col("spw"), 4).as("flesch"),
+        round(lit(0.39) * col("wps") + lit(11.8) * col("spw")
+          - lit(15.59), 4).as("fk_grade"))
+      .orderBy("doc_id")
+  val textReadabilitySql: String =
+    raw"""WITH m AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |      AS n_words,
+         |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+         |      AS BIGINT) AS n_sentences,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch,
+         |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+         |    AS fk_grade
+         |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * word-5-gram shingles whose first corpus occurrence (minimum doc_id)
+    * is this document — the "how much genuinely new text does this doc
+    * add" curation signal (the streaming-order complement of
+    * [[dedupSubstring]]'s span overlap). Shingles hash through the
+    * repo-wide md5 lane so both engines bucket identically; topology is
+    * explode → distinct → one gram-keyed aggregation → gram-keyed join
+    * back — all keyed shuffles, no global ordering. */
+  def textNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val g = t(s, d, "documents")
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ws) - 4),
+           |  i -> ${md5Lane("concat_ws(' ', slice(ws, i, 5))")})"""
+          .stripMargin)).as("gh"))
+      .distinct()
+    val first = g.groupBy("gh").agg(min("doc_id").as("first_doc"))
+    g.join(first, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+  val textNgramNoveltySql: String =
+    raw"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |    ${md5LaneDuck("list_aggregate(ws[i:i+4], 'string_agg', ' ')")}
+         |      AS gh
+         |  FROM (SELECT doc_id, ws,
+         |      unnest(generate_series(1, len(ws) - 4)) AS i
+         |    FROM w WHERE len(ws) >= 5)),
+         |f AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id)
+         |    AS DOUBLE) / count(*), 6) AS novelty
+         |FROM g JOIN f USING (gh) GROUP BY g.doc_id
+         |ORDER BY g.doc_id""".stripMargin
+
+  /** Inter-arrival statistics per event type: mean / stddev / coefficient
+    * of variation of the per-user consecutive-event gap, plus the implied
+    * Poisson rate — the traffic-model fit that sizes streaming watermarks
+    * and sessionization timeouts. One keyed window (user, type) for the
+    * lag, one aggregation to a #types-sized table. Second moments follow
+    * the chi-square recipe: the per-row square is computed in double
+    * (deterministic scalar) then decimal-quantized so the sum is
+    * aggregation-order-independent. */
+  def eventInterarrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          / lit(1000000.0))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        dsum(col("gap_s")).as("sx"),
+        sum((col("gap_s") * col("gap_s")).cast(DecimalType(38, 6)))
+          .cast("double").as("sxx"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("sx") / col("n_gaps"), 6).as("mean_gap_s"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n_gaps"))
+          / (col("n_gaps") - 1)), 6).as("sd_gap_s"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n_gaps"))
+          / (col("n_gaps") - 1)) / (col("sx") / col("n_gaps")), 6).as("cv"),
+        round(lit(3600.0) * col("n_gaps") / col("sx"), 6).as("rate_per_hr"))
+      .orderBy("event_type")
+  }
+  val eventInterarrivalSql: String =
+    """WITH g AS (SELECT event_type,
+      |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+      |        PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+      |      / 1000000.0 AS gap_s
+      |  FROM events),
+      |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(CAST(gap_s AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(gap_s * gap_s AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      |  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n_gaps,
+      |  round(sx / n_gaps, 6) AS mean_gap_s,
+      |  round(sqrt((sxx - sx * sx / n_gaps) / (n_gaps - 1)), 6) AS sd_gap_s,
+      |  round(sqrt((sxx - sx * sx / n_gaps) / (n_gaps - 1))
+      |    / (sx / n_gaps), 6) AS cv,
+      |  round(3600.0 * n_gaps / sx, 6) AS rate_per_hr
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** Kaplan–Meier survival over days-to-first-purchase: each user enters
+    * at their first event; the "event" is their first purchase, users
+    * with none are right-censored at the corpus horizon. Emits the risk
+    * set, per-day hazard, and the KM product-limit estimate — the
+    * activation-funnel time-to-convert curve. The per-user reduction is
+    * one keyed aggregation; the KM curve itself lives on the
+    * distinct-day axis (bounded by the corpus day span — tens of rows
+    * after aggregation), where an unpartitioned cumulative window is
+    * size-safe at any corpus scale. The product is exp∘Σln with per-term
+    * decimal quantization (the bigram-LM recipe); an absorbing zero
+    * factor (hazard = 1) short-circuits to exact 0 instead of ln(0). */
+  def eventSurvival(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val hz = ev.agg(max(col("ts").cast("date")).as("h"))
+    val u = ev.groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("d0"),
+        min(when(col("event_type") === "purchase", col("ts").cast("date")))
+          .as("dp"))
+      .crossJoin(broadcast(hz))
+      .select(
+        when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+          .otherwise(datediff(col("h"), col("d0"))).as("t_days"),
+        col("dp").isNotNull.as("evented"))
+    val d0 = u.groupBy("t_days")
+      .agg(count(lit(1)).as("n_end"),
+        sum(when(col("evented"), 1L).otherwise(0L)).as("n_event"))
+    val total = u.count()
+    val wPrev = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d0.withColumn("n_risk",
+        lit(total) - coalesce(sum("n_end").over(wPrev), lit(0L)))
+      .withColumn("hazard",
+        col("n_event").cast("double") / col("n_risk"))
+      .withColumn("ln_term",
+        when(col("n_event") < col("n_risk"),
+          log(lit(1.0) - col("hazard")).cast(DecimalType(38, 12))))
+      .withColumn("n_zero",
+        sum(when(col("n_event") === col("n_risk"), 1L).otherwise(0L))
+          .over(wCum))
+      .select(col("t_days"), col("n_risk"), col("n_event"),
+        round(col("hazard"), 6).as("hazard"),
+        when(col("n_zero") > 0, lit(0.0))
+          .otherwise(round(exp(sum("ln_term").over(wCum).cast("double")), 6))
+          .as("survival"))
+      .orderBy("t_days")
+  }
+  val eventSurvivalSql: String =
+    """WITH hz AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+      |u AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+      |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+      |      AS dp
+      |  FROM events GROUP BY user_id),
+      |s AS (SELECT CASE WHEN dp IS NOT NULL
+      |      THEN date_diff('day', d0, dp)
+      |      ELSE date_diff('day', d0, (SELECT h FROM hz)) END AS t_days,
+      |    (dp IS NOT NULL) AS evented
+      |  FROM u),
+      |d AS (SELECT t_days, CAST(count(*) AS BIGINT) AS n_end,
+      |    CAST(count(*) FILTER (WHERE evented) AS BIGINT) AS n_event
+      |  FROM s GROUP BY t_days),
+      |k AS (SELECT t_days, n_event,
+      |    CAST((SELECT count(*) FROM u)
+      |      - coalesce(sum(n_end) OVER (ORDER BY t_days
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_risk
+      |  FROM d),
+      |f AS (SELECT t_days, n_risk, n_event,
+      |    CAST(n_event AS DOUBLE) / n_risk AS hazard,
+      |    CASE WHEN n_event < n_risk THEN
+      |      CAST(ln(1.0 - CAST(n_event AS DOUBLE) / n_risk)
+      |        AS DECIMAL(38,12)) END AS ln_term,
+      |    sum(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND CURRENT ROW) AS n_zero
+      |  FROM k)
+      |SELECT t_days, n_risk, n_event, round(hazard, 6) AS hazard,
+      |  CASE WHEN n_zero > 0 THEN 0.0
+      |    ELSE round(exp(CAST(sum(ln_term) OVER (ORDER BY t_days
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE)), 6) END AS survival
+      |FROM f ORDER BY t_days""".stripMargin
+
+  /** Embedding outliers: distance of each vector from the corpus
+    * centroid, z-scored over the distance distribution — the cheap
+    * embedding-space QC pass that flags mis-embedded or out-of-domain
+    * vectors before they poison ANN indexes or cluster assignments.
+    * Topology: dim-keyed explode → 64-row centroid aggregation →
+    * broadcast join back → per-vector reduction → one scalar stats row
+    * broadcast over the scores. Per-dim squared deviations are computed
+    * in double then decimal-quantized (order-independent sums); the
+    * centroid itself uses the dsum/count exact average. */
+  def embOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("xf").cast("double").as("x"))
+    val c = e.groupBy("i").agg(davg(col("x")).as("cx"))
+    val dist = e.join(broadcast(c), "i")
+      .groupBy("vec_id")
+      .agg(sqrt(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
+        .cast(DecimalType(38, 12))).cast("double")).as("dist"))
+    val st = dist.agg(count(lit(1)).as("n"),
+      dsum(col("dist")).as("s1"),
+      sum((col("dist") * col("dist")).cast(DecimalType(38, 12)))
+        .cast("double").as("s2"))
+    dist.crossJoin(broadcast(st))
+      .withColumn("z", (col("dist") - col("s1") / col("n"))
+        / sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+          / (col("n") - 1)))
+      .select(col("vec_id"), round(col("dist"), 6).as("dist"),
+        round(col("z"), 6).as("z"),
+        (abs(col("z")) > 2.5).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+  val embOutliersSql: String =
+    """WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS t(i)),
+      |c AS (SELECT i,
+      |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS cx
+      |  FROM e GROUP BY i),
+      |d AS (SELECT vec_id,
+      |    sqrt(CAST(sum(CAST((x - cx) * (x - cx) AS DECIMAL(38,12)))
+      |      AS DOUBLE)) AS dist
+      |  FROM e JOIN c USING (i) GROUP BY vec_id),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(dist AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(dist * dist AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      |  FROM d)
+      |SELECT vec_id, round(dist, 6) AS dist,
+      |  round((dist - s1 / n)
+      |    / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z,
+      |  (abs((dist - s1 / n)
+      |    / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2.5) AS is_outlier
+      |FROM d CROSS JOIN st ORDER BY vec_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2775,6 +3051,11 @@ object Pipeline {
     "vocab_coverage" -> (vocabCoverage _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "text_bigram_logprob" -> (textBigramLogprob _),
+    "text_readability" -> (textReadability _),
+    "text_ngram_novelty" -> (textNgramNovelty _),
+    "event_interarrival" -> (eventInterarrival _),
+    "event_survival" -> (eventSurvival _),
+    "emb_outliers" -> (embOutliers _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "dedup_substring" -> (dedupSubstring _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
@@ -2827,6 +3108,11 @@ object Pipeline {
     "vocab_coverage" -> vocabCoverageSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "text_bigram_logprob" -> textBigramLogprobSql,
+    "text_readability" -> textReadabilitySql,
+    "text_ngram_novelty" -> textNgramNoveltySql,
+    "event_interarrival" -> eventInterarrivalSql,
+    "event_survival" -> eventSurvivalSql,
+    "emb_outliers" -> embOutliersSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "dedup_substring" -> dedupSubstringSql,
     "sim_quantized_topk" -> simQuantizedTopkSql,

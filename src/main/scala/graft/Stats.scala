@@ -926,9 +926,102 @@ object Stats {
       |  CAST(n_regionkey AS BIGINT), 'b' FROM nation
       |ORDER BY id""".stripMargin
 
+  /** Spearman rank correlation between per-user activity (event count)
+    * and per-user total spend, with tie-averaged ranks, plus the Pearson
+    * coefficient on the raw pair for contrast — the monotone-association
+    * test that survives the heavy-tailed spend distributions Pearson is
+    * blind to.
+    *
+    * Scale: ranks come from [[Q.distPos]] (range shuffle + parallel
+    * per-partition ranks + broadcast offsets — no single-partition
+    * window); tie averaging joins each row to its value-group (min+max)
+    * positions through keyed aggregations. Doubling the tie-averaged
+    * ranks ((lo+hi+2) instead of (lo+hi+2)/2) keeps every rank an exact
+    * BIGINT — correlation is invariant under the affine scaling and all
+    * moment sums stay integer-exact in DECIMAL lanes. */
+  def statSpearman(s: SparkSession, d: String): DataFrame = {
+    val m = t(s, d, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(col("value").cast(DecimalType(30, 6))).as("y"))
+    val p = Q.distPos(Q.distPos(m, "px", col("x"), col("user_id")),
+      "py", col("y"), col("user_id"))
+    val gx = p.groupBy("x").agg(min("px").as("lox"), max("px").as("hix"))
+    val gy = p.groupBy("y").agg(min("py").as("loy"), max("py").as("hiy"))
+    val r = p.join(gx, "x").join(gy, "y")
+      .select(col("x"), col("y"),
+        (col("lox") + col("hix") + 2).as("rx2"),
+        (col("loy") + col("hiy") + 2).as("ry2"))
+    val d19 = DecimalType(19, 0)
+    val agg = r.agg(count(lit(1)).as("n"),
+      sum(col("rx2").cast(d19)).cast("double").as("sx"),
+      sum(col("ry2").cast(d19)).cast("double").as("sy"),
+      sum((col("rx2").cast(d19) * col("rx2").cast(d19))).cast("double").as("sxx"),
+      sum((col("ry2").cast(d19) * col("ry2").cast(d19))).cast("double").as("syy"),
+      sum((col("rx2").cast(d19) * col("ry2").cast(d19))).cast("double").as("sxy"),
+      sum(col("x").cast(d19)).cast("double").as("ax"),
+      sum(col("y")).cast("double").as("ay"),
+      sum((col("x") * col("x")).cast(d19)).cast("double").as("axx"),
+      // y is already DECIMAL(38,6): squaring it overflows the decimal
+      // lattice differently per engine — take the (deterministic) double
+      // product per row, then quantize for the order-independent sum
+      sum((col("y").cast("double") * col("y").cast("double"))
+        .cast(DecimalType(38, 6))).cast("double").as("ayy"),
+      sum((col("x").cast("double") * col("y").cast("double"))
+        .cast(DecimalType(38, 6))).cast("double").as("axy"))
+    def corr(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column): Column =
+      (n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    agg.select(col("n").as("n_users"),
+      round(corr(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy")), 6).as("rho_spearman"),
+      round(corr(col("n"), col("ax"), col("ay"), col("axx"), col("ayy"),
+        col("axy")), 6).as("r_pearson"))
+  }
+  val statSpearmanSql: String =
+    """WITH m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+      |    sum(CAST(value AS DECIMAL(30,6))) AS y
+      |  FROM events GROUP BY user_id),
+      |p AS (SELECT user_id, x, y,
+      |    row_number() OVER (ORDER BY x, user_id) - 1 AS px,
+      |    row_number() OVER (ORDER BY y, user_id) - 1 AS py
+      |  FROM m),
+      |r AS (SELECT x, y,
+      |    min(px) OVER (PARTITION BY x) + max(px) OVER (PARTITION BY x)
+      |      + 2 AS rx2,
+      |    min(py) OVER (PARTITION BY y) + max(py) OVER (PARTITION BY y)
+      |      + 2 AS ry2
+      |  FROM p),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(rx2 AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(ry2 AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(rx2 AS DECIMAL(19,0)))
+      |      AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(ry2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+      |      AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(rx2 AS DECIMAL(19,0)) * CAST(ry2 AS DECIMAL(19,0)))
+      |      AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS ax,
+      |    CAST(sum(y) AS DOUBLE) AS ay,
+      |    CAST(sum(CAST(x * x AS DECIMAL(19,0))) AS DOUBLE) AS axx,
+      |    CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS ayy,
+      |    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS axy
+      |  FROM r)
+      |SELECT n AS n_users,
+      |  round((n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      |    AS rho_spearman,
+      |  round((n * axy - ax * ay)
+      |    / sqrt((n * axx - ax * ax) * (n * ayy - ay * ay)), 6)
+      |    AS r_pearson
+      |FROM a""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_spearman" -> (statSpearman _),
     "sketch_hll" -> (sketchHll _),
     "stat_acf" -> (statAcf _),
     "assoc_rules" -> (assocRules _),
@@ -949,6 +1042,7 @@ object Stats {
     "scan_merge_schema" -> (scanMergeSchema _))
 
   val oracle: Map[String, String] = Map(
+    "stat_spearman" -> statSpearmanSql,
     "sketch_hll" -> sketchHllSql,
     "stat_acf" -> statAcfSql,
     "assoc_rules" -> assocRulesSql,

@@ -1029,3 +1029,144 @@ class GraphTextSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Invariants of the readability / novelty / survival / reliability
+  * operators beyond the DuckDB hash-compare: local formula recomputes,
+  * duplicate-document novelty collapse, and Kaplan–Meier monotonicity. */
+class SurvivalNoveltySpec extends AnyFunSuite {
+  import SparkSpec._
+  import org.apache.spark.sql.functions._
+
+  test("readability matches a local recompute of the Flesch formula") {
+    val rows = Pipeline.textReadability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(100).foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val words = text.trim.split("\\s+").count(_.nonEmpty)
+      val sents = math.max(1, "[.!?]+".r.findAllIn(text).length)
+      val syls = "[aeiouy]+".r.findAllIn(text.toLowerCase).length
+      assert(r.getAs[Long]("n_words") == words)
+      assert(r.getAs[Long]("n_sentences") == sents)
+      assert(r.getAs[Long]("n_syllables") == syls)
+      val flesch = 206.835 - 1.015 * (words.toDouble / sents) -
+        84.6 * (syls.toDouble / words)
+      assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-3,
+        s"flesch mismatch for ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("novelty matches a full local first-occurrence recompute") {
+    val rows = Pipeline.textNgramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nv = r.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+    }
+    // driver-local ground truth over the whole sf0.01 corpus: distinct
+    // 5-gram shingles per doc, first occurrence = min doc_id
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .sortBy(_._1)
+    val grams = docs.map { case (id, ws) =>
+      id -> ws.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    grams.foreach { case (id, gs) =>
+      gs.foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+    }
+    val expect = grams.filter(_._2.nonEmpty).map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(firstSeen(_) == id).toLong)
+    }.toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (ng, nn) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_grams") == ng, s"gram count: $r")
+      assert(r.getAs[Long]("n_novel") == nn, s"novel count: $r")
+    }
+    // shared prefixes exist in the corpus, so some doc is non-novel
+    assert(rows.exists(_.getAs[Double]("novelty") < 1.0),
+      "every doc fully novel - shared-prefix corpus structure lost")
+  }
+
+  test("interarrival stats match a local recompute for one event type") {
+    val rows = Pipeline.eventInterarrival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Q.t(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts")))
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val gaps = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (us(e._3), e._2))
+      sorted.sliding(2).collect {
+        case Array(a, b) => (us(b._3) - us(a._3)) / 1e6
+      }
+    }.toSeq
+    val row = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(row.getAs[Long]("n_gaps") == gaps.length)
+    val mean = gaps.sum / gaps.length
+    assert(math.abs(row.getAs[Double]("mean_gap_s") - mean) < 1e-3)
+    val sd = math.sqrt(gaps.map(g => (g - mean) * (g - mean)).sum / (gaps.length - 1))
+    assert(math.abs(row.getAs[Double]("sd_gap_s") - sd) < 1e-2)
+  }
+
+  test("Kaplan-Meier curve is monotone with a consistent risk set") {
+    val rows = Pipeline.eventSurvival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ts = rows.map(_.getAs[Int]("t_days"))
+    assert(ts.sorted.sameElements(ts))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") < a.getAs[Long]("n_risk"),
+          "risk set must strictly shrink between observed times")
+        assert(b.getAs[Double]("survival") <= a.getAs[Double]("survival"),
+          "KM survival must be non-increasing")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_event") <= r.getAs[Long]("n_risk"))
+      val h = r.getAs[Double]("hazard")
+      assert(h >= 0.0 && h <= 1.0)
+      val sv = r.getAs[Double]("survival")
+      assert(sv >= 0.0 && sv <= 1.0)
+    }
+    // the first point's survival is exactly 1 - its hazard (product of one)
+    val first = rows.head
+    assert(math.abs(first.getAs[Double]("survival") -
+      (1.0 - first.getAs[Long]("n_event").toDouble /
+        first.getAs[Long]("n_risk"))) < 1e-5)
+    // risk set at t0 is every user
+    val users = Q.t(spark, sf, "events").select("user_id").distinct().count()
+    assert(first.getAs[Long]("n_risk") == users)
+  }
+
+  test("embedding outlier z-scores are standardized and match one local distance") {
+    val rows = Pipeline.embOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zs = rows.map(_.getAs[Double]("z"))
+    val mz = zs.sum / zs.length
+    assert(math.abs(mz) < 1e-3, s"z mean $mz not ~0")
+    val vz = zs.map(z => (z - mz) * (z - mz)).sum / (zs.length - 1)
+    assert(math.abs(vz - 1.0) < 1e-2, s"z variance $vz not ~1")
+    assert(rows.count(_.getAs[Boolean]("is_outlier")) < rows.length / 20,
+      "outlier flag fires on >5% of vectors — threshold is broken")
+    // recompute one vector's centroid distance locally (quantization-free
+    // reference; the operator's decimal lanes agree to ~1e-5)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = vecs.values.head.length
+    val centroid = Array.tabulate(dim)(i => vecs.values.map(_(i)).sum / vecs.size)
+    val id0 = rows.head.getAs[Long]("vec_id")
+    val d0 = math.sqrt(vecs(id0).zip(centroid)
+      .map { case (x, c) => (x - c) * (x - c) }.sum)
+    assert(math.abs(rows.head.getAs[Double]("dist") - d0) < 1e-4,
+      s"vec $id0: local $d0 vs ${rows.head.getAs[Double]("dist")}")
+  }
+}

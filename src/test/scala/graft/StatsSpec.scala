@@ -245,3 +245,51 @@ class StatsSpec extends AnyFunSuite {
       s"alarm rate $alarms/${rows.length} is degenerate")
   }
 }
+
+/** Spearman/Pearson cross-check against a driver-local recompute. */
+class SpearmanSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  test("spearman rho matches a local tie-averaged rank correlation") {
+    val row = Stats.statSpearman(spark, sf).collect().head
+    val m = Q.t(spark, sf, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .as("y"))
+      .collect()
+      .map(r => (r.getAs[Long]("x").toDouble,
+        r.getAs[java.math.BigDecimal]("y").doubleValue()))
+    def ranks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.zipWithIndex.sortBy(_._1)
+      val rk = new Array[Double](v.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1) j += 1
+        val avg = (i + j + 2) / 2.0
+        (i to j).foreach(k => rk(sorted(k)._2) = avg)
+        i = j + 1
+      }
+      rk.toSeq
+    }
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    val rho = pearson(ranks(m.map(_._1)), ranks(m.map(_._2)))
+    assert(math.abs(row.getAs[Double]("rho_spearman") - rho) < 1e-5,
+      s"local $rho vs ${row.getAs[Double]("rho_spearman")}")
+    assert(row.getAs[Long]("n_users") == m.length)
+    val r = pearson(m.map(_._1), m.map(_._2))
+    assert(math.abs(row.getAs[Double]("r_pearson") - r) < 1e-4)
+    // spend is monotone-ish in activity: both correlations positive, and
+    // all coefficients inside [-1, 1]
+    assert(row.getAs[Double]("rho_spearman") > 0.0 &&
+      row.getAs[Double]("rho_spearman") <= 1.0)
+    assert(row.getAs[Double]("r_pearson") > 0.0 &&
+      row.getAs[Double]("r_pearson") <= 1.0)
+  }
+}
