@@ -22,7 +22,10 @@ object PipeBench {
     "shard_pack", "stat_ks_test", "stat_mann_whitney", "stat_psi",
     "stat_js_divergence", "stat_welch_t", "event_anomaly_mad",
     "event_rolling_corr", "event_seasonal", "event_cusum",
-    "stat_gini", "vocab_coverage", "event_lag_features")
+    "stat_gini", "vocab_coverage", "event_lag_features",
+    "join_asof_nearest", "text_bigram_logprob", "text_readability",
+    "text_ngram_novelty", "event_interarrival", "event_survival",
+    "emb_outliers", "stat_spearman")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -427,7 +427,9 @@ object Pipeline {
     * verified candidate pairs — used by both the pair-list oracle and the
     * connected-components oracle so the two queries provably run over the
     * same pair set. */
-  private val minhashPairsCtes: String = {
+  /** Shared `sigs` + `bands` CTE pair (MinHash signatures and band
+    * buckets) — the common prefix of every MinHash-family oracle. */
+  private val minhashSigBandCtes: String = {
     val shingles =
       raw"""list_distinct(list_transform(
            |    generate_series(1, greatest(length(text) - 7, 1)),
@@ -440,14 +442,16 @@ object Pipeline {
          |bands AS (
          |  SELECT doc_id, mh, b,
          |    array_to_string(mh[(b * $BandSize + 1):(b * $BandSize + $BandSize)], ',') AS bh
-         |  FROM sigs, generate_series(0, ${NumHashes / BandSize - 1}) t(b)),
+         |  FROM sigs, generate_series(0, ${NumHashes / BandSize - 1}) t(b))""".stripMargin
+  }
+  private val minhashPairsCtes: String =
+    raw"""$minhashSigBandCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2,
          |    round(len(list_filter(generate_series(1, $NumHashes),
          |      i -> a.mh[i] = b2.mh[i])) / ${NumHashes}.0, 4) AS est_jaccard
          |  FROM bands a JOIN bands b2
          |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id)""".stripMargin
-  }
   val dedupMinhashLshSql: String =
     raw"""WITH $minhashPairsCtes
          |SELECT doc1, doc2, est_jaccard FROM pairs
@@ -3012,6 +3016,264 @@ object Pipeline {
       |    / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2.5) AS is_outlier
       |FROM d CROSS JOIN st ORDER BY vec_id""".stripMargin
 
+  /** Incremental (reference-vs-new) MinHash dedup — the ingestion-time
+    * shape of [[dedupMinhashLsh]]: the corpus is split at half the max
+    * doc_id into an already-ingested reference and a "new batch", and
+    * each new document is checked for near-duplicates ONLY against the
+    * reference via the band buckets (new×new pairs are never generated —
+    * at 100 TB the reference's signatures are precomputed and this scan
+    * touches just the new partition plus one band-keyed join). Emits one
+    * row per new document with its duplicate evidence, matched or not. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val cut = broadcast(docs.agg((max(col("doc_id")).cast("long") / 2)
+      .cast("long").as("cut")))
+    val bands = docs.select(col("doc_id"), minhashSignature.as("mh"))
+      .crossJoin(cut)
+      .select(col("doc_id"), col("cut"), col("mh"),
+        explode(expr(
+          s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
+             |  b -> named_struct(
+             |    'band', b,
+             |    'bh', concat_ws(',',
+             |      transform(slice(mh, b * $BandSize + 1, $BandSize),
+             |        x -> cast(x as string)))))""".stripMargin)).as("k"))
+      .select(col("doc_id"), col("cut"), col("mh"),
+        col("k.band").as("band"), col("k.bh").as("bh"))
+    val ref = bands.filter(col("doc_id") <= col("cut"))
+      .select(col("band"), col("bh"), col("doc_id").as("ref_id"),
+        col("mh").as("mh_r"))
+    val neu = bands.filter(col("doc_id") > col("cut"))
+      .select(col("band").as("band2"), col("bh").as("bh2"),
+        col("doc_id").as("new_id"), col("mh").as("mh_n"))
+    val pairs = neu.join(ref,
+        col("band2") === col("band") && col("bh2") === col("bh"))
+      .select(col("new_id"), col("ref_id"),
+        round(expr(s"size(filter(zip_with(mh_n, mh_r, (x, y) -> x = y), " +
+          s"v -> v)) / cast($NumHashes as double)"), 4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.35)
+    val perNew = pairs.groupBy("new_id")
+      .agg(count(lit(1)).as("n_ref_dups"), max("est_jaccard").as("best_jaccard"))
+    docs.crossJoin(cut).filter(col("doc_id") > col("cut"))
+      .select(col("doc_id").as("new_id"))
+      .join(perNew, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("n_ref_dups"), lit(0L)).as("n_ref_dups"),
+        col("best_jaccard"),
+        (coalesce(col("n_ref_dups"), lit(0L)) > 0).as("is_dup"))
+      .orderBy("new_id")
+  }
+  val dedupIncrementalSql: String =
+    raw"""WITH cut AS (SELECT CAST(max(doc_id) // 2 AS BIGINT) AS c
+         |  FROM documents),
+         |$minhashSigBandCtes,
+         |p AS (SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id,
+         |    round(len(list_filter(generate_series(1, $NumHashes),
+         |      i -> n.mh[i] = r.mh[i])) / ${NumHashes}.0, 4) AS est_jaccard
+         |  FROM bands n JOIN bands r ON n.b = r.b AND n.bh = r.bh
+         |  WHERE n.doc_id > (SELECT c FROM cut)
+         |    AND r.doc_id <= (SELECT c FROM cut)),
+         |q AS (SELECT new_id, CAST(count(*) AS BIGINT) AS n_ref_dups,
+         |    max(est_jaccard) AS best_jaccard
+         |  FROM p WHERE est_jaccard >= 0.35 GROUP BY new_id)
+         |SELECT d.doc_id AS new_id,
+         |  coalesce(q.n_ref_dups, 0) AS n_ref_dups, q.best_jaccard,
+         |  (coalesce(q.n_ref_dups, 0) > 0) AS is_dup
+         |FROM documents d LEFT JOIN q ON q.new_id = d.doc_id
+         |WHERE d.doc_id > (SELECT c FROM cut)
+         |ORDER BY new_id""".stripMargin
+
+  /** Two-proportion A/B z-test: events split by the parity of the JSON
+    * `props.k` payload field (a deterministic stand-in for a variant
+    * assignment), outcome = purchase conversion. Emits counts, rates,
+    * lift, pooled z and the 5% verdict — the experiment read-out every
+    * event pipeline ends in. JSON extraction and the contingency
+    * reduction are map-side; the test itself runs on one 2-row
+    * aggregate. */
+  def eventAbTest(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select((get_json_object(col("props"), "$.k").cast("long") % 2)
+        .as("variant"),
+        (col("event_type") === "purchase").as("conv"))
+    val a = e.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("c"))
+    val w = a.agg(
+      max(when(col("variant") === 0, col("n"))).as("n_a"),
+      max(when(col("variant") === 0, col("c"))).as("c_a"),
+      max(when(col("variant") === 1, col("n"))).as("n_b"),
+      max(when(col("variant") === 1, col("c"))).as("c_b"))
+    val rateA = col("c_a").cast("double") / col("n_a")
+    val rateB = col("c_b").cast("double") / col("n_b")
+    val pPool = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = (rateB - rateA) /
+      sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    w.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round(rateA, 6).as("rate_a"), round(rateB, 6).as("rate_b"),
+      round(rateB - rateA, 6).as("lift"),
+      round(z, 6).as("z"),
+      (abs(z) > 1.959964).as("significant"))
+  }
+  val eventAbTestSql: String =
+    """WITH e AS (SELECT
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS variant,
+      |    (event_type = 'purchase') AS conv FROM events),
+      |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) FILTER (WHERE conv) AS BIGINT) AS c
+      |  FROM e GROUP BY variant),
+      |w AS (SELECT
+      |    max(CASE WHEN variant = 0 THEN n END) AS n_a,
+      |    max(CASE WHEN variant = 0 THEN c END) AS c_a,
+      |    max(CASE WHEN variant = 1 THEN n END) AS n_b,
+      |    max(CASE WHEN variant = 1 THEN c END) AS c_b
+      |  FROM a),
+      |f AS (SELECT n_a, c_a, n_b, c_b,
+      |    CAST(c_a AS DOUBLE) / n_a AS ra, CAST(c_b AS DOUBLE) / n_b AS rb,
+      |    CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pp
+      |  FROM w)
+      |SELECT n_a, c_a, n_b, c_b,
+      |  round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+      |  round(rb - ra, 6) AS lift,
+      |  round((rb - ra) / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 6)
+      |    AS z,
+      |  (abs((rb - ra) / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)))
+      |    > 1.959964) AS significant
+      |FROM f""".stripMargin
+
+  /** Interval-overlap join via temporal bucketing: 30-minute-gap user
+    * sessions joined against global error "incident windows" (each error
+    * opens a 1-hour window), counting the incidents each session
+    * overlaps. Both interval sets explode into the hour buckets they
+    * cover, meet in a bucket-keyed equi-join (the canonical distributed
+    * interval-join strategy — no inequality-only join anywhere), then an
+    * exact boundary predicate and a distinct collapse remove the
+    * bucket-induced double-counts. Sessions that overlap no incident
+    * don't reach the join output (inner semantics, documented). */
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(win).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(win))
+            > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum("brk").over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+    val inc = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"), col("ts").as("i_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("i_end"))
+    val sb = sess.select(col("user_id"), col("sess"), col("s_start"),
+      col("s_end"), explode(expr(
+        "sequence(floor(unix_seconds(s_start) / 3600), " +
+          "floor(unix_seconds(s_end) / 3600))")).as("hb"))
+    val ib = inc.select(col("inc_id"), col("i_start"), col("i_end"),
+      explode(expr(
+        "sequence(floor(unix_seconds(i_start) / 3600), " +
+          "floor(unix_seconds(i_end) / 3600))")).as("hb"))
+    sb.join(ib, "hb")
+      .filter(col("s_start") < col("i_end") && col("i_start") <= col("s_end"))
+      .select(col("user_id"), col("sess").as("session_no"), col("s_start"),
+        col("s_end"), col("inc_id"))
+      .distinct()
+      .groupBy("user_id", "session_no", "s_start", "s_end")
+      .agg(count(lit(1)).as("n_incidents"))
+      .orderBy("user_id", "session_no")
+  }
+  val joinIntervalOverlapSql: String =
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s0 AS (SELECT user_id, ts,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+      |  FROM o),
+      |sess AS (SELECT user_id, sess, min(ts) AS s_start, max(ts) AS s_end
+      |  FROM s0 GROUP BY user_id, sess),
+      |inc AS (SELECT event_id AS inc_id, ts AS i_start,
+      |    ts + INTERVAL 1 HOUR AS i_end FROM events
+      |  WHERE event_type = 'error'),
+      |sb AS (SELECT user_id, sess, s_start, s_end,
+      |    unnest(generate_series(
+      |      CAST(floor(epoch(s_start) / 3600) AS BIGINT),
+      |      CAST(floor(epoch(s_end) / 3600) AS BIGINT))) AS hb FROM sess),
+      |ib AS (SELECT inc_id, i_start, i_end,
+      |    unnest(generate_series(
+      |      CAST(floor(epoch(i_start) / 3600) AS BIGINT),
+      |      CAST(floor(epoch(i_end) / 3600) AS BIGINT))) AS hb FROM inc),
+      |m AS (SELECT DISTINCT s.user_id, s.sess, s.s_start, s.s_end, i.inc_id
+      |  FROM sb s JOIN ib i USING (hb)
+      |  WHERE s.s_start < i.i_end AND i.i_start <= s.s_end)
+      |SELECT user_id, sess AS session_no, s_start, s_end,
+      |  CAST(count(inc_id) AS BIGINT) AS n_incidents
+      |FROM m GROUP BY user_id, sess, s_start, s_end
+      |ORDER BY user_id, session_no""".stripMargin
+
+  /** Gopher/C4-style rule-based quality filter: the pretraining curation
+    * decision table. Five deterministic per-document rules — word count
+    * bounds, mean word length band, alphabetic-word fraction,
+    * symbol-to-word ratio, minimum stopword evidence — each emitted as
+    * its own verdict column plus the conjunctive keep decision, so a
+    * pipeline can audit WHY a document dropped. Pure map-side. */
+  def textGopherRules(s: SparkSession, d: String): DataFrame = {
+    val stop = "('the','a','an','of','to','in','and','is','that','for')"
+    t(s, d, "documents")
+      .select(col("doc_id"), expr(wordsExpr).as("ws"), col("text"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("wc"),
+        round(length(concat_ws("", col("ws"))).cast("double") /
+          size(col("ws")), 6).as("mean_wlen"),
+        round(expr("size(filter(ws, w -> w rlike '^[A-Za-z]+[.,!?;:]?$'))")
+          .cast("double") / size(col("ws")), 6).as("alpha_frac"),
+        round(expr(raw"size(regexp_extract_all(text, '[#@&%^*+=<>|~`{}\\[\\]\\\\]', 0))")
+          .cast("double") / greatest(size(col("ws")), lit(1)), 6)
+          .as("symbol_ratio"),
+        expr(s"size(filter(ws, w -> lower(w) IN $stop))").cast("long")
+          .as("n_stop"))
+      .withColumn("ok_length", col("wc") >= 20 && col("wc") <= 100000)
+      .withColumn("ok_wlen", col("mean_wlen") >= 3 && col("mean_wlen") <= 10)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("ok_stopwords", col("n_stop") >= 2)
+      .withColumn("keep", col("ok_length") && col("ok_wlen") &&
+        col("ok_alpha") && col("ok_symbols") && col("ok_stopwords"))
+      .orderBy("doc_id")
+  }
+  val textGopherRulesSql: String =
+    raw"""WITH w AS (SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS wc,
+         |    round(CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws), 6)
+         |      AS mean_wlen,
+         |    round(CAST(len(list_filter(ws,
+         |      w -> regexp_matches(w, '^[A-Za-z]+[.,!?;:]?$$')))
+         |      AS DOUBLE) / len(ws), 6) AS alpha_frac,
+         |    round(CAST(len(regexp_extract_all(text,
+         |      '[#@&%^*+=<>|~`{}\[\]\\\\]')) AS DOUBLE)
+         |      / greatest(len(ws), 1), 6) AS symbol_ratio,
+         |    CAST(len(list_filter(ws, w -> lower(w) IN
+         |      ('the','a','an','of','to','in','and','is','that','for')))
+         |      AS BIGINT) AS n_stop
+         |  FROM w)
+         |SELECT doc_id, wc, mean_wlen, alpha_frac, symbol_ratio, n_stop,
+         |  (wc >= 20 AND wc <= 100000) AS ok_length,
+         |  (mean_wlen >= 3 AND mean_wlen <= 10) AS ok_wlen,
+         |  (alpha_frac >= 0.8) AS ok_alpha,
+         |  (symbol_ratio <= 0.1) AS ok_symbols,
+         |  (n_stop >= 2) AS ok_stopwords,
+         |  ((wc >= 20 AND wc <= 100000)
+         |    AND (mean_wlen >= 3 AND mean_wlen <= 10)
+         |    AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1 AND n_stop >= 2)
+         |    AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3056,6 +3318,10 @@ object Pipeline {
     "event_interarrival" -> (eventInterarrival _),
     "event_survival" -> (eventSurvival _),
     "emb_outliers" -> (embOutliers _),
+    "dedup_incremental" -> (dedupIncremental _),
+    "event_ab_test" -> (eventAbTest _),
+    "join_interval_overlap" -> (joinIntervalOverlap _),
+    "text_gopher_rules" -> (textGopherRules _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "dedup_substring" -> (dedupSubstring _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
@@ -3113,6 +3379,10 @@ object Pipeline {
     "event_interarrival" -> eventInterarrivalSql,
     "event_survival" -> eventSurvivalSql,
     "emb_outliers" -> embOutliersSql,
+    "dedup_incremental" -> dedupIncrementalSql,
+    "event_ab_test" -> eventAbTestSql,
+    "join_interval_overlap" -> joinIntervalOverlapSql,
+    "text_gopher_rules" -> textGopherRulesSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "dedup_substring" -> dedupSubstringSql,
     "sim_quantized_topk" -> simQuantizedTopkSql,

@@ -1170,3 +1170,142 @@ class SurvivalNoveltySpec extends AnyFunSuite {
       s"vec $id0: local $d0 vs ${rows.head.getAs[Double]("dist")}")
   }
 }
+
+/** Driver-local ground-truth recomputes for the incremental dedup,
+  * A/B test, interval-overlap join and Gopher-rule filter. */
+class IngestOpsSpec extends AnyFunSuite {
+  import SparkSpec._
+  import org.apache.spark.sql.functions._
+
+  private def md5Lane(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("incremental dedup matches a local cross-half MinHash recompute") {
+    val rows = Pipeline.dedupIncremental(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val cut = docs.map(_._1).max / 2
+    val nH = 16; val bandSize = 4
+    val sigs = docs.map { case (id, text) =>
+      val shingles = (1 to math.max(text.length - 7, 1))
+        .map(i => text.substring(i - 1, math.min(i + 7, text.length)))
+        .distinct
+      id -> Array.tabulate(nH)(j => shingles.map(s => md5Lane(s + "#" + j)).min)
+    }
+    val (ref, neu) = sigs.partition(_._1 <= cut)
+    val expected = neu.map { case (nid, mhN) =>
+      val matches = ref.flatMap { case (rid, mhR) =>
+        val shareBand = (0 until nH / bandSize).exists { b =>
+          (b * bandSize until (b + 1) * bandSize).forall(i => mhN(i) == mhR(i))
+        }
+        if (!shareBand) None
+        else {
+          val j = mhN.zip(mhR).count { case (x, y) => x == y }.toDouble / nH
+          val jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          if (jr >= 0.35) Some(jr.toDouble) else None
+        }
+      }
+      nid -> matches
+    }.toMap
+    assert(rows.length == expected.size, "one row per new doc")
+    rows.foreach { r =>
+      val exp = expected(r.getAs[Long]("new_id"))
+      assert(r.getAs[Long]("n_ref_dups") == exp.length, s"dup count: $r")
+      assert(r.getAs[Boolean]("is_dup") == exp.nonEmpty)
+      if (exp.nonEmpty)
+        assert(r.getAs[Double]("best_jaccard") == exp.max, s"best jaccard: $r")
+      else assert(r.isNullAt(r.fieldIndex("best_jaccard")))
+    }
+    assert(rows.count(_.getAs[Boolean]("is_dup")) > 0,
+      "no cross-half duplicates - corpus structure lost")
+  }
+
+  test("A/B z-test matches a local recompute and covers every event") {
+    val row = Pipeline.eventAbTest(spark, sf).collect().head
+    val ev = Q.t(spark, sf, "events")
+      .select("props", "event_type").collect()
+      .map { r =>
+        val k = """"k":\s*(\d+)""".r.findFirstMatchIn(r.getString(0)).get
+          .group(1).toLong
+        (k % 2, r.getString(1) == "purchase")
+      }
+    val (a, b) = ev.partition(_._1 == 0L)
+    assert(row.getAs[Long]("n_a") == a.length)
+    assert(row.getAs[Long]("n_b") == b.length)
+    assert(row.getAs[Long]("c_a") == a.count(_._2))
+    assert(row.getAs[Long]("c_b") == b.count(_._2))
+    val (ra, rb) = (a.count(_._2).toDouble / a.length,
+      b.count(_._2).toDouble / b.length)
+    val pp = (a.count(_._2) + b.count(_._2)).toDouble / ev.length
+    val z = (rb - ra) / math.sqrt(pp * (1 - pp) *
+      (1.0 / a.length + 1.0 / b.length))
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-5)
+    assert(row.getAs[Boolean]("significant") == (math.abs(z) > 1.959964))
+  }
+
+  test("interval-overlap counts match a local sessionize-and-scan") {
+    val rows = Pipeline.joinIntervalOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val ev = Q.t(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        us(r.getAs[java.sql.Timestamp]("ts")), r.getAs[String]("event_type")))
+    val incidents = ev.filter(_._4 == "error")
+      .map(e => (e._3, e._3 + 3600L * 1000000L))
+    // local sessions per user (30-min gap rule)
+    val sessions = ev.groupBy(_._1).flatMap { case (uid, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { e =>
+        if (bounds.nonEmpty && e._3 - bounds.last._2 <= 1800L * 1000000L)
+          bounds(bounds.length - 1) = (bounds.last._1, e._3)
+        else bounds += ((e._3, e._3))
+      }
+      bounds.map { case (s0, s1) => (uid, s0, s1) }
+    }.toSeq
+    val expect = sessions.map { case (uid, s0, s1) =>
+      (uid, s0) -> incidents.count { case (i0, i1) => s0 < i1 && i0 <= s1 }
+    }.toMap
+    // operator emits only sessions with >=1 overlap
+    assert(rows.length == expect.count(_._2 > 0))
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"),
+        us(r.getAs[java.sql.Timestamp]("s_start")))
+      assert(expect(key) == r.getAs[Long]("n_incidents"), s"overlap count: $r")
+    }
+  }
+
+  test("gopher rules: keep is the conjunction and both binding rules vary") {
+    val rows = Pipeline.textGopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val conj = r.getAs[Boolean]("ok_length") && r.getAs[Boolean]("ok_wlen") &&
+        r.getAs[Boolean]("ok_alpha") && r.getAs[Boolean]("ok_symbols") &&
+        r.getAs[Boolean]("ok_stopwords")
+      assert(r.getAs[Boolean]("keep") == conj, s"keep != conjunction: $r")
+    }
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"degenerate keep rate $kept/${rows.length}")
+    assert(rows.exists(!_.getAs[Boolean]("ok_length")))
+    assert(rows.exists(!_.getAs[Boolean]("ok_stopwords")))
+    // spot-check counts on one dropped doc
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(!_.getAs[Boolean]("keep")).take(20).foreach { r =>
+      val ws = texts(r.getAs[Long]("doc_id")).trim.split("\\s+")
+      assert(r.getAs[Long]("wc") == ws.length)
+      val stops = Set("the", "a", "an", "of", "to", "in", "and", "is",
+        "that", "for")
+      assert(r.getAs[Long]("n_stop") == ws.count(w => stops(w.toLowerCase)))
+    }
+  }
+}
