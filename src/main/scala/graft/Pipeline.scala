@@ -3274,6 +3274,230 @@ object Pipeline {
          |    AS keep
          |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Exact shingle containment over LSH candidate pairs — the asymmetric
+    * near-duplicate measure (|A∩B| / min(|A|,|B|)) that catches a short
+    * document embedded inside a long one, which symmetric Jaccard
+    * under-scores. Candidates come from the MinHash band buckets (so the
+    * quadratic shingle join only touches LSH-screened pairs); the
+    * intersection is an exact per-shingle equi-join, keyed on (doc,
+    * shingle) — every stage is a keyed shuffle over candidate-bounded
+    * volume. */
+  def textContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val bands = docs.select(col("doc_id"), minhashSignature.as("mh"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
+           |  b -> named_struct(
+           |    'band', b,
+           |    'bh', concat_ws(',',
+           |      transform(slice(mh, b * $BandSize + 1, $BandSize),
+           |        x -> cast(x as string)))))""".stripMargin)).as("k"))
+      .select(col("doc_id"), col("k.band").as("band"), col("k.bh").as("bh"))
+    val cand = bands.select(col("band"), col("bh"), col("doc_id").as("doc1"))
+      .join(bands.select(col("band").as("b2"), col("bh").as("h2"),
+        col("doc_id").as("doc2")),
+        col("band") === col("b2") && col("bh") === col("h2") &&
+          col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val shArr = expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(length(text) - 7, 1)),
+        |  i -> substring(text, i, 8)))""".stripMargin)
+    val sh = docs.select(col("doc_id"), shArr.as("sgs"))
+      .select(col("doc_id"), size(col("sgs")).cast("long").as("nsh"),
+        explode(col("sgs")).as("sg"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc1"), col("sg"),
+        col("nsh").as("nsh1")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("sg"),
+        col("nsh").as("nsh2")), Seq("doc2", "sg"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_shared"), max("nsh1").as("nsh1"),
+        max("nsh2").as("nsh2"))
+    inter.select(col("doc1"), col("doc2"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("nsh1"), col("nsh2")), 6).as("containment"))
+      .withColumn("near_contained", col("containment") >= 0.5)
+      .orderBy("doc1", "doc2")
+  }
+  val textContainmentSql: String = {
+    val shingles =
+      raw"""list_distinct(list_transform(
+           |    generate_series(1, greatest(length(text) - 7, 1)),
+           |    i -> substr(text, i, 8)))""".stripMargin
+    raw"""WITH $minhashSigBandCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2
+         |  FROM bands a JOIN bands b2
+         |    ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+         |sh AS (SELECT doc_id, unnest($shingles) AS sg,
+         |    len($shingles) AS nsh FROM documents),
+         |inter AS (SELECT c.doc1, c.doc2, CAST(count(*) AS BIGINT) AS ni,
+         |    CAST(max(s1.nsh) AS BIGINT) AS nsh1,
+         |    CAST(max(s2.nsh) AS BIGINT) AS nsh2
+         |  FROM cand c JOIN sh s1 ON s1.doc_id = c.doc1
+         |    JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.sg = s1.sg
+         |  GROUP BY c.doc1, c.doc2)
+         |SELECT doc1, doc2, ni AS n_shared,
+         |  round(CAST(ni AS DOUBLE) / least(nsh1, nsh2), 6) AS containment,
+         |  (round(CAST(ni AS DOUBLE) / least(nsh1, nsh2), 6) >= 0.5)
+         |    AS near_contained
+         |FROM inter ORDER BY doc1, doc2""".stripMargin
+  }
+
+  /** Benford first-digit conformance of order totals — the classic
+    * data-quality / fraud screen: observed leading-digit shares against
+    * log10(1 + 1/d), per digit with deltas. Map-side digit extraction
+    * (string head of the floored value — no float log in the hot path)
+    * plus a 9-row aggregation. */
+  def statBenford(s: SparkSession, d: String): DataFrame = {
+    val digits = t(s, d, "orders")
+      .filter(col("o_totalprice") >= 1)
+      .select(expr(
+        "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as bigint)")
+        .as("digit"))
+    val c = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").as("total"))
+    c.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("observed"),
+        round(log(lit(10.0), lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("expected"),
+        round(col("n").cast("double") / col("total")
+          - log(lit(10.0), lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("delta"))
+      .orderBy("digit")
+  }
+  val statBenfordSql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+      |  GROUP BY digit),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT digit, n,
+      |  round(CAST(n AS DOUBLE) / total, 6) AS observed,
+      |  round(log10(1.0 + 1.0 / digit), 6) AS expected,
+      |  round(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 6)
+      |    AS delta
+      |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+
+  /** Centroid-based silhouette per embedding label: a = distance to the
+    * own-label centroid, b = distance to the nearest other label's
+    * centroid, silhouette = (b−a)/max(a,b) averaged per label — the
+    * cluster-quality read-out for a labeled embedding corpus (the
+    * simplified silhouette, linear instead of the O(N²) pairwise
+    * original). Centroids are one (label,dim)-keyed aggregation
+    * (#labels×#dims rows) joined back broadcast; everything else is
+    * per-vector map + one keyed reduction. */
+  def embSilhouette(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+        col("xf").cast("double").as("x"))
+    val c = e.groupBy("label", "i").agg(davg(col("x")).as("cx"))
+      .select(col("label").as("cl"), col("i"), col("cx"))
+    val dist = e.join(broadcast(c), Seq("i"))
+      .groupBy(col("vec_id"), col("label"), col("cl"))
+      .agg(sqrt(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
+        .cast(DecimalType(38, 12))).cast("double")).as("dist"))
+    val ab = dist.groupBy("vec_id", "label")
+      .agg(max(when(col("cl") === col("label"), col("dist"))).as("a"),
+        min(when(col("cl") =!= col("label"), col("dist"))).as("b"))
+    ab.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(((col("b") - col("a")) / greatest(col("a"), col("b")))
+          .cast(DecimalType(30, 12))).cast("double") / count(lit(1)), 6)
+          .as("mean_silhouette"),
+        round(davg(col("a")), 6).as("mean_intra"))
+      .orderBy("label")
+  }
+  val embSilhouetteSql: String =
+    """WITH e AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS t(i)),
+      |c AS (SELECT label AS cl, i,
+      |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS cx
+      |  FROM e GROUP BY label, i),
+      |d AS (SELECT e.vec_id, e.label, c.cl,
+      |    sqrt(CAST(sum(CAST((e.x - c.cx) * (e.x - c.cx)
+      |      AS DECIMAL(38,12))) AS DOUBLE)) AS dist
+      |  FROM e JOIN c ON e.i = c.i GROUP BY e.vec_id, e.label, c.cl),
+      |ab AS (SELECT vec_id, label,
+      |    max(CASE WHEN cl = label THEN dist END) AS a,
+      |    min(CASE WHEN cl <> label THEN dist END) AS b
+      |  FROM d GROUP BY vec_id, label)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST((b - a) / greatest(a, b) AS DECIMAL(30,12)))
+      |    AS DOUBLE) / count(*), 6) AS mean_silhouette,
+      |  round(CAST(sum(CAST(a AS DECIMAL(30,6))) AS DOUBLE) / count(a), 6)
+      |    AS mean_intra
+      |FROM ab GROUP BY label ORDER BY label""".stripMargin
+
+  /** Zipf's-law fit of the corpus frequency spectrum: OLS slope of
+    * ln(frequency) on ln(rank) over the unigram and bigram vocabulary
+    * tables — the corpus-health diagnostic (natural language tracks a
+    * slope near −1; synthetic or templated text flattens). Ranks come
+    * from [[Q.distPos]] so the fit stays fully distributed even for a
+    * 100 TB corpus's multi-million-term vocabulary; the regression
+    * reduces to five decimal-quantized moment sums. */
+  def corpusZipf(s: SparkSession, d: String): DataFrame = {
+    val ws = t(s, d, "documents").select(expr(wordsExpr).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("g"))
+    val bi = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"))
+        .as("g"))
+    def fit(grams: DataFrame, kind: String): DataFrame = {
+      val v = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      val ranked = Q.distPos(v, "pos", col("c").desc, col("g"))
+        .select((col("pos") + 1).as("rnk"), col("c"))
+      val p = ranked.select(
+        log(col("rnk").cast("double")).cast(DecimalType(30, 12)).as("lx"),
+        log(col("c").cast("double")).cast(DecimalType(30, 12)).as("ly"))
+      val a = p.agg(count(lit(1)).as("n"),
+        sum("lx").cast("double").as("sx"), sum("ly").cast("double").as("sy"),
+        sum((col("lx").cast("double") * col("lx").cast("double"))
+          .cast(DecimalType(30, 12))).cast("double").as("sxx"),
+        sum((col("lx").cast("double") * col("ly").cast("double"))
+          .cast(DecimalType(30, 12))).cast("double").as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      a.select(lit(kind).as("gram_type"), col("n").as("vocab_size"),
+        round(slope, 6).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+    }
+    fit(uni, "unigram").unionByName(fit(bi, "bigram")).orderBy("gram_type")
+  }
+  val corpusZipfSql: String = {
+    def fit(gramCte: String, kind: String): String =
+      s"""SELECT '$kind' AS gram_type, n AS vocab_size,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         |    AS intercept
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(CAST(lx AS DOUBLE) * CAST(lx AS DOUBLE)
+         |      AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(CAST(lx AS DOUBLE) * CAST(ly AS DOUBLE)
+         |      AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+         |  FROM (SELECT CAST(ln(rnk) AS DECIMAL(30,12)) AS lx,
+         |      CAST(ln(c) AS DECIMAL(30,12)) AS ly
+         |    FROM (SELECT c, row_number() OVER (ORDER BY c DESC, g) AS rnk
+         |      FROM (SELECT g, CAST(count(*) AS BIGINT) AS c
+         |        FROM $gramCte GROUP BY g))))""".stripMargin
+    raw"""WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+         |  FROM documents),
+         |uni AS (SELECT unnest(ws) AS g FROM w),
+         |bi AS (SELECT ws[i] || ' ' || ws[i+1] AS g
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |    FROM w WHERE len(ws) >= 2))
+         |${fit("uni", "unigram")}
+         |UNION ALL
+         |${fit("bi", "bigram")}
+         |ORDER BY gram_type""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
