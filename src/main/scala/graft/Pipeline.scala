@@ -3360,10 +3360,10 @@ object Pipeline {
     c.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
         round(col("n").cast("double") / col("total"), 6).as("observed"),
-        round(log(lit(10.0), lit(1.0) + lit(1.0) / col("digit")), 6)
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
           .as("expected"),
         round(col("n").cast("double") / col("total")
-          - log(lit(10.0), lit(1.0) + lit(1.0) / col("digit")), 6)
+          - log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
           .as("delta"))
       .orderBy("digit")
   }
@@ -3561,7 +3561,11 @@ object Pipeline {
     "event_resample" -> (eventResample _),
     "stat_chi_square" -> (statChiSquare _),
     "event_winsorize" -> (eventWinsorize _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "text_containment" -> (textContainment _),
+    "stat_benford" -> (statBenford _),
+    "emb_silhouette" -> (embSilhouette _),
+    "corpus_zipf" -> (corpusZipf _))
 
   private val oracleBase: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
@@ -3622,7 +3626,11 @@ object Pipeline {
     "event_resample" -> eventResampleSql,
     "stat_chi_square" -> statChiSquareSql,
     "event_winsorize" -> eventWinsorizeSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "text_containment" -> textContainmentSql,
+    "stat_benford" -> statBenfordSql,
+    "emb_silhouette" -> embSilhouetteSql,
+    "corpus_zipf" -> corpusZipfSql)
 
   /** `oracle` is a def: sim_ann_ivf's oracle SQL embeds the Spark-trained
     * centroids as literals, so it exists only after the query has run in

@@ -21,18 +21,27 @@ object Q {
       spark.table(name)
     else read(spark, dir, name)
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
-    * nanosecond LONG and is converted here to a microsecond timestamp
-    * (the generator only uses µs precision, so this is lossless). */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some corpus
+    * generations (Spark's reader rejects it unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as a
+    * nanosecond LONG) and as TIMESTAMP(MICROS) in others (arriving as
+    * TIMESTAMP or TIMESTAMP_NTZ). Normalize every encoding to a session-TZ
+    * microsecond TimestampType so downstream operators see one shape;
+    * both conversions are lossless (the generator only uses µs). */
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      // integer division: ts/1000 in double loses µs precision at 2024
-      // epoch magnitudes (ulp > 0.25µs)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer division: ts/1000 in double loses µs precision at 2024
+          // epoch magnitudes (ulp > 0.25µs)
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => // TIMESTAMP_NTZ: session TZ is UTC, cast is the identity
+          df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     else df
   }
 

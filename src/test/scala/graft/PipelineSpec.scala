@@ -1308,4 +1308,99 @@ class IngestOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_stop") == ws.count(w => stops(w.toLowerCase)))
     }
   }
+
+  test("containment matches exact shingle-set math on every emitted pair") {
+    val rows = Pipeline.textContainment(spark, sf).collect()
+    assume(rows.nonEmpty, "corpus has no LSH candidate pairs")
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] =
+      (1 to math.max(t.length - 7, 1)).map(i =>
+        t.substring(i - 1, math.min(i + 7, t.length))).toSet
+    rows.foreach { r =>
+      val a = shingles(texts(r.getAs[Long]("doc1")))
+      val b = shingles(texts(r.getAs[Long]("doc2")))
+      val shared = (a intersect b).size.toLong
+      assert(r.getAs[Long]("n_shared") == shared, s"n_shared: $r")
+      val expect = shared.toDouble / math.min(a.size, b.size)
+      assert(math.abs(r.getAs[Double]("containment") - expect) < 1e-6,
+        s"containment: $r expected $expect")
+      assert(r.getAs[Boolean]("near_contained") ==
+        (r.getAs[Double]("containment") >= 0.5))
+    }
+  }
+
+  test("benford digit shares sum to one and counts match a local tally") {
+    val rows = Pipeline.statBenford(spark, sf).collect()
+    val local = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice").collect()
+      .map(_.getDouble(0)).filter(_ >= 1)
+      .map(p => math.floor(p).toLong.toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, g) => d -> g.length.toLong }
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == local(r.getAs[Long]("digit")), s"count: $r")
+      val d = r.getAs[Long]("digit").toDouble
+      assert(math.abs(r.getAs[Double]("expected") - math.log10(1 + 1 / d)) < 1e-5)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("observed")).sum - 1.0) < 1e-4)
+  }
+
+  test("silhouette agrees with a local centroid recompute per label") {
+    val rows = Pipeline.embSilhouette(spark, sf).collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val labels = vecs.map(_._1).distinct
+    val cents = labels.map { l =>
+      val g = vecs.filter(_._1 == l).map(_._2)
+      l -> g.transpose.map(xs => xs.sum / xs.length).toArray
+    }.toMap
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val expect = labels.map { l =>
+      val g = vecs.filter(_._1 == l)
+      val sil = g.map { case (_, v) =>
+        val a = dist(v, cents(l))
+        val b = labels.filter(_ != l).map(o => dist(v, cents(o))).min
+        (b - a) / math.max(a, b)
+      }
+      l -> (sil.sum / sil.length)
+    }.toMap
+    assert(rows.length == labels.length)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_silhouette")
+      assert(m >= -1.0 && m <= 1.0)
+      assert(math.abs(m - expect(r.getAs[Int]("label"))) < 1e-4,
+        s"silhouette: $r expected ${expect(r.getAs[Int]("label"))}")
+    }
+  }
+
+  test("zipf slope matches a local OLS fit and is negative for unigrams") {
+    val rows = Pipeline.corpusZipf(spark, sf).collect()
+      .map(r => r.getAs[String]("gram_type") -> r).toMap
+    assert(rows.keySet == Set("unigram", "bigram"))
+    val ws = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).trim.split("\\s+").toSeq)
+    def fit(grams: Seq[String]): (Long, Double) = {
+      val counts = grams.groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
+      val ranked = counts.toSeq.sortBy { case (g, c) => (-c, g) }.zipWithIndex
+      val pts = ranked.map { case ((_, c), i) =>
+        (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      (pts.length.toLong, (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    }
+    val (un, us) = fit(ws.toSeq.flatten)
+    val (bn, bs) = fit(ws.toSeq.filter(_.length >= 2).flatMap(w =>
+      w.sliding(2).map(_.mkString(" "))))
+    assert(us < 0, "unigram zipf slope should be negative")
+    assert(rows("unigram").getAs[Long]("vocab_size") == un)
+    assert(rows("bigram").getAs[Long]("vocab_size") == bn)
+    assert(math.abs(rows("unigram").getAs[Double]("zipf_slope") - us) < 1e-4)
+    assert(math.abs(rows("bigram").getAs[Double]("zipf_slope") - bs) < 1e-4)
+  }
 }
