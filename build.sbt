@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout goes RAW to sbt's stdout instead of through the
+// logger's "[info] " prefix — Bench/Verify emit machine-parsed JSON
+// lines and the round-8 driver failed to parse the prefixed form.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 22 TPC-H queries × whole-stage codegen overflows the default 240 MB
+  // JIT code cache when the bench interleaves them (iteration-major),
+  // causing flush/recompile churn that query-major ordering hid.
+  "-XX:ReservedCodeCacheSize=512m",
 )

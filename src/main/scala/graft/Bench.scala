@@ -57,13 +57,18 @@ object Bench {
     names.foreach(run); names.foreach(run) // warmup: JIT + codegen
     // steady-state wall time: median of five timed iterations per query
     // (three under-sampled — round 3 saw ±60% swings on unchanged queries
-    // at the 200-500 ms magnitude). Failed runs (-1 sentinel) are dropped
-    // BEFORE the median so one failure can't skew it; queries with zero
-    // successful runs are reported explicitly instead of silently dropped.
+    // at the 200-500 ms magnitude). Iteration-MAJOR order — a full
+    // q1→q22 pass per timed iteration — so a transient external load
+    // spike poisons at most one sample of each query instead of every
+    // sample of whichever 2-3 queries it overlaps (that query-major
+    // failure mode contaminated q2-q4 in the round-8 artifact). Failed
+    // runs (-1 sentinel) are dropped BEFORE the median so one failure
+    // can't skew it; queries with zero successful runs are reported
+    // explicitly instead of silently dropped.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    val passes = Seq.fill(iters)(names.map(n => n -> run(n)).toMap)
     val results = names.map { n =>
-      val ok = Seq.fill(iters)(run(n)).filter(_ >= 0).sorted
-      n -> ok
+      n -> passes.map(_(n)).filter(_ >= 0).sorted
     }
     val qs = results.map { case (k, ok) =>
       val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)

@@ -366,10 +366,25 @@ object Extras {
         median(col("l_extendedprice")).as("exact_median"))
       .orderBy("l_returnflag")
 
-  /** describe()/summary() (reference dataframe.py:417) — rows-only (string
-    * matrix, layout is engine-specific). */
+  /** describe()/summary() (reference dataframe.py:417). The operator under
+    * test is Spark's `.describe()`; its raw output is a STRING matrix whose
+    * mean/stddev cells are shortest-roundtrip double reprs — order-dependent
+    * in the last ulp under distributed aggregation, so un-comparable across
+    * engines bit-for-bit. For the oracle compare the string matrix is cast
+    * back to doubles rounded to 4 decimals (engine-independent; the raw
+    * 5-row string shape keeps its own spec in KernelsSpec). */
   def rowopDescribe(s: SparkSession, d: String): DataFrame =
     t(s, d, "part").select("p_size", "p_retailprice").describe()
+      .select(col("summary"),
+        round(col("p_size").cast("double"), 4).as("p_size"),
+        round(col("p_retailprice").cast("double"), 4).as("p_retailprice"))
+  val rowopDescribeSql: String =
+    """SELECT 'count' AS summary, round(CAST(count(p_size) AS DOUBLE), 4) AS p_size,
+      |  round(CAST(count(p_retailprice) AS DOUBLE), 4) AS p_retailprice FROM part
+      |UNION ALL SELECT 'mean', round(avg(p_size), 4), round(avg(p_retailprice), 4) FROM part
+      |UNION ALL SELECT 'stddev', round(stddev_samp(p_size), 4), round(stddev_samp(p_retailprice), 4) FROM part
+      |UNION ALL SELECT 'min', round(CAST(min(p_size) AS DOUBLE), 4), round(CAST(min(p_retailprice) AS DOUBLE), 4) FROM part
+      |UNION ALL SELECT 'max', round(CAST(max(p_size) AS DOUBLE), 4), round(CAST(max(p_retailprice) AS DOUBLE), 4) FROM part""".stripMargin
 
   /** Native codegen'd vector kernels vs the DuckDB list functions
     * (cosine/inner-product/L2/L1 — reference functions/__init__.py:3584,
@@ -650,6 +665,7 @@ object Extras {
     "sql_unparse_postgres" -> sqlUnparsePostgresSql,
     "sql_unparse_mysql" -> sqlUnparseMysqlSql,
     "sql_unparse_sqlite" -> sqlUnparseSqliteSql,
+    "rowop_describe" -> rowopDescribeSql,
     "fn_vector" -> fnVectorSql,
     "fn_arrow_typeof" -> fnArrowTypeofSql,
     "mem_batches" -> memBatchesSql,

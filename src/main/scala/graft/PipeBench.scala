@@ -25,7 +25,10 @@ object PipeBench {
     "stat_gini", "vocab_coverage", "event_lag_features",
     "join_asof_nearest", "text_bigram_logprob", "text_readability",
     "text_ngram_novelty", "event_interarrival", "event_survival",
-    "emb_outliers", "stat_spearman")
+    "emb_outliers", "stat_spearman",
+    "dedup_incremental", "join_interval_overlap", "event_ab_test",
+    "text_gopher_rules", "text_containment", "corpus_zipf",
+    "emb_silhouette", "stat_benford")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -28,22 +28,33 @@ object Q {
     * TIMESTAMP or TIMESTAMP_NTZ). Normalize every encoding to a session-TZ
     * microsecond TimestampType so downstream operators see one shape;
     * both conversions are lossless (the generator only uses µs). */
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          // integer division: ts/1000 in double loses µs precision at 2024
-          // epoch magnitudes (ulp > 0.25µs)
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampType => df
-        case _ => // TIMESTAMP_NTZ: session TZ is UTC, cast is the identity
-          df.withColumn("ts", col("ts").cast("timestamp"))
-      }
-    else df
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") normalizeEventsTs(eventsRaw(spark, dir))
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Raw events frame exactly as encoded on disk (a nanos corpus needs the
+    * legacy conf so the NANOS column surfaces as LONG instead of failing
+    * the read). The streaming specs take their `readStream` schema from
+    * this and then pipe through [[normalizeEventsTs]], so one code path
+    * serves every corpus generation. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
   }
+
+  /** Normalize any shipped `ts` encoding — LONG nanoseconds, TIMESTAMP, or
+    * TIMESTAMP_NTZ — to a session-TZ microsecond TimestampType, batch or
+    * streaming. All conversions are lossless (the generator only emits µs). */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer division: ts/1000 in double loses µs precision at 2024
+        // epoch magnitudes (ulp > 0.25µs)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ: session TZ is UTC, cast is the identity
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -124,10 +135,17 @@ object Q {
     * (first n%B buckets take one extra row), so the result is bit-identical
     * to the engine builtin while every heavy stage stays parallel. The
     * order must be a total order (add a key tie-break) for reproducibility. */
+  /** Range-partition width for the exact-rank topology: follows the
+    * session's shuffle parallelism so the same code is the plan at any
+    * scale (a fixed literal would cap the sort's parallelism at 100×).
+    * The emitted positions are exact, hence partition-count independent. */
+  private[graft] def rangeParts(df: DataFrame): Int = math.max(1,
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   def distNtile(df: DataFrame, buckets: Int, out: String, order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = df
-      .repartitionByRange(8, order: _*)
+      .repartitionByRange(rangeParts(df), order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       // consumed twice (size census + rank join): pin partition contents
@@ -160,7 +178,7 @@ object Q {
   def distPos(df: DataFrame, out: String, order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = df
-      .repartitionByRange(8, order: _*)
+      .repartitionByRange(rangeParts(df), order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       // consumed twice (size census + rank join): pin partition contents

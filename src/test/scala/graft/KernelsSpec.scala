@@ -83,6 +83,13 @@ class ExtrasSpec extends AnyFunSuite {
     val labels = Extras.rowopDescribe(spark, sf)
       .collect().map(_.getString(0)).toSet
     assert(labels == Set("count", "mean", "stddev", "min", "max"))
+    // the operator's native output is a string matrix (reference
+    // dataframe.py:417) — assert that shape on the raw describe() too
+    val raw = Q.t(spark, sf, "part")
+      .select("p_size", "p_retailprice").describe()
+    assert(raw.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    assert(raw.count() == 5)
   }
 }
 

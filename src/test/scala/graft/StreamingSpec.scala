@@ -11,6 +11,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SparkSpec._
 
+  test("events ts normalizer is encoding-independent (LONG-nanos, TIMESTAMP, NTZ)") {
+    // the corpus has shipped all three encodings across generations; every
+    // spec below must pass against whichever is on disk, so the shared
+    // normalizer is asserted to map each encoding to the same micros value
+    import spark.implicits._
+    val us = 1700000000123456L // µs, sub-millisecond precision on purpose
+    val asLong = Seq(us * 1000L).toDF("ts") // LONG nanoseconds
+    val asTs = Seq(us).toDF("us")
+      .select(timestamp_micros(col("us")).as("ts")) // TimestampType
+    val asNtz = asTs.select(col("ts").cast("timestamp_ntz")) // NTZ (UTC session)
+    val normed = Seq(asLong, asTs, asNtz).map { df =>
+      val n = Q.normalizeEventsTs(df)
+      assert(n.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      n.select(expr("unix_micros(ts)")).head().getLong(0)
+    }
+    assert(normed.forall(_ == us), normed.toString)
+  }
+
   test("streaming windowed counts equal the batch computation") {
     val batchEvents = Q.t(spark, sf, "events")
     // file stream sources read directories: stage the single file into one
@@ -18,9 +37,9 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = Q.eventsRaw(spark, sf).schema
+    val stream = Q.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -51,7 +70,7 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val schema = Q.eventsRaw(spark, sf).schema
     // custom state emitting MULTIPLE rows per group per trigger (the
     // flatMap variant's defining capability vs mapGroupsWithState):
     // one (user, event_type, running count) row per distinct type seen
@@ -104,13 +123,13 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val schema = Q.eventsRaw(spark, sf).schema
     // dropDuplicatesWithinWatermark (not plain dropDuplicates): with the
     // event-time column absent from the keys, plain dropDuplicates never
     // evicts state; the WithinWatermark variant expires keys past the
     // watermark — the bounded-state streaming dedup recipe at scale
-    val deduped = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = Q.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
     val q = deduped.writeStream
@@ -133,7 +152,7 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val schema = Q.eventsRaw(spark, sf).schema
     val counts = spark.readStream.schema(schema).parquet(dir.toString)
       .select(col("user_id"), col("event_id"))
       .as[(Long, Long)]
@@ -164,9 +183,13 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming as-of join with cross-batch state matches the batch operator") {
     import spark.implicits._
     // split events at the median ts into two files so clicks in the later
-    // micro-batch must match errors carried in state from the earlier one
-    val ev = spark.read.parquet(s"$sf/events.parquet") // raw: ts is ns long
-    val cut = ev.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    // micro-batch must match errors carried in state from the earlier one;
+    // the halves are staged pre-normalized (TimestampType µs), so the cut
+    // and every downstream comparison live in the µs domain regardless of
+    // the corpus's on-disk ts encoding
+    val ev = Q.normalizeEventsTs(Q.eventsRaw(spark, sf))
+    val cut = ev.select(expr("unix_micros(ts)").as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong // µs
     val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream")
     val stage = java.nio.file.Files.createTempDirectory("graft_asof_stage")
     def writeHalf(cond: org.apache.spark.sql.Column, name: String): Unit = {
@@ -179,16 +202,16 @@ class StreamingSpec extends AnyFunSuite {
       }
       java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
     }
-    writeHalf(col("ts") <= cut, "b1")
+    writeHalf(expr("unix_micros(ts)") <= cut, "b1")
     Thread.sleep(1100) // distinct mtimes: the file source orders batches by them
-    writeHalf(col("ts") > cut, "b2")
+    writeHalf(expr("unix_micros(ts)") > cut, "b2")
     val schema = ev.schema
 
     val out = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("us"), col("event_type"), col("value"))
+        expr("unix_micros(ts)").as("us"), col("event_type"), col("value"))
       .as[(Long, Long, Long, String, Double)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(
@@ -241,18 +264,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(s == b, s"stream=$s batch=$b")
     }
     // the split must actually exercise cross-batch state: some click after
-    // the cut matches an error from before it
-    assert(streamed.exists(s => s._3 / 1000 > cut / 1000000 &&
-      s._6.exists(_ / 1000 <= cut / 1000000)),
+    // the cut matches an error from before it (all values in µs)
+    assert(streamed.exists(s => s._3 > cut && s._6.exists(_ <= cut)),
       "no as-of match crossed the micro-batch boundary")
   }
 
   test("streaming attribution with cross-batch last-click state matches batch") {
     import spark.implicits._
     // split at the median ts so purchases in the later micro-batch must
-    // attribute to clicks held in state from the earlier one
-    val ev = spark.read.parquet(s"$sf/events.parquet") // raw: ts is ns long
-    val cut = ev.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    // attribute to clicks held in state from the earlier one; staged halves
+    // are pre-normalized to TimestampType µs (encoding-independent)
+    val ev = Q.normalizeEventsTs(Q.eventsRaw(spark, sf))
+    val cut = ev.select(expr("unix_micros(ts)").as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.0).head.toLong // µs
     val dir = java.nio.file.Files.createTempDirectory("graft_attr_stream")
     val stage = java.nio.file.Files.createTempDirectory("graft_attr_stage")
     def writeHalf(cond: org.apache.spark.sql.Column, name: String): Unit = {
@@ -265,15 +289,15 @@ class StreamingSpec extends AnyFunSuite {
       }
       java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
     }
-    writeHalf(col("ts") <= cut, "b1")
+    writeHalf(expr("unix_micros(ts)") <= cut, "b1")
     Thread.sleep(1100) // distinct mtimes: the file source orders batches by them
-    writeHalf(col("ts") > cut, "b2")
+    writeHalf(expr("unix_micros(ts)") > cut, "b2")
 
     val out = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-      .select(col("event_id"), col("user_id"), col("ts").as("ns"),
-        col("event_type"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState(
@@ -288,14 +312,14 @@ class StreamingSpec extends AnyFunSuite {
           var cur = state.getOption
           val res = Seq.newBuilder[(Long, Long, Option[Long], Option[Long], Boolean)]
           evs.foreach {
-            case (id, _, ns, "purchase") =>
-              val gap = cur.map(c => ns / 1000000000L - c.ns / 1000000000L)
+            case (id, _, us, "purchase") =>
+              val gap = cur.map(c => us / 1000000L - c.us / 1000000L)
               val in = gap.exists(_ <= Pipeline.AttrWindowS)
               res += ((id, uid,
                 if (in) cur.map(_.id) else None,
                 if (in) gap else None, in))
-            case (id, _, ns, "click") =>
-              cur = Some(AttrClickState(id, ns))
+            case (id, _, us, "click") =>
+              cur = Some(AttrClickState(id, us))
             case _ => ()
           }
           cur.foreach(state.update)
@@ -324,18 +348,18 @@ class StreamingSpec extends AnyFunSuite {
     }
     // the split must exercise cross-batch state: some purchase after the
     // cut attributes to a click from before it
-    val cutS = cut / 1000000000L
+    val cutS = cut / 1000000L
     assert(streamed.exists(s => s._5 &&
       s._4.exists(g => purchaseTs(s._1) > cutS && purchaseTs(s._1) - g <= cutS)),
       "no attribution crossed the micro-batch boundary")
   }
 
-  /** Purchase event-time (epoch seconds) looked up from the raw events
-    * table, for the cross-batch assertion. */
+  /** Purchase event-time (epoch seconds) looked up from the normalized
+    * events table, for the cross-batch assertion. */
   private lazy val purchaseTs: Map[Long, Long] =
-    spark.read.parquet(s"$sf/events.parquet")
+    Q.normalizeEventsTs(Q.eventsRaw(spark, sf))
       .filter(col("event_type") === "purchase")
-      .select(col("event_id"), expr("ts div 1000000000").as("s"))
+      .select(col("event_id"), expr("unix_micros(ts) div 1000000").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("stream-stream interval join equals the batch join") {
@@ -349,9 +373,9 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    def src() = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = Q.eventsRaw(spark, sf).schema
+    def src() = Q.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
       .withWatermark("c_ts", "1 hour")
@@ -390,8 +414,8 @@ class StreamingSpec extends AnyFunSuite {
   * the product encoder derives cleanly). */
 case class AsofMatchState(id: Long, us: Long, value: Double)
 
-/** Last-click state for the streaming attribution twin. */
-case class AttrClickState(id: Long, ns: Long)
+/** Last-click state for the streaming attribution twin (µs event time). */
+case class AttrClickState(id: Long, us: Long)
 
 /** Plan audits across the whole headline suite: no accidental cartesian
   * products, lineitem filters reach the scan. */
