@@ -377,17 +377,32 @@ object Pipeline {
   private def md5LaneDuck(duckExpr: String): String =
     s"(('0x' || substr(md5($duckExpr), 1, 15))::BIGINT)"
 
-  /** MinHash signatures: per doc, character-8-gram shingles hashed with
-    * [[NumHashes]] seeded md5 lanes, min per seed. */
+  /** Modulus for the MinHash lane family: 2^31-1 (Mersenne prime). Lane
+    * values stay < 2^31 so `j * b + a` (j < [[NumHashes]]) can never
+    * overflow a 64-bit long under ANSI arithmetic. */
+  private val LaneP = 2147483647L
+
+  /** MinHash signatures: per doc, character-8-gram shingles; ONE md5 per
+    * shingle split into two 60-bit halves reduced mod [[LaneP]], with lane
+    * j the universal hash `(a + j*b) mod P` (Broder's seeded-permutation
+    * family, as production MinHash libraries implement it). The naive
+    * alternative — [[NumHashes]] independent seeded md5s per shingle — is
+    * ~16× the hashing work and dominated the whole dedup family's runtime
+    * at the 10× corpus. The fold keeps one md5 evaluation per shingle:
+    * each (a,b) struct updates all [[NumHashes]] running minima. */
   private def minhashSignature: Column = {
     val shingles =
       """array_distinct(transform(
         |  sequence(1, greatest(length(text) - 7, 1)),
         |  i -> substring(text, i, 8)))""".stripMargin
-    val mins = (0 until NumHashes).map { j =>
-      expr(s"array_min(transform($shingles, s -> ${md5Lane(s"concat(s, '#$j')")}))")
-    }
-    array(mins: _*)
+    expr(
+      s"""aggregate(
+         |  transform($shingles, s -> named_struct(
+         |    'a', pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), ${LaneP}L),
+         |    'b', pmod(cast(conv(substring(md5(s), 17, 15), 16, 10) as bigint), ${LaneP}L))),
+         |  array_repeat(${LaneP}L, $NumHashes),
+         |  (acc, p) -> zip_with(acc, sequence(0, ${NumHashes - 1}),
+         |    (m, j) -> least(m, pmod(p.a + j * p.b, ${LaneP}L))))""".stripMargin)
   }
 
   /** MinHash + LSH near-dup pairs: shingle → minhash → band → bucket-join.
@@ -410,6 +425,11 @@ object Pipeline {
            |        x -> cast(x as string)))))""".stripMargin)).as("band"))
       .select(col("doc_id"), col("mh"), col("band.band").as("band"),
         col("band.bh").as("bh"))
+      // both sides of the self-join below re-evaluate their subtree (the
+      // alias split defeats exchange reuse), which would compute every
+      // document's $NumHashes-lane MinHash signature twice — the dominant
+      // cost of the whole operator. Pin the band table once.
+      .localCheckpoint()
     val a = bands.select(col("band"), col("bh"), col("doc_id").as("doc1"),
       col("mh").as("mh1"))
     val b = bands.select(col("band").as("band2"), col("bh").as("bh2"),
@@ -434,8 +454,13 @@ object Pipeline {
       raw"""list_distinct(list_transform(
            |    generate_series(1, greatest(length(text) - 7, 1)),
            |    i -> substr(text, i, 8)))""".stripMargin
+    // same universal-hash family as minhashSignature: one md5 per shingle,
+    // lane j = (a + j*b) mod P over the two 60-bit md5 halves
     val lanes = (0 until NumHashes).map { j =>
-      s"list_min(list_transform($shingles, s -> ${md5LaneDuck(s"s || '#$j'")}))"
+      s"""list_min(list_transform($shingles, s ->
+         |      ((('0x' || substr(md5(s), 1, 15))::BIGINT % $LaneP)
+         |       + $j * (('0x' || substr(md5(s), 17, 15))::BIGINT % $LaneP))
+         |      % $LaneP))""".stripMargin
     }.mkString("[\n    ", ",\n    ", "]")
     raw"""sigs AS (
          |  SELECT doc_id, $lanes AS mh FROM documents),
@@ -3040,6 +3065,10 @@ object Pipeline {
              |        x -> cast(x as string)))))""".stripMargin)).as("k"))
       .select(col("doc_id"), col("cut"), col("mh"),
         col("k.band").as("band"), col("k.bh").as("bh"))
+      // consumed by both the reference and new-batch branches — pin so the
+      // MinHash signatures are computed once (at production scale the
+      // reference half would be a precomputed signature table instead)
+      .localCheckpoint()
     val ref = bands.filter(col("doc_id") <= col("cut"))
       .select(col("band"), col("bh"), col("doc_id").as("ref_id"),
         col("mh").as("mh_r"))
@@ -3293,6 +3322,11 @@ object Pipeline {
            |      transform(slice(mh, b * $BandSize + 1, $BandSize),
            |        x -> cast(x as string)))))""".stripMargin)).as("k"))
       .select(col("doc_id"), col("k.band").as("band"), col("k.bh").as("bh"))
+      // the self-join below evaluates both sides independently (the alias
+      // split defeats exchange reuse), which would hash every document's
+      // MinHash signature twice — the dominant cost. Pin the band table
+      // once; it is |docs| × bands small rows.
+      .localCheckpoint()
     val cand = bands.select(col("band"), col("bh"), col("doc_id").as("doc1"))
       .join(bands.select(col("band").as("b2"), col("bh").as("h2"),
         col("doc_id").as("doc2")),
@@ -3303,10 +3337,32 @@ object Pipeline {
       """array_distinct(transform(
         |  sequence(1, greatest(length(text) - 7, 1)),
         |  i -> substring(text, i, 8)))""".stripMargin)
+    // Per-doc stats stay map-side: a 128-bit content hash plus the
+    // distinct-shingle count (size of the array, no explode). Exact-copy
+    // pairs (equal md5) have containment identically 1.0 with
+    // n_shared = nsh, so they bypass the shingle-verification join whose
+    // input is quadratic in duplicate-group size — at 100 TB most LSH
+    // candidates ARE exact copies, and this keeps the heavy join's input
+    // proportional to genuinely-partial overlaps only.
+    val stats = docs.select(col("doc_id"), md5(col("text")).as("th"),
+      size(shArr).cast("long").as("nsh"))
+    val cand2 = cand
+      .join(stats.select(col("doc_id").as("doc1"), col("th").as("th1"),
+        col("nsh").as("nsh1")), Seq("doc1"))
+      .join(stats.select(col("doc_id").as("doc2"), col("th").as("th2"),
+        col("nsh").as("nsh2")), Seq("doc2"))
+      // consumed by BOTH branches below — pin the (pair-count-sized) table
+      // so the LSH band self-join is not re-evaluated per branch
+      .localCheckpoint()
+    val exact = cand2.filter(col("th1") === col("th2"))
+      .select(col("doc1"), col("doc2"), col("nsh1").as("n_shared"),
+        lit(1.0).as("containment"))
+    val restPairs = cand2.filter(col("th1") =!= col("th2"))
+      .select("doc1", "doc2")
     val sh = docs.select(col("doc_id"), shArr.as("sgs"))
       .select(col("doc_id"), size(col("sgs")).cast("long").as("nsh"),
         explode(col("sgs")).as("sg"))
-    val inter = cand
+    val inter = restPairs
       .join(sh.select(col("doc_id").as("doc1"), col("sg"),
         col("nsh").as("nsh1")), Seq("doc1"))
       .join(sh.select(col("doc_id").as("doc2"), col("sg"),
@@ -3314,9 +3370,10 @@ object Pipeline {
       .groupBy("doc1", "doc2")
       .agg(count(lit(1)).as("n_shared"), max("nsh1").as("nsh1"),
         max("nsh2").as("nsh2"))
-    inter.select(col("doc1"), col("doc2"), col("n_shared"),
+      .select(col("doc1"), col("doc2"), col("n_shared"),
         round(col("n_shared").cast("double") /
           least(col("nsh1"), col("nsh2")), 6).as("containment"))
+    exact.unionByName(inter)
       .withColumn("near_contained", col("containment") >= 0.5)
       .orderBy("doc1", "doc2")
   }

@@ -125,6 +125,13 @@ object Q {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Range-partition width for the exact-rank topology: follows the
+    * session's shuffle parallelism so the same code is the plan at any
+    * scale (a fixed literal would cap the sort's parallelism at 100×).
+    * The emitted positions are exact, hence partition-count independent. */
+  private[graft] def rangeParts(df: DataFrame): Int = math.max(1,
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Distributed exact ntile: SQL-identical buckets to
     * `ntile(buckets) OVER (ORDER BY order...)` with no single-partition
     * global sort. Topology: range repartition on the order key → per-
@@ -135,13 +142,6 @@ object Q {
     * (first n%B buckets take one extra row), so the result is bit-identical
     * to the engine builtin while every heavy stage stays parallel. The
     * order must be a total order (add a key tie-break) for reproducibility. */
-  /** Range-partition width for the exact-rank topology: follows the
-    * session's shuffle parallelism so the same code is the plan at any
-    * scale (a fixed literal would cap the sort's parallelism at 100×).
-    * The emitted positions are exact, hence partition-count independent. */
-  private[graft] def rangeParts(df: DataFrame): Int = math.max(1,
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-
   def distNtile(df: DataFrame, buckets: Int, out: String, order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = df

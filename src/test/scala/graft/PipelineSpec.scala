@@ -1177,10 +1177,14 @@ class IngestOpsSpec extends AnyFunSuite {
   import SparkSpec._
   import org.apache.spark.sql.functions._
 
-  private def md5Lane(s: String): Long = {
+  /** Mirror of Pipeline.minhashSignature's universal-hash lane family:
+    * one md5 per shingle, lane j = (a + j*b) mod 2^31-1. */
+  private val LaneP = 2147483647L
+  private def laneSeeds(s: String): (Long, Long) = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % LaneP,
+      java.lang.Long.parseLong(hex.substring(16, 31), 16) % LaneP)
   }
 
   test("incremental dedup matches a local cross-half MinHash recompute") {
@@ -1195,7 +1199,9 @@ class IngestOpsSpec extends AnyFunSuite {
       val shingles = (1 to math.max(text.length - 7, 1))
         .map(i => text.substring(i - 1, math.min(i + 7, text.length)))
         .distinct
-      id -> Array.tabulate(nH)(j => shingles.map(s => md5Lane(s + "#" + j)).min)
+      val seeds = shingles.map(laneSeeds)
+      id -> Array.tabulate(nH)(j =>
+        seeds.map { case (a, b) => (a + j * b) % LaneP }.min)
     }
     val (ref, neu) = sigs.partition(_._1 <= cut)
     val expected = neu.map { case (nid, mhN) =>
