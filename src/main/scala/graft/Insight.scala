@@ -498,6 +498,181 @@ object Insight {
       |FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
       |GROUP BY a.label, b.label ORDER BY label_a, label_b""".stripMargin
 
+  // ---------- corpus snapshot diff ----------
+
+  /** Snapshot diff between two corpus versions — the audit a pipeline
+    * runs when a new crawl lands: per-status document counts plus
+    * column-level change tallies, from one full-outer keyed join (the
+    * canonical distributed diff shape; no driver-side comparison). v2 is
+    * derived deterministically from v1 inside the query (every 17th doc
+    * deleted, every 10th edited, every 13th re-added under a fresh id),
+    * so the operator under test is the diff machinery itself. */
+  def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = t(s, d, "documents").select("doc_id", "text", "n_chars", "source")
+    val mx = v1.agg(max("doc_id").as("mx"))
+    val kept = v1.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      .withColumn("n_chars", when(pmod(col("doc_id"), lit(10)) === 0,
+        col("n_chars") + 7).otherwise(col("n_chars")))
+    val added = v1.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .crossJoin(broadcast(mx))
+      .select((col("doc_id") + col("mx") + 1).as("doc_id"), col("text"),
+        col("n_chars"), col("source"))
+    val v2 = kept.unionByName(added)
+    v1.select(col("doc_id"), col("text").as("t1"), col("n_chars").as("n1"))
+      .join(v2.select(col("doc_id"), col("text").as("t2"),
+        col("n_chars").as("n2")), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("t1").isNull, lit("added"))
+          .when(col("t2").isNull, lit("removed"))
+          .when(col("t1") =!= col("t2") || col("n1") =!= col("n2"),
+            lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("t1").isNotNull && col("t2").isNotNull &&
+          col("t1") =!= col("t2"), 1L).otherwise(0L)).as("text_changes"),
+        sum(when(col("n1").isNotNull && col("n2").isNotNull &&
+          col("n1") =!= col("n2"), 1L).otherwise(0L)).as("nchars_changes"))
+      .orderBy("status")
+  }
+  val tableDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, text, n_chars, source FROM documents),
+      |mx AS (SELECT max(doc_id) AS mx FROM v1),
+      |kept AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]' ELSE text END
+      |      AS text,
+      |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 7 ELSE n_chars END
+      |      AS n_chars, source
+      |  FROM v1 WHERE doc_id % 17 <> 0),
+      |added AS (SELECT v1.doc_id + mx.mx + 1 AS doc_id, text, n_chars, source
+      |  FROM v1 CROSS JOIN mx WHERE v1.doc_id % 13 = 0),
+      |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+      |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    a.text AS t1, a.n_chars AS n1, b.text AS t2, b.n_chars AS n2
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+      |st AS (SELECT *, CASE
+      |    WHEN t1 IS NULL THEN 'added'
+      |    WHEN t2 IS NULL THEN 'removed'
+      |    WHEN t1 <> t2 OR n1 <> n2 THEN 'changed'
+      |    ELSE 'unchanged' END AS status
+      |  FROM j)
+      |SELECT status, CAST(count(*) AS BIGINT) AS docs,
+      |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 <> t2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS text_changes,
+      |  CAST(sum(CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL AND n1 <> n2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS nchars_changes
+      |FROM st GROUP BY status ORDER BY status""".stripMargin
+
+  // ---------- Benjamini–Hochberg FDR over the KS battery ----------
+
+  /** Multiple-testing control for the drift-test battery: asymptotic
+    * two-sample KS p-values (p = min(1, 2·exp(−2D²·n_a·n_b/(n_a+n_b))))
+    * for every source pair, Benjamini–Hochberg adjusted (step-up: p_adj
+    * at rank i is the running min of p·m/rank from the largest rank
+    * down). A pipeline running C(sources,2) simultaneous drift tests
+    * without FDR control would flag spurious shifts every snapshot. All
+    * windows run on the bounded pair table; the corpus-sized work is
+    * [[Quality.statKsTest]]'s one keyed aggregation. */
+  def statBhFdr(s: SparkSession, d: String): DataFrame = {
+    val ks = Quality.statKsTest(s, d)
+    val p = least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("ks_stat") *
+      col("ks_stat") * col("n_a") * col("n_b") / (col("n_a") + col("n_b"))))
+    val wRank = Window.orderBy("p", "source_a", "source_b")
+    val base = ks.withColumn("p", p)
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(0))))
+    val wRev = Window.orderBy(col("rn").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("padj", min(col("p") * col("m") / col("rn")).over(wRev))
+      .select(col("source_a"), col("source_b"), col("ks_stat"),
+        round(col("p"), 8).as("p"), round(col("padj"), 8).as("p_adj"),
+        (round(col("padj"), 8) <= 0.1).as("reject"))
+      .orderBy("source_a", "source_b")
+  }
+  val statBhFdrSql: String = {
+    val ks = Quality.statKsTestSql
+    s"""WITH base AS (SELECT * FROM ($ks) ks),
+       |p AS (SELECT *, least(1.0, 2.0 * exp(-2.0 * ks_stat * ks_stat
+       |    * n_a * n_b / (n_a + n_b))) AS p FROM base),
+       |r AS (SELECT *, row_number() OVER (ORDER BY p, source_a, source_b)
+       |    AS rn, CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+       |adj AS (SELECT *, min(p * m / rn) OVER (ORDER BY rn DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj
+       |  FROM r)
+       |SELECT source_a, source_b, ks_stat, round(p, 8) AS p,
+       |  round(padj, 8) AS p_adj, round(padj, 8) <= 0.1 AS reject
+       |FROM adj ORDER BY source_a, source_b""".stripMargin
+  }
+
+  // ---------- Johnson–Lindenstrauss random projection ----------
+
+  /** Deterministic ±1 random projection of the embedding space (64 → 16
+    * dims, Achlioptas-style signs derived from md5 so both engines build
+    * the identical matrix), audited by the distortion ratio
+    * d_proj/d_orig over sampled vector pairs — the JL dimension-reduction
+    * front-end an ANN index runs before bucketing. The projection itself
+    * is map-side (one pass, each vector independent, sign matrix is a
+    * 16×64 broadcast); only the bounded audit sample is pairwise. */
+  def embRandomProjection(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").filter(col("vec_id") < 30)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("xf").cast("double").as("x"))
+    val jdf = broadcast(s.range(1, 17).toDF("j"))
+    val sgn = expr("case when pmod(cast(conv(substring(md5(cast(" +
+      "concat(cast(j as string), '_', cast(i as string)) as binary)), 1, 15)" +
+      ", 16, 10) as bigint), 2) = 0 then 1.0 else -1.0 end")
+    val proj = e.crossJoin(jdf)
+      .groupBy("vec_id", "j")
+      .agg((sum((sgn * col("x")).cast(DecimalType(38, 12)))
+        .cast("double") / 4.0).as("p"))
+    def pair(df: DataFrame, dim: String, v: String, out: String) = {
+      val a = df.select(col("vec_id").as("va"), col(dim).as("da"),
+        col(v).as("xa"))
+      val b = df.select(col("vec_id").as("vb"), col(dim).as("db"),
+        col(v).as("xb"))
+      a.join(b, col("da") === col("db") && col("va") < col("vb"))
+        .groupBy("va", "vb")
+        .agg(sqrt(sum(((col("xa") - col("xb")) * (col("xa") - col("xb")))
+          .cast(DecimalType(38, 12))).cast("double")).as(out))
+    }
+    pair(e, "i", "x", "d_orig")
+      .join(pair(proj, "j", "p", "d_proj"), Seq("va", "vb"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        round(col("d_orig"), 6).as("d_orig"),
+        round(col("d_proj"), 6).as("d_proj"),
+        round(col("d_proj") / col("d_orig"), 6).as("distortion"))
+      .orderBy("vec_a", "vec_b")
+  }
+  val embRandomProjectionSql: String =
+    """WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |  WHERE vec_id < 30),
+      |proj AS (SELECT vec_id, j,
+      |    CAST(sum(CAST((CASE WHEN ('0x' || substr(md5(j || '_' || i), 1, 15))
+      |        ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END) * x
+      |      AS DECIMAL(38,12))) AS DOUBLE) / 4.0 AS p
+      |  FROM e CROSS JOIN unnest(generate_series(1, 16)) AS s(j)
+      |  GROUP BY vec_id, j),
+      |po AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    sqrt(CAST(sum(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(38,12)))
+      |      AS DOUBLE)) AS d_orig
+      |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id),
+      |pp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    sqrt(CAST(sum(CAST((a.p - b.p) * (a.p - b.p) AS DECIMAL(38,12)))
+      |      AS DOUBLE)) AS d_proj
+      |  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id)
+      |SELECT po.va AS vec_a, po.vb AS vec_b,
+      |  round(po.d_orig, 6) AS d_orig, round(pp.d_proj, 6) AS d_proj,
+      |  round(pp.d_proj / po.d_orig, 6) AS distortion
+      |FROM po JOIN pp ON po.va = pp.va AND po.vb = pp.vb
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -507,7 +682,10 @@ object Insight {
     "stat_cohens_d" -> (statCohensD _),
     "stat_levene" -> (statLevene _),
     "text_pii_redact" -> (textPiiRedact _),
-    "emb_centroid_drift" -> (embCentroidDrift _))
+    "emb_centroid_drift" -> (embCentroidDrift _),
+    "table_diff" -> (tableDiff _),
+    "stat_bh_fdr" -> (statBhFdr _),
+    "emb_random_projection" -> (embRandomProjection _))
 
   val oracle: Map[String, String] = Map(
     "stat_mutual_info" -> statMutualInfoSql,
@@ -516,5 +694,8 @@ object Insight {
     "stat_cohens_d" -> statCohensDSql,
     "stat_levene" -> statLeveneSql,
     "text_pii_redact" -> textPiiRedactSql,
-    "emb_centroid_drift" -> embCentroidDriftSql)
+    "emb_centroid_drift" -> embCentroidDriftSql,
+    "table_diff" -> tableDiffSql,
+    "stat_bh_fdr" -> statBhFdrSql,
+    "emb_random_projection" -> embRandomProjectionSql)
 }

@@ -28,7 +28,10 @@ object PipeBench {
     "emb_outliers", "stat_spearman",
     "dedup_incremental", "join_interval_overlap", "event_ab_test",
     "text_gopher_rules", "text_containment", "corpus_zipf",
-    "emb_silhouette", "stat_benford")
+    "emb_silhouette", "stat_benford",
+    "stat_mutual_info", "stat_cramers_v", "stat_kendall_tau",
+    "stat_cohens_d", "stat_levene", "text_pii_redact", "emb_centroid_drift",
+    "table_diff", "stat_bh_fdr", "emb_random_projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

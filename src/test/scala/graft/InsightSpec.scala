@@ -164,4 +164,50 @@ class InsightSpec extends AnyFunSuite {
     assert(math.abs(r0.getAs[Double]("l2") - l2) < 1e-4,
       s"l2 ${r0.getAs[Double]("l2")} vs brute $l2")
   }
+
+  test("table diff counts match the deterministic v2 derivation schedule") {
+    val rows = Insight.tableDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("text_changes"))).toMap
+    val ids = docs.map(_.getAs[Long]("doc_id"))
+    val removed = ids.count(_ % 17 == 0).toLong
+    val added = ids.count(_ % 13 == 0).toLong
+    val changed = ids.count(i => i % 17 != 0 && i % 10 == 0).toLong
+    assert(rows("removed")._1 == removed)
+    assert(rows("added")._1 == added)
+    assert(rows("changed")._1 == changed)
+    assert(rows("unchanged")._1 == ids.length - removed - changed)
+    // every changed doc changed in both audited columns under the schedule
+    assert(rows("changed")._2 == changed)
+  }
+
+  test("BH adjustment: p_adj>=p, monotone in p-rank, rejects are a prefix") {
+    val rows = Insight.statBhFdr(spark, sf).collect()
+    val ns = docs.map(_.getAs[String]("source")).distinct.length
+    assert(rows.length == ns * (ns - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p") >= 0.0 && r.getAs[Double]("p") <= 1.0)
+      assert(r.getAs[Double]("p_adj") >= r.getAs[Double]("p") - 1e-9)
+    }
+    val byP = rows.sortBy(r =>
+      (r.getAs[Double]("p"), r.getAs[String]("source_a")))
+    byP.sliding(2).foreach { w =>
+      assert(w(1).getAs[Double]("p_adj") >= w(0).getAs[Double]("p_adj") - 1e-9,
+        "p_adj must be monotone along the p-ranking")
+    }
+    val flags = byP.map(_.getAs[Boolean]("reject"))
+    assert(!flags.dropWhile(identity).contains(true),
+      "rejects must form a prefix of the p-ranking (step-up property)")
+  }
+
+  test("JL projection: full audit-pair coverage, bounded distortion") {
+    val rows = Insight.embRandomProjection(spark, sf).collect()
+    assert(rows.length == 30 * 29 / 2)
+    val ds = rows.map(_.getAs[Double]("distortion"))
+    ds.foreach(x => assert(x > 0.0 && !x.isNaN && !x.isInfinite))
+    val mean = ds.sum / ds.length
+    // 64->16 dims: expected distortion 1 with ~1/sqrt(16) spread
+    assert(mean > 0.6 && mean < 1.6, s"mean distortion $mean out of range")
+    rows.foreach(r => assert(r.getAs[Double]("d_orig") > 0.0))
+  }
 }
