@@ -31,7 +31,10 @@ object PipeBench {
     "emb_silhouette", "stat_benford",
     "stat_mutual_info", "stat_cramers_v", "stat_kendall_tau",
     "stat_cohens_d", "stat_levene", "text_pii_redact", "emb_centroid_drift",
-    "table_diff", "stat_bh_fdr", "emb_random_projection")
+    "table_diff", "stat_bh_fdr", "emb_random_projection",
+    "stat_anova", "stat_auc", "stat_theil_sen", "stat_bootstrap_ci",
+    "curriculum_stages", "stat_ols2", "split_kfold", "event_peak_detect",
+    "emb_triplet_mining", "stat_mcnemar")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
