@@ -1,0 +1,526 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import Q._
+
+/** Round-9 learning/curation operators: connected-component resolution of
+  * the dedup pair graph, a distributed Lloyd's k-means, systematic
+  * importance resampling for corpus mixing, score calibration, partial
+  * correlation, quantile-quantile comparison, per-user behavioral
+  * entropy, the embedding covariance matrix (PCA precursor), and
+  * hapax/type-token lexical statistics.
+  *
+  * Scale design notes (the 100 TB shapes, not just the sf0.01 ones):
+  *  - `graph_components` links every bucket member to the bucket MINIMUM
+  *    instead of emitting all in-bucket pairs (the "star" reduction —
+  *    O(bucket) edges, not O(bucket²)) and then runs min-label
+  *    propagation to a driver-checked fixpoint; every iteration is one
+  *    keyed shuffle, never a global structure.
+  *  - `emb_kmeans` is the canonical distributed training loop: centroids
+  *    are a broadcast k×d table, assignment is a map-side expansion +
+  *    keyed reduce, the update is one aggregation — the corpus is
+  *    scanned, never collected.
+  *  - `mix_importance_resample` is a distributed prefix sum (range
+  *    shuffle → per-partition running sum → partition-count-sized offset
+  *    broadcast), the same exact topology as [[Q.distPos]].
+  *  - Every double statistic is either an exact-decimal sum surfaced as
+  *    double or a fixed expression tree over such sums, so results are
+  *    bit-identical to the single-threaded DuckDB oracle at any
+  *    parallelism.
+  */
+object Learn {
+
+  private val normExpr = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+  private val wordsExpr = "split(trim(text), '\\\\s+')"
+
+  // ---------- connected components over the dedup bucket graph ----------
+
+  /** Resolve near-duplicate documents into transitive groups: bucket by
+    * two fingerprint families (full normalized text + 60-char prefix —
+    * a doc can chain groups by matching one doc exactly and another by
+    * prefix), emit star edges member→bucket-min, then min-label
+    * propagation to fixpoint. Emits one row per multi-document component.
+    * The same algorithm resolves MinHash-band buckets at production
+    * scale; the fingerprint families keep the oracle tractable. */
+  def graphComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val norm = expr(normExpr)
+    val buckets = docs.select(col("doc_id"),
+        explode(array(
+          concat(lit("f#"), md5(norm.cast("binary"))),
+          concat(lit("p#"), md5(substring(norm, 1, 60).cast("binary"))))).as("k"))
+    val roots = buckets.groupBy("k").agg(min("doc_id").as("root"))
+    val edges = buckets.join(roots, "k")
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("u"), col("root").as("v")).distinct()
+      .localCheckpoint()
+    val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var lbl = adj.select(col("u").as("node"), col("u").as("c")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val nbr = adj.join(lbl.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v").as("node")).agg(min("c").as("nc"))
+      val next = lbl.join(nbr, Seq("node"), "left")
+        .select(col("node"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+        .localCheckpoint()
+      val changed = next.join(lbl.withColumnRenamed("c", "c0"), "node")
+        .filter(col("c") =!= col("c0")).count()
+      lbl = next
+      converged = changed == 0
+      iter += 1
+    }
+    lbl.groupBy(col("c").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("node").as("min_doc"), max("node").as("max_doc"))
+      .orderBy(col("n_docs").desc, col("comp_id"))
+  }
+  val graphComponentsSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |buckets AS (
+      |  SELECT doc_id, 'f#' || md5(norm) AS k FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 'p#' || md5(substr(norm, 1, 60)) AS k FROM d),
+      |roots AS (SELECT k, min(doc_id) AS root FROM buckets GROUP BY k),
+      |edges AS (SELECT DISTINCT doc_id AS u, root AS v
+      |  FROM buckets JOIN roots USING (k) WHERE doc_id <> root),
+      |adj AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT u, u FROM adj
+      |  UNION
+      |  SELECT r.a, j.v FROM reach r JOIN adj j ON j.u = r.b),
+      |comp AS (SELECT a AS node, min(b) AS c FROM reach GROUP BY a)
+      |SELECT c AS comp_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(node) AS min_doc, max(node) AS max_doc
+      |FROM comp GROUP BY c ORDER BY n_docs DESC, comp_id""".stripMargin
+
+  // ---------- distributed Lloyd's k-means ----------
+
+  private val K = 8
+
+  /** Two Lloyd iterations of k-means over the embedding table, k=8,
+    * initialized from the first k vectors. The distributed shape:
+    * centroids live as a k×d broadcast table; assignment expands each
+    * (vec, dim) row against the k centroid rows of that dim and reduces
+    * per (vec, centroid) — one keyed shuffle per half-iteration, corpus
+    * never collected. Distances accumulate as DECIMAL(38,12) so the
+    * argmin compares exact decimals (order- and engine-independent);
+    * centroid updates are exact decimal means. Emits per-cluster size,
+    * inertia, and centroid norm after the second assignment. */
+  def embKmeans(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("xf").cast("double").as("x"))
+      .localCheckpoint()
+    val c0 = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("i"), col("x").as("cx"))
+
+    // assignment: map-side k-way expansion, keyed reduce, decimal argmin
+    def assign(cent: DataFrame): DataFrame = {
+      val dist = e.join(broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
+          .cast(DecimalType(38, 12))).as("dist"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    // update: exact decimal mean per (cluster, dim)
+    def update(asg: DataFrame): DataFrame =
+      e.join(asg.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "i")
+        .agg((sum(col("x").cast(DecimalType(30, 12))).cast(DoubleType) /
+          count(lit(1))).as("cx"))
+
+    val a1 = assign(c0).localCheckpoint()
+    val c1 = update(a1).localCheckpoint()
+    val a2 = assign(c1).localCheckpoint()
+    val stats = a2.groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        sum("dist").cast(DoubleType).as("inertia"))
+    val norms = c1.groupBy("cid")
+      .agg(sqrt(sum((col("cx") * col("cx")).cast(DecimalType(38, 12)))
+        .cast(DoubleType)).as("nrm"))
+    stats.join(norms, "cid")
+      .select(col("cid"), col("n"),
+        round(col("inertia"), 6).as("inertia"),
+        round(col("nrm"), 6).as("centroid_norm"))
+      .orderBy("cid")
+  }
+  val embKmeansSql: String =
+    s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS t(i)),
+      |c0 AS (SELECT vec_id AS cid, i, x AS cx FROM e WHERE vec_id < $K),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(38,12))) AS dist
+      |  FROM e JOIN c0 c USING (i) GROUP BY e.vec_id, c.cid),
+      |a1 AS (SELECT vec_id, cid, dist FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT cid, i,
+      |    CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS cx
+      |  FROM e JOIN a1 USING (vec_id) GROUP BY cid, i),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(38,12))) AS dist
+      |  FROM e JOIN c1 c USING (i) GROUP BY e.vec_id, c.cid),
+      |a2 AS (SELECT vec_id, cid, dist FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d2) WHERE rn = 1),
+      |st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dist) AS DOUBLE) AS inertia FROM a2 GROUP BY cid),
+      |nm AS (SELECT cid,
+      |    sqrt(CAST(sum(CAST(cx * cx AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      |  FROM c1 GROUP BY cid)
+      |SELECT cid, n, round(inertia, 6) AS inertia,
+      |  round(nrm, 6) AS centroid_norm
+      |FROM st JOIN nm USING (cid) ORDER BY cid""".stripMargin
+
+  // ---------- systematic importance resampling ----------
+
+  private val ResampleM = 97L
+
+  /** Deterministic systematic (low-variance) resampling of documents
+    * proportional to weight (n_chars): a document is selected whenever
+    * its span of the cumulative-weight axis crosses one of M evenly
+    * spaced thresholds — all in exact integer arithmetic
+    * (floor(cw·M/W) changes across the span). The cumulative sum is the
+    * distributed prefix-sum topology: range shuffle on doc_id →
+    * per-partition running sum → partition-count-sized offset broadcast,
+    * never a single-partition window. The standard corpus-mixing /
+    * importance-reweighting primitive. */
+  def mixImportanceResample(s: SparkSession, d: String): DataFrame = {
+    val keyed = t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .repartitionByRange(rangeParts(t(s, d, "documents")), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("__pid", spark_partition_id())
+      // consumed twice (offset census + cumsum): pin the range shuffle
+      .localCheckpoint()
+    val offsets = keyed.groupBy("__pid").agg(sum("w").as("pw"))
+      .withColumn("off",
+        coalesce(sum(col("pw")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "off")
+    val tot = broadcast(keyed.agg(sum("w").as("tw")))
+    val run = Window.partitionBy("__pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(offsets), "__pid")
+      .withColumn("cw", col("off") + sum("w").over(run))
+      .crossJoin(tot)
+      .filter(floor(col("cw") * ResampleM / col("tw")) >
+        floor((col("cw") - col("w")) * ResampleM / col("tw")))
+      .select(col("doc_id"), col("w"), col("cw"),
+        floor(col("cw") * ResampleM / col("tw")).as("sample_idx"))
+      .orderBy("doc_id")
+  }
+  val mixImportanceResampleSql: String =
+    s"""WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |    sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS cw,
+      |    sum(CAST(n_chars AS BIGINT)) OVER () AS tw
+      |  FROM documents)
+      |SELECT doc_id, w, CAST(cw AS BIGINT) AS cw,
+      |  CAST(floor(cw * $ResampleM / tw) AS BIGINT) AS sample_idx
+      |FROM c
+      |WHERE floor(cw * $ResampleM / tw) > floor((cw - w) * $ResampleM / tw)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------- score calibration table ----------
+
+  /** Calibration audit of a (fixed, deterministic) logistic score against
+    * the purchase label: bin the score into 10 fixed-width bins and
+    * report count, positives, mean score, and observed rate per bin —
+    * the standard reliability-diagram table for any quality/filter model
+    * over the corpus. One map-side pass + a 10-row reduce. */
+  def statCalibration(s: SparkSession, d: String): DataFrame = {
+    val z = lit(-2.0) + lit(0.3) * hour(col("ts")).cast("double") -
+      lit(0.2) * (dayofweek(col("ts")) - 1).cast("double") +
+      lit(0.01) * col("value")
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    t(s, d, "events")
+      .select(score.as("score"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+      .withColumn("bin",
+        least(floor(round(col("score") * 10, 5)), lit(9.0)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        round(davg(col("score")), 6).as("mean_score"),
+        round(sum("pos").cast("double") / count(lit(1)), 6).as("pos_rate"))
+      .orderBy("bin")
+  }
+  val statCalibrationSql: String =
+    """WITH sc AS (SELECT
+      |    round(1.0 / (1.0 + exp(-(-2.0 + 0.3 * CAST(hour(ts) AS DOUBLE)
+      |      - 0.2 * CAST(dayofweek(ts) AS DOUBLE) + 0.01 * value))), 6)
+      |      AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events)
+      |SELECT CAST(least(floor(round(score * 10, 5)), 9) AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  round(CAST(sum(CAST(score AS DECIMAL(30,6))) AS DOUBLE)
+      |    / count(*), 6) AS mean_score,
+      |  round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+      |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ---------- partial correlation ----------
+
+  /** Partial correlation of spend (cents) and hour-of-day controlling
+    * for day-of-week: all three pairwise Pearson correlations from one
+    * exact BIGINT moment pass, then the closed-form partial —
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). */
+  def statPartialCorr(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(
+      round(col("value") * 100).cast("long").as("x"),
+      hour(col("ts")).cast("long").as("y"),
+      (dayofweek(col("ts")) - 1).cast("long").as("z"))
+    val m = ev.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    val D = (c: String) => col(c).cast("double")
+    def corr(sab: String, sa: String, sb: String,
+        saa: String, sbb: String): Column =
+      (D("n") * D(sab) - D(sa) * D(sb)) /
+        (sqrt(D("n") * D(saa) - D(sa) * D(sa)) *
+          sqrt(D("n") * D(sbb) - D(sb) * D(sb)))
+    val rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = corr("syz", "sy", "sz", "syy", "szz")
+    m.select(col("n"),
+      round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+        .as("partial_r_xy_z"))
+  }
+  val statPartialCorrSql: String =
+    """WITH ev AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS x,
+      |    CAST(hour(ts) AS BIGINT) AS y,
+      |    CAST(dayofweek(ts) AS BIGINT) AS z FROM events),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(z) AS BIGINT) AS sz,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(z * z) AS BIGINT) AS szz,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * z) AS BIGINT) AS sxz,
+      |    CAST(sum(y * z) AS BIGINT) AS syz FROM ev),
+      |r AS (SELECT n,
+      |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |      (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+      |       sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rxy,
+      |    (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz) /
+      |      (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+      |       sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)) AS rxz,
+      |    (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz) /
+      |      (sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) *
+      |       sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)) AS ryz
+      |  FROM m)
+      |SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+      |  round(ryz, 6) AS r_yz,
+      |  round((rxy - rxz * ryz) /
+      |    sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+      |    AS partial_r_xy_z
+      |FROM r""".stripMargin
+
+  // ---------- quantile-quantile table ----------
+
+  /** Decile QQ comparison of the spend distribution between two event
+    * types: exact decile upper boundaries of each side, paired. Deciles
+    * come from [[Q.distNtile]] (range shuffle + parallel rank — no
+    * single-partition sort), bit-identical to the `ntile(10)` builtin;
+    * (value, event_id) makes the order total so both engines bucket
+    * identically. */
+  def statQq(s: SparkSession, d: String): DataFrame = {
+    def side(typ: String, out: String): DataFrame =
+      distNtile(
+        t(s, d, "events").filter(col("event_type") === typ)
+          .select(col("event_id"), col("value")),
+        10, "dec", col("value"), col("event_id"))
+        .groupBy("dec").agg(max("value").as(out))
+    side("purchase", "purchase_q").join(side("error", "error_q"), "dec")
+      .select(col("dec").as("decile"), col("purchase_q"), col("error_q"),
+        round(col("purchase_q") - col("error_q"), 6).as("gap"))
+      .orderBy("decile")
+  }
+  val statQqSql: String =
+    """WITH p AS (SELECT CAST(ntile(10) OVER (ORDER BY value, event_id)
+      |      AS BIGINT) AS dec, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT CAST(ntile(10) OVER (ORDER BY value, event_id)
+      |      AS BIGINT) AS dec, value
+      |  FROM events WHERE event_type = 'error'),
+      |pq AS (SELECT dec, max(value) AS purchase_q FROM p GROUP BY dec),
+      |eq AS (SELECT dec, max(value) AS error_q FROM e GROUP BY dec)
+      |SELECT dec AS decile, purchase_q, error_q,
+      |  round(purchase_q - error_q, 6) AS gap
+      |FROM pq JOIN eq USING (dec) ORDER BY decile""".stripMargin
+
+  // ---------- per-user behavioral entropy ----------
+
+  /** Shannon entropy (nats) of each user's event-type distribution —
+    * the behavioral-diversity feature. Per-(user, type) counts reduce
+    * map-side; entropy terms accumulate as exact decimals so the
+    * per-user sum is order-independent. */
+  def eventUserEntropy(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val p = col("c").cast("double") / col("n")
+    t(s, d, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(byUser))
+      .withColumn("term", (-p * log(p)).cast(DecimalType(30, 12)))
+      .groupBy("user_id")
+      .agg(max("n").as("n_events"), count(lit(1)).as("n_types"),
+        sum("term").cast("double").as("h"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(col("h"), 6).as("entropy"),
+        when(col("n_types") > 1,
+          round(col("h") / log(col("n_types").cast("double")), 6))
+          .as("norm_entropy"))
+      .orderBy("user_id")
+  }
+  val eventUserEntropySql: String =
+    """WITH c AS (SELECT user_id, event_type,
+      |    CAST(count(*) AS BIGINT) AS c FROM events
+      |  GROUP BY user_id, event_type),
+      |w AS (SELECT user_id, c,
+      |    sum(c) OVER (PARTITION BY user_id) AS n FROM c),
+      |t AS (SELECT user_id, n,
+      |    CAST(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+      |      AS DECIMAL(30,12)) AS term FROM w)
+      |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS entropy,
+      |  CASE WHEN count(*) > 1 THEN
+      |    round(CAST(sum(term) AS DOUBLE) / ln(CAST(count(*) AS DOUBLE)), 6)
+      |  END AS norm_entropy
+      |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------- embedding covariance (PCA precursor) ----------
+
+  /** Top-20 embedding dimension pairs by |covariance| — the screening
+    * view of the d×d covariance matrix that PCA/whitening starts from.
+    * The distributed shape: each row expands map-side into its d(d−1)/2
+    * upper-triangle products which reduce into a d²-bounded table (the
+    * Σxxᵀ partial-aggregation pattern); per-dim sums ride the same pass.
+    * All sums are exact decimals; the covariance is a fixed double tree. */
+  def embCovariance(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("xf").cast("double").as("x"))
+    val dims = e.groupBy("i").agg(
+      sum(col("x").cast(DecimalType(30, 12))).cast(DoubleType).as("sx"),
+      count(lit(1)).as("n"))
+    val pairs = t(s, d, "embeddings")
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(embedding) - 1),
+          |  i -> transform(sequence(i + 1, size(embedding)),
+          |    j -> struct(i AS i, j AS j,
+          |      cast(embedding[i - 1] as double)
+          |        * cast(embedding[j - 1] as double) AS xy))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.xy"))
+      .groupBy("i", "j")
+      .agg(sum(col("xy").cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"))
+    val cov = pairs
+      .join(broadcast(dims.select(col("i"), col("sx").as("sxi"), col("n"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .select(col("i"), col("j"),
+        round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
+          (col("n") - 1), 6).as("cov"))
+    val w = Window.orderBy(abs(col("cov")).desc, col("i"), col("j"))
+    cov.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+      .select(col("rk").cast("long").as("rk"), col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"), col("cov"))
+      .orderBy("rk")
+  }
+  val embCovarianceSql: String =
+    """WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS t(i)),
+      |dims AS (SELECT i,
+      |    CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+      |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY i),
+      |pr AS (SELECT a.i, b.i AS j,
+      |    CAST(sum(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i < b.i
+      |  GROUP BY a.i, b.i),
+      |cov AS (SELECT pr.i, pr.j,
+      |    round((sxy - di.sx * dj.sx / di.n) / (di.n - 1), 6) AS cov
+      |  FROM pr JOIN dims di ON di.i = pr.i JOIN dims dj ON dj.i = pr.j),
+      |rk AS (SELECT *, CAST(row_number()
+      |    OVER (ORDER BY abs(cov) DESC, i, j) AS BIGINT) AS rk FROM cov)
+      |SELECT rk, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, cov
+      |FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  // ---------- hapax / type-token lexical statistics ----------
+
+  /** Per-source lexical-diversity profile: token count, vocabulary size,
+    * hapax legomena (words seen exactly once in the source), type-token
+    * ratio, and hapax share — the quick corpus-health probe that flags
+    * TEMPLATED (low TTR) or GARBAGE (high hapax) slices. Vocab-keyed
+    * reduce; everything after is source-cardinality-bounded. */
+  def textHapax(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("source"), explode(expr(wordsExpr)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("hapax").cast("double") / col("vocab"), 6)
+          .as("hapax_ratio"))
+      .orderBy("source")
+  val textHapaxSql: String =
+    """WITH w AS (SELECT source, unnest(string_split_regex(trim(text),
+      |    '\s+')) AS w FROM documents),
+      |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM w GROUP BY source, w)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+      |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS hapax_ratio
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_components" -> (graphComponents _),
+    "emb_kmeans" -> (embKmeans _),
+    "mix_importance_resample" -> (mixImportanceResample _),
+    "stat_calibration" -> (statCalibration _),
+    "stat_partial_corr" -> (statPartialCorr _),
+    "stat_qq" -> (statQq _),
+    "event_user_entropy" -> (eventUserEntropy _),
+    "emb_covariance" -> (embCovariance _),
+    "text_hapax" -> (textHapax _))
+
+  val oracle: Map[String, String] = Map(
+    "graph_components" -> graphComponentsSql,
+    "emb_kmeans" -> embKmeansSql,
+    "mix_importance_resample" -> mixImportanceResampleSql,
+    "stat_calibration" -> statCalibrationSql,
+    "stat_partial_corr" -> statPartialCorrSql,
+    "stat_qq" -> statQqSql,
+    "event_user_entropy" -> eventUserEntropySql,
+    "emb_covariance" -> embCovarianceSql,
+    "text_hapax" -> textHapaxSql)
+}

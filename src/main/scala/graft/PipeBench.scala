@@ -34,7 +34,10 @@ object PipeBench {
     "table_diff", "stat_bh_fdr", "emb_random_projection",
     "stat_anova", "stat_auc", "stat_theil_sen", "stat_bootstrap_ci",
     "curriculum_stages", "stat_ols2", "split_kfold", "event_peak_detect",
-    "emb_triplet_mining", "stat_mcnemar")
+    "emb_triplet_mining", "stat_mcnemar",
+    "graph_components", "emb_kmeans", "mix_importance_resample",
+    "stat_calibration", "stat_partial_corr", "stat_qq",
+    "event_user_entropy", "emb_covariance", "text_hapax")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -12,12 +12,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Tpch.queries ++ Ops.queries ++ Functions.queries ++ Pipeline.queries ++
       Extras.queries ++ Advanced.queries ++ Stats.queries ++ Curation.queries ++
-      Quality.queries ++ Insight.queries ++ Infer.queries ++ Mining.queries
+      Quality.queries ++ Insight.queries ++ Infer.queries ++ Mining.queries ++
+      Learn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Tpch.oracle ++ Ops.oracle ++ Functions.oracle ++ Pipeline.oracle ++
       Extras.oracle ++ Advanced.oracle ++ Stats.oracle ++ Curation.oracle ++
-      Quality.oracle ++ Insight.oracle ++ Infer.oracle ++ Mining.oracle
+      Quality.oracle ++ Insight.oracle ++ Infer.oracle ++ Mining.oracle ++
+      Learn.oracle
 }

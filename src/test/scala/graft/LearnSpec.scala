@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force cross-checks for the round-9 learning/curation operators,
+  * on the collected sf0.001 corpus. */
+class LearnSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  private lazy val docs = Q.t(spark, sf, "documents")
+    .select("doc_id", "source", "n_chars", "text").collect()
+  private lazy val embs = Q.t(spark, sf, "embeddings")
+    .select("vec_id", "embedding").collect()
+    .map(r => (r.getAs[Long]("vec_id"),
+      r.getSeq[Float](1).map(_.toDouble).toArray))
+
+  test("graph_components matches a driver-side union-find over the same buckets") {
+    // same two fingerprint families, brute-force union-find
+    val norm = docs.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("text").trim.toLowerCase.replaceAll("\\s+", " ")))
+    val buckets = norm.flatMap { case (id, t) =>
+      Seq(("f#" + t, id), ("p#" + t.take(60), id))
+    }.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    buckets.foreach(ids => ids.tail.foreach(union(ids.head, _)))
+    val expected = norm.map(_._1).groupBy(find).filter(_._2.length >= 2)
+      .map { case (_, m) => (m.min, m.length.toLong, m.min, m.max) }.toSet
+    val got = graph.collect {
+      case r => (r.getAs[Long]("comp_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"))
+    }.toSet
+    assert(got == expected)
+    // components are real (the corpus ships duplicate docs)
+    assert(got.nonEmpty)
+  }
+  private lazy val graph = Learn.graphComponents(spark, sf).collect()
+
+  test("emb_kmeans: clusters cover every vector; inertia never negative") {
+    val out = Learn.embKmeans(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == embs.length)
+    assert(out.forall(_.getAs[Double]("inertia") >= 0))
+    assert(out.map(_.getAs[Long]("cid")).toSet.subsetOf((0L until 8L).toSet))
+    // hand-run iteration 1 assignment for vec 0: itself is its centroid
+    // (distance 0), so cluster 0 must contain at least vector 0
+    assert(out.exists(r => r.getAs[Long]("cid") == 0L && r.getAs[Long]("n") >= 1))
+  }
+
+  test("mix_importance_resample: one doc per crossed threshold, cumsum exact") {
+    val out = Learn.mixImportanceResample(spark, sf).collect()
+    val byId = docs.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_chars"))).sortBy(_._1)
+    val total = byId.map(_._2).sum
+    var cw = 0L
+    val expected = byId.flatMap { case (id, w) =>
+      val before = cw * 97L / total; cw += w
+      val after = cw * 97L / total
+      if (after > before) Some((id, w, cw, after)) else None
+    }
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"),
+      r.getAs[Long]("cw"), r.getAs[Long]("sample_idx"))).toSeq ==
+      expected.toSeq)
+    // systematic sampling yields ~97 samples (exactly 97 crossed
+    // thresholds when no weight spans two)
+    assert(out.length >= 60 && out.length <= 97)
+  }
+
+  test("stat_calibration bins partition events; rates in [0,1]") {
+    val out = Learn.statCalibration(spark, sf).collect()
+    val evN = Q.t(spark, sf, "events").count()
+    assert(out.map(_.getAs[Long]("n")).sum == evN)
+    out.foreach { r =>
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0 && rate <= 1)
+      val b = r.getAs[Long]("bin")
+      assert(b >= 0 && b <= 9)
+      val ms = r.getAs[Double]("mean_score")
+      // mean score must sit inside its own bin's width (bin 9 absorbs 1.0)
+      assert(ms >= b / 10.0 - 1e-6 && ms <= (b + 1) / 10.0 + (if (b == 9) 1 else 0) * 1e-3 + 1e-6)
+    }
+  }
+
+  test("stat_partial_corr matches brute-force partial correlation") {
+    val row = Learn.statPartialCorr(spark, sf).collect().head
+    val ev = Q.t(spark, sf, "events").select("ts", "value").collect().map { r =>
+      val ldt = r.getAs[java.sql.Timestamp]("ts").toLocalDateTime
+      (math.round(r.getAs[Double]("value") * 100).toDouble,
+        ldt.getHour.toDouble, (ldt.getDayOfWeek.getValue % 7).toDouble)
+    }
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    val (xs, ys, zs) = (ev.map(_._1), ev.map(_._2), ev.map(_._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val partial = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(row.getAs[Double]("r_xy") - rxy) < 1e-5)
+    assert(math.abs(row.getAs[Double]("partial_r_xy_z") - partial) < 1e-5)
+  }
+
+  test("stat_qq deciles are monotone and cover both sides") {
+    val out = Learn.statQq(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val pq = out.map(_.getAs[Double]("purchase_q"))
+    val eq = out.map(_.getAs[Double]("error_q"))
+    assert(pq.sliding(2).forall(p => p(0) <= p(1)))
+    assert(eq.sliding(2).forall(p => p(0) <= p(1)))
+    out.foreach(r => assert(math.abs(r.getAs[Double]("gap") -
+      (r.getAs[Double]("purchase_q") - r.getAs[Double]("error_q"))) < 1e-5))
+  }
+
+  test("event_user_entropy matches a hand entropy for one user") {
+    val out = Learn.eventUserEntropy(spark, sf).collect()
+    val ev = Q.t(spark, sf, "events").select("user_id", "event_type")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val u = ev.head._1
+    val counts = ev.filter(_._1 == u).groupBy(_._2).view.mapValues(_.length).toMap
+    val n = counts.values.sum.toDouble
+    val h = -counts.values.map(c => c / n * math.log(c / n)).sum
+    val row = out.find(_.getAs[Long]("user_id") == u).get
+    assert(math.abs(row.getAs[Double]("entropy") - h) < 1e-5)
+    assert(row.getAs[Long]("n_events") == n.toLong)
+    // normalized entropy bounded by 1
+    out.foreach { r =>
+      Option(r.getAs[java.lang.Double]("norm_entropy")).foreach(ne =>
+        assert(ne >= -1e-9 && ne <= 1 + 1e-9))
+    }
+  }
+
+  test("emb_covariance agrees with a brute-force covariance for the top pair") {
+    val out = Learn.embCovariance(spark, sf).collect()
+    assert(out.length == 20)
+    val top = out.head
+    val (i, j) = (top.getAs[Long]("i").toInt - 1, top.getAs[Long]("j").toInt - 1)
+    val xs = embs.map(_._2(i))
+    val ys = embs.map(_._2(j))
+    val n = xs.length
+    val cov = (xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum / n) / (n - 1)
+    assert(math.abs(top.getAs[Double]("cov") - cov) < 1e-5)
+    // ranked by |cov| descending
+    val avs = out.map(r => math.abs(r.getAs[Double]("cov")))
+    assert(avs.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+  }
+
+  test("text_hapax: vocab and hapax match a brute-force count per source") {
+    val out = Learn.textHapax(spark, sf).collect()
+    val bySrc = docs.groupBy(_.getAs[String]("source"))
+    out.foreach { r =>
+      val words = bySrc(r.getAs[String]("source"))
+        .flatMap(_.getAs[String]("text").trim.split("\\s+"))
+      val counts = words.groupBy(identity).view.mapValues(_.length)
+      assert(r.getAs[Long]("n_tokens") == words.length)
+      assert(r.getAs[Long]("vocab") == counts.size)
+      assert(r.getAs[Long]("hapax") == counts.count(_._2 == 1))
+    }
+  }
+}
