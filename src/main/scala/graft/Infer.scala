@@ -133,7 +133,9 @@ object Infer {
     * resistant to the outlier days that wreck an OLS slope on real
     * traffic. The corpus reduces to one count per day; the pair table is
     * days² (bounded by the time range, not the event count) and the
-    * median comes from the doubled-median rank selection over it, with a
+    * median comes from the doubled-median rank selection over it via the
+    * [[Q.distPos]] range-shuffle topology — a parallel exact global rank,
+    * no single-partition window even at decade-long daily series — with a
     * (slope, day_a, day_b) total order for reproducibility. */
   def statTheilSen(s: SparkSession, d: String): DataFrame = {
     val daily = t(s, d, "events")
@@ -147,16 +149,16 @@ object Infer {
       .select(col("ia"), col("ib"),
         ((col("cb") - col("ca")).cast("double") /
           (col("ib") - col("ia"))).as("slope"))
-    val wr = Window.orderBy("slope", "ia", "ib")
-    val rk = sl.withColumn("rn", row_number().over(wr))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(0))))
+      // consumed twice (pair census + rank pass): pin the pair table
+      .localCheckpoint()
+    val n = sl.count() // days²-bounded scalar, driver bookkeeping
+    val rk = Q.distPos(sl, "pos0", col("slope"), col("ia"), col("ib"))
     rk.agg(
-        max(col("nn")).as("pairs"),
-        sum(when(col("rn") === floor((col("nn") + 1) / 2), col("slope"))
+        sum(when(col("pos0") + 1 === lit((n + 1) / 2), col("slope"))
           .otherwise(0.0)).as("m1"),
-        sum(when(col("rn") === floor((col("nn") + 2) / 2), col("slope"))
+        sum(when(col("pos0") + 1 === lit((n + 2) / 2), col("slope"))
           .otherwise(0.0)).as("m2"))
-      .select(col("pairs").cast("long").as("n_pairs"),
+      .select(lit(n).cast("long").as("n_pairs"),
         round((col("m1") + col("m2")) / 2.0, 6).as("theil_sen_slope"))
   }
   val statTheilSenSql: String =

@@ -42,9 +42,18 @@ object Learn {
     * two fingerprint families (full normalized text + 60-char prefix —
     * a doc can chain groups by matching one doc exactly and another by
     * prefix), emit star edges member→bucket-min, then min-label
-    * propagation to fixpoint. Emits one row per multi-document component.
-    * The same algorithm resolves MinHash-band buckets at production
-    * scale; the fingerprint families keep the oracle tractable. */
+    * propagation to fixpoint. Each iteration pairs the neighbor-min step
+    * with a pointer-jumping shortcut (label ← label's label — every label
+    * value is itself a node id, so the self-join is total): the
+    * propagation front doubles per round, so convergence is O(log
+    * diameter), not O(diameter), and long alternating fingerprint chains
+    * cannot outrun the 25-iteration cap. Non-convergence within the cap
+    * fails loudly (`require`) rather than emitting unconverged labels;
+    * each superseded label checkpoint is unpersisted once the new one is
+    * materialized, so executor storage holds ≤2 label snapshots at any
+    * time. Emits one row per multi-document component. The same algorithm
+    * resolves MinHash-band buckets at production scale; the fingerprint
+    * families keep the oracle tractable. */
   def graphComponents(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val norm = expr(normExpr)
@@ -53,28 +62,57 @@ object Learn {
           concat(lit("f#"), md5(norm.cast("binary"))),
           concat(lit("p#"), md5(substring(norm, 1, 60).cast("binary"))))).as("k"))
     val roots = buckets.groupBy("k").agg(min("doc_id").as("root"))
-    val edges = buckets.join(roots, "k")
-      .filter(col("doc_id") =!= col("root"))
-      .select(col("doc_id").as("u"), col("root").as("v")).distinct()
-      .localCheckpoint()
-    val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    var lbl = adj.select(col("u").as("node"), col("u").as("c")).distinct()
-      .localCheckpoint()
+    def pinnedIds(body: => DataFrame): (DataFrame, Set[Int]) = {
+      val pre = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val df = body
+      (df, s.sparkContext.getPersistentRDDs.keySet.toSet -- pre)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val (edges, edgeIds) = pinnedIds {
+      buckets.join(roots, "k")
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("doc_id").as("u"), col("root").as("v")).distinct()
+        .localCheckpoint()
+    }
+    val (adj, adjIds) = pinnedIds {
+      edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+    }
+    var (lbl, lblIds) = pinnedIds {
+      adj.select(col("u").as("node"), col("u").as("c")).distinct()
+        .localCheckpoint()
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
       val nbr = adj.join(lbl.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v").as("node")).agg(min("c").as("nc"))
-      val next = lbl.join(nbr, Seq("node"), "left")
-        .select(col("node"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
-        .localCheckpoint()
+      // pinned because the shortcut below reads it twice (self-join)
+      val (prop, propIds) = pinnedIds {
+        lbl.join(nbr, Seq("node"), "left")
+          .select(col("node"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+          .localCheckpoint()
+      }
+      // pointer jumping: follow the label one hop (c ← label(c)) so label
+      // information travels 2^iter hops after iter rounds
+      val (next, nextIds) = pinnedIds {
+        prop.join(
+            prop.select(col("node").as("c"), col("c").as("cc")), Seq("c"), "left")
+          .select(col("node"), least(col("c"), coalesce(col("cc"), col("c"))).as("c"))
+          .localCheckpoint()
+      }
       val changed = next.join(lbl.withColumnRenamed("c", "c0"), "node")
         .filter(col("c") =!= col("c0")).count()
-      lbl = next
+      release(propIds) // intermediate: `next` is materialized past it
+      release(lblIds) // superseded snapshot: free it once `next` is pinned
+      lbl = next; lblIds = nextIds
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"component label propagation did not converge in $iter iterations")
+    release(edgeIds); release(adjIds) // result depends only on lbl's checkpoint
     lbl.groupBy(col("c").as("comp_id"))
       .agg(count(lit(1)).as("n_docs"),
         min("node").as("min_doc"), max("node").as("max_doc"))
@@ -107,7 +145,11 @@ object Learn {
   private val K = 8
 
   /** Two Lloyd iterations of k-means over the embedding table, k=8,
-    * initialized from the first k vectors. The distributed shape:
+    * initialized from the k lowest vec_ids actually present (a bounded
+    * TakeOrdered, not a `vec_id < K` predicate — so sparse, sampled, or
+    * 1-based id spaces still seed exactly K centroids; an assertion
+    * fails loudly if the table has fewer than K vectors). The distributed
+    * shape:
     * centroids live as a k×d broadcast table; assignment expands each
     * (vec, dim) row against the k centroid rows of that dim and reduces
     * per (vec, centroid) — one keyed shuffle per half-iteration, corpus
@@ -121,7 +163,11 @@ object Learn {
       .select(col("vec_id"), (col("i0") + 1).as("i"),
         col("xf").cast("double").as("x"))
       .localCheckpoint()
-    val c0 = e.filter(col("vec_id") < K)
+    val seeds = t(s, d, "embeddings").select("vec_id")
+      .orderBy("vec_id").limit(K) // TakeOrdered: k rows, never a full sort
+    require(seeds.count() == K.toLong,
+      s"embedding table has fewer than $K vectors to seed k-means")
+    val c0 = e.join(broadcast(seeds), "vec_id")
       .select(col("vec_id").as("cid"), col("i"), col("x").as("cx"))
 
     // assignment: map-side k-way expansion, keyed reduce, decimal argmin
@@ -160,7 +206,8 @@ object Learn {
     s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       |  FROM embeddings,
       |    unnest(generate_series(1, len(embedding))) AS t(i)),
-      |c0 AS (SELECT vec_id AS cid, i, x AS cx FROM e WHERE vec_id < $K),
+      |c0 AS (SELECT vec_id AS cid, i, x AS cx FROM e WHERE vec_id IN
+      |  (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)),
       |d1 AS (SELECT e.vec_id, c.cid,
       |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(38,12))) AS dist
       |  FROM e JOIN c0 c USING (i) GROUP BY e.vec_id, c.cid),
@@ -192,8 +239,12 @@ object Learn {
   /** Deterministic systematic (low-variance) resampling of documents
     * proportional to weight (n_chars): a document is selected whenever
     * its span of the cumulative-weight axis crosses one of M evenly
-    * spaced thresholds — all in exact integer arithmetic
-    * (floor(cw·M/W) changes across the span). The cumulative sum is the
+    * spaced thresholds — all in exact integer arithmetic: the threshold
+    * index is `(cw·M) div W` (integral long division in Spark, `//` in
+    * the DuckDB oracle — a float `/` would round through double and can
+    * mis-floor once cw·M passes 2^53, i.e. exactly the 100 TB regime;
+    * cw·M itself stays exact up to 2^63/M ≈ 9.5e16 cumulative chars,
+    * an order of magnitude past 100 TB). The cumulative sum is the
     * distributed prefix-sum topology: range shuffle on doc_id →
     * per-partition running sum → partition-count-sized offset broadcast,
     * never a single-partition window. The standard corpus-mixing /
@@ -217,10 +268,9 @@ object Learn {
     keyed.join(broadcast(offsets), "__pid")
       .withColumn("cw", col("off") + sum("w").over(run))
       .crossJoin(tot)
-      .filter(floor(col("cw") * ResampleM / col("tw")) >
-        floor((col("cw") - col("w")) * ResampleM / col("tw")))
-      .select(col("doc_id"), col("w"), col("cw"),
-        floor(col("cw") * ResampleM / col("tw")).as("sample_idx"))
+      .withColumn("sample_idx", expr(s"(cw * ${ResampleM}L) div tw"))
+      .filter(col("sample_idx") > expr(s"((cw - w) * ${ResampleM}L) div tw"))
+      .select(col("doc_id"), col("w"), col("cw"), col("sample_idx"))
       .orderBy("doc_id")
   }
   val mixImportanceResampleSql: String =
@@ -229,9 +279,9 @@ object Learn {
       |    sum(CAST(n_chars AS BIGINT)) OVER () AS tw
       |  FROM documents)
       |SELECT doc_id, w, CAST(cw AS BIGINT) AS cw,
-      |  CAST(floor(cw * $ResampleM / tw) AS BIGINT) AS sample_idx
+      |  CAST((cw * $ResampleM) // tw AS BIGINT) AS sample_idx
       |FROM c
-      |WHERE floor(cw * $ResampleM / tw) > floor((cw - w) * $ResampleM / tw)
+      |WHERE (cw * $ResampleM) // tw > ((cw - w) * $ResampleM) // tw
       |ORDER BY doc_id""".stripMargin
 
   // ---------- score calibration table ----------
@@ -275,21 +325,25 @@ object Learn {
 
   /** Partial correlation of spend (cents) and hour-of-day controlling
     * for day-of-week: all three pairwise Pearson correlations from one
-    * exact BIGINT moment pass, then the closed-form partial —
-    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). */
+    * exact moment pass, then the closed-form partial —
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)).
+    * Squared/cross moments accumulate as DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — a raw BIGINT sum of cents² terms overflows
+    * silently (non-ANSI wrap) around 4e8 typical rows, long before the
+    * 100 TB event volume this pass is meant for. */
   def statPartialCorr(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(18, 0)
     val ev = t(s, d, "events").select(
       round(col("value") * 100).cast("long").as("x"),
       hour(col("ts")).cast("long").as("y"),
       (dayofweek(col("ts")) - 1).cast("long").as("z"))
+    def mom(a: String, b: String) = // Decimal(18,0)² → Decimal(37,0); Σ → (38,0)
+      sum(col(a).cast(dec) * col(b).cast(dec))
     val m = ev.agg(count(lit(1)).as("n"),
       sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"),
-      sum(col("z") * col("z")).as("szz"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("z")).as("sxz"),
-      sum(col("y") * col("z")).as("syz"))
+      mom("x", "x").as("sxx"), mom("y", "y").as("syy"),
+      mom("z", "z").as("szz"), mom("x", "y").as("sxy"),
+      mom("x", "z").as("sxz"), mom("y", "z").as("syz"))
     val D = (c: String) => col(c).cast("double")
     def corr(sab: String, sa: String, sb: String,
         saa: String, sbb: String): Column =
@@ -313,12 +367,9 @@ object Learn {
       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
       |    CAST(sum(z) AS BIGINT) AS sz,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx,
-      |    CAST(sum(y * y) AS BIGINT) AS syy,
-      |    CAST(sum(z * z) AS BIGINT) AS szz,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy,
-      |    CAST(sum(x * z) AS BIGINT) AS sxz,
-      |    CAST(sum(y * z) AS BIGINT) AS syz FROM ev),
+      |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+      |    sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+      |  FROM ev),
       |r AS (SELECT n,
       |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
       |      (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
@@ -417,7 +468,15 @@ object Learn {
     * The distributed shape: each row expands map-side into its d(d−1)/2
     * upper-triangle products which reduce into a d²-bounded table (the
     * Σxxᵀ partial-aggregation pattern); per-dim sums ride the same pass.
-    * All sums are exact decimals; the covariance is a fixed double tree. */
+    * All sums are exact decimals; the covariance is a fixed double tree.
+    *
+    * Dimension ceiling (documented contract): the per-row expansion is
+    * d(d−1)/2 structs — 2,016 at the corpus's d=64, but 523k at d=1024,
+    * where a single input row inflates ~4 MB before the combiner. This
+    * implementation is therefore contracted to d ≤ ~256. Past that, block
+    * the pair space: process j-blocks of dims per pass (each pass expands
+    * only d·B/2 products, summing the same Σxxᵀ cells across passes) —
+    * the standard tiled-Gram construction; same reduce, bounded rows. */
   def embCovariance(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))

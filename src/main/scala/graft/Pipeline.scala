@@ -1226,15 +1226,17 @@ object Pipeline {
     * doc_id order into fixed [[PackBudget]]-token training sequences;
     * each doc reports the pack its first token lands in and the offset
     * within it. The global prefix sum is computed the 100 TB way — NOT
-    * one unpartitioned window (a single-partition scale-killer) but the
-    * classic two-phase prefix sum: an in-block cumulative sum (window
-    * partitioned by a block key, fully parallel) plus a block-offset
-    * table (window over #blocks rows) joined back by block. [[PackBlock]]
-    * is sized so #blocks stays small relative to the corpus — 100 here
-    * for test visibility; at 100 TB you size blocks to ~rows/partitions
-    * (millions per block) or recurse the same two-phase construction so
-    * the offset table never exceeds one partition's worth of rows. The
-    * DuckDB oracle runs the identical two-phase SQL. */
+    * one unpartitioned window (a single-partition scale-killer) but a
+    * TWO-LEVEL prefix sum: an in-block cumulative sum (window partitioned
+    * by a block key, fully parallel), and block offsets that are
+    * themselves prefix-summed distributively — the block table is range-
+    * shuffled on `blk`, cumulative-summed per partition, and stitched
+    * with a partition-count-sized offset census (the same topology as
+    * [[Learn.mixImportanceResample]] / [[Q.distPos]]). No window in the
+    * plan ever sees more than one partition's rows except the census,
+    * which is bounded by `spark.sql.shuffle.partitions`, not by corpus
+    * size — so the construction holds at billions of documents. The
+    * DuckDB oracle computes the same values with its single-node SQL. */
   val PackBudget = 2048L
   val PackBlock = 100L
   def packSequences(s: SparkSession, d: String): DataFrame = {
@@ -1245,11 +1247,22 @@ object Pipeline {
     val inBlock = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = toks.withColumn("cum_in_blk", sum(col("est_tokens")).over(inBlock))
-    val blockOff = toks.groupBy(col("blk")).agg(sum(col("est_tokens")).as("blk_sum"))
+    val blkTbl = toks.groupBy(col("blk")).agg(sum(col("est_tokens")).as("blk_sum"))
+      .repartitionByRange(rangeParts(toks), col("blk"))
+      .sortWithinPartitions("blk")
+      .withColumn("__bp", spark_partition_id())
+      // consumed twice (offset census + in-partition cumsum): pin it
+      .localCheckpoint()
+    val census = blkTbl.groupBy("__bp").agg(sum("blk_sum").as("ps"))
+      .withColumn("poff",
+        coalesce(sum(col("ps")).over(Window.orderBy("__bp")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bp", "poff")
+    val inPart = Window.partitionBy("__bp").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOff = blkTbl.join(broadcast(census), "__bp")
       .withColumn("blk_off",
-        coalesce(sum(col("blk_sum")).over(
-          Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+        col("poff") + coalesce(sum(col("blk_sum")).over(inPart), lit(0L)))
       .select(col("blk").as("ob"), col("blk_off"))
     cum.join(broadcast(blockOff), col("blk") === col("ob"))
       .withColumn("start", col("blk_off") + col("cum_in_blk") - col("est_tokens"))

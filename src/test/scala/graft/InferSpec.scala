@@ -66,6 +66,18 @@ class InferSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_pairs") == nP.toLong)
     assert(math.abs(row.getAs[Double]("theil_sen_slope") - med) < 1e-6,
       s"slope ${row.getAs[Double]("theil_sen_slope")} vs brute $med")
+    // scale guard: the days²-pair median selection must ride the distPos
+    // range-shuffle topology — every window in the plan is partitioned
+    // (no unpartitioned global-sort WindowExec)
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = Infer.statTheilSen(spark, sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan // AQE wrapper is a leaf
+      case p => p
+    }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned WindowExec in Theil-Sen plan:\n$plan")
   }
 
   test("Poisson bootstrap CI brackets the corpus mean with ordered bounds") {
