@@ -37,7 +37,9 @@ object PipeBench {
     "emb_triplet_mining", "stat_mcnemar",
     "graph_components", "emb_kmeans", "mix_importance_resample",
     "stat_calibration", "stat_partial_corr", "stat_qq",
-    "event_user_entropy", "emb_covariance", "text_hapax")
+    "event_user_entropy", "emb_covariance", "text_hapax",
+    "emb_power_iteration", "audit_key_skew", "audit_shuffle_balance",
+    "sample_reservoir", "text_winnow", "emb_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

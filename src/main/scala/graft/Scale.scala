@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Q._
+
+/** Round-10 scale-operations operators: distributed power iteration (top
+  * principal direction — the PCA primitive that, unlike the full
+  * covariance screen, never materializes d² state), shuffle-key skew
+  * audits (the operational pre-flight for any 100 TB join/groupBy),
+  * deterministic reservoir sampling, winnowing document fingerprints
+  * (the MOSS/Schleimer-Wilkerson-Aiken local-minimum sampler — a
+  * guaranteed-coverage alternative to MinHash for substring-level
+  * overlap), and an ANN recall audit that scores the LSH index against
+  * the brute-force baseline.
+  *
+  * Scale design notes:
+  *  - `emb_power_iteration` keeps only O(d) state per iteration: v is a
+  *    broadcast d-row table, each iteration is two keyed reduces over the
+  *    exploded corpus (Σᵢ xᵢvᵢ per vector, then Σ dot·xᵢ per dim) — the
+  *    canonical Krylov step, linear in corpus size, no d² blow-up.
+  *  - `audit_key_skew` / `audit_shuffle_balance` are one keyed reduce
+  *    plus a bounded (top-k / #buckets) tail — run them BEFORE the big
+  *    join to decide salting.
+  *  - `sample_reservoir` is per-partition top-k by hash priority merged
+  *    on the driver (TakeOrdered) — the distributed equivalent of a
+  *    k-slot reservoir, no global sort, deterministic across runs.
+  *  - `text_winnow` windows are partitioned per document; candidate
+  *    pairs only meet through the fingerprint-keyed equi-join.
+  *  - Every reduce accumulates exact decimals (or pure longs), so all
+  *    six are hash-exact against the single-threaded DuckDB oracle.
+  */
+object Scale {
+
+  private val wordsExpr = "split(trim(text), '\\\\s+')"
+  /** 60-bit lane from md5's first 15 hex chars — same cross-engine idiom
+    * as the LSH family (Spark `conv`, DuckDB `'0x' || substr`). */
+  private def lane(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+  private def laneDuck(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+  // ---------- distributed power iteration (top principal direction) ----------
+
+  private val PowerIters = 3
+
+  /** Dominant direction of the uncentered Gram matrix A = Σ x·xᵀ by
+    * [[PowerIters]] power iterations from the uniform unit start
+    * v₀ = 1/√d. Each iteration computes w = A·v WITHOUT forming A:
+    * dot_r = ⟨x_r, v⟩ per row (broadcast-join + keyed reduce), then
+    * wᵢ = Σ_r dot_r·x_rᵢ (second keyed reduce); v ← w/‖w‖ and the
+    * Rayleigh estimate λ = ‖w‖ (v is unit). All reductions accumulate
+    * DECIMAL(38,12), so the loadings are bit-identical to the
+    * single-node oracle at any parallelism. Emits (dim, loading, λ). */
+  def embPowerIteration(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("xf").cast("double").as("x"))
+      .localCheckpoint() // scanned twice per iteration
+    val dd = e.agg(countDistinct("i").as("d"))
+    val v0 = e.select("i").distinct().crossJoin(broadcast(dd))
+      .select(col("i"), (lit(1.0) / sqrt(col("d").cast("double"))).as("vi"))
+    val (wN, nwN) = (1 to PowerIters).foldLeft((v0, v0)) { case ((v, _), _) =>
+      val dv = e.join(broadcast(v), "i")
+        .groupBy("vec_id")
+        .agg(sum((col("x") * col("vi")).cast(dec)).cast("double").as("dv"))
+      val w = e.join(dv, "vec_id")
+        .groupBy("i")
+        .agg(sum((col("x") * col("dv")).cast(dec)).cast("double").as("wi"))
+        .localCheckpoint() // read twice: norm + normalize
+      val nw = w.agg(
+        sqrt(sum((col("wi") * col("wi")).cast(dec)).cast("double")).as("nw"))
+      val vNext = w.crossJoin(broadcast(nw))
+        .select(col("i"), (col("wi") / col("nw")).as("vi"))
+      (vNext, w.crossJoin(broadcast(nw)))
+    }
+    nwN
+      .select(col("i").cast("long").as("i"),
+        round(col("wi") / col("nw"), 6).as("loading"),
+        round(col("nw"), 6).as("lambda"))
+      .orderBy("i")
+  }
+  val embPowerIterationSql: String = {
+    def step(n: Int, prevV: String): String =
+      s"""d$n AS (SELECT vec_id,
+         |    CAST(sum(CAST(x * vi AS DECIMAL(38,12))) AS DOUBLE) AS dv
+         |  FROM e JOIN $prevV USING (i) GROUP BY vec_id),
+         |w$n AS (SELECT i,
+         |    CAST(sum(CAST(x * dv AS DECIMAL(38,12))) AS DOUBLE) AS wi
+         |  FROM e JOIN d$n USING (vec_id) GROUP BY i),
+         |n$n AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(38,12)))
+         |    AS DOUBLE)) AS nw FROM w$n),
+         |v$n AS (SELECT i, wi / nw AS vi FROM w$n, n$n)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) AS t(i)),
+       |dims AS (SELECT DISTINCT i FROM e),
+       |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dims),
+       |v0 AS (SELECT i, 1.0 / sqrt(CAST(d AS DOUBLE)) AS vi FROM dims, dd),
+       |${step(1, "v0")},
+       |${step(2, "v1")},
+       |${step(3, "v2")}
+       |SELECT CAST(i AS BIGINT) AS i, round(wi / nw, 6) AS loading,
+       |  round(nw, 6) AS lambda
+       |FROM w3, n3 ORDER BY i""".stripMargin
+  }
+
+  // ---------- shuffle-key skew audit ----------
+
+  /** Heavy-hitter profile of the `user_id` join/groupBy key: top-10 keys
+    * by row count with each key's exact parts-per-million share and its
+    * ratio to the mean key load — the decision input for salting or an
+    * AQE skew split. One keyed reduce; the tail is a bounded top-k
+    * (per-partition heap + driver merge, never a global sort). */
+  def auditKeySkew(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // read twice: totals + top-k
+    val tot = broadcast(counts.agg(
+      sum("cnt").as("tot_n"), count(lit(1)).as("n_keys")))
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+      .crossJoin(tot)
+      // 10-row bounded table: the rank window is driver-sized
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("user_id"))))
+      .select(col("rank").cast("long").as("rank"), col("user_id"), col("cnt"),
+        expr("(cnt * 1000000L) div tot_n").as("share_ppm"),
+        round(col("cnt").cast("double") * col("n_keys") / col("tot_n"), 6)
+          .as("ratio_to_mean"))
+      .orderBy("rank")
+  }
+  val auditKeySkewSql: String =
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY user_id),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot_n,
+      |    CAST(count(*) AS BIGINT) AS n_keys FROM c),
+      |r AS (SELECT user_id, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rank FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, user_id, cnt,
+      |  CAST((cnt * 1000000) // tot_n AS BIGINT) AS share_ppm,
+      |  round(CAST(cnt AS DOUBLE) * n_keys / tot_n, 6) AS ratio_to_mean
+      |FROM r, t WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  // ---------- shuffle partition balance audit ----------
+
+  private val Buckets = 32
+
+  /** Simulated shuffle balance: hash `user_id` into [[Buckets]] md5-lane
+    * buckets (engine-independent, unlike Spark's Murmur3 partitioner, so
+    * the oracle reproduces it) and report the load spread a
+    * hash-partitioned exchange on this key would see — max/min/mean
+    * bucket load and the imbalance factor. A pre-flight for sizing
+    * `spark.sql.shuffle.partitions` and deciding salting. */
+  def auditShuffleBalance(s: SparkSession, d: String): DataFrame = {
+    val loads = t(s, d, "events")
+      .select((expr(lane("cast(user_id as string)")) % Buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("load"))
+    loads.agg(count(lit(1)).as("n_buckets"),
+        max("load").as("max_load"), min("load").as("min_load"),
+        sum("load").as("tot"))
+      .select(col("n_buckets"), col("max_load"), col("min_load"),
+        round(col("tot").cast("double") / col("n_buckets"), 6).as("mean_load"),
+        round(col("max_load").cast("double") * col("n_buckets") / col("tot"), 6)
+          .as("imbalance"))
+  }
+  val auditShuffleBalanceSql: String =
+    s"""WITH l AS (SELECT ${laneDuck("CAST(user_id AS VARCHAR)")} % $Buckets
+      |      AS b, CAST(count(*) AS BIGINT) AS load
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(max(load) AS BIGINT) AS max_load,
+      |  CAST(min(load) AS BIGINT) AS min_load,
+      |  round(CAST(sum(load) AS DOUBLE) / count(*), 6) AS mean_load,
+      |  round(CAST(max(load) AS DOUBLE) * count(*) / sum(load), 6)
+      |    AS imbalance
+      |FROM l""".stripMargin
+
+  // ---------- deterministic reservoir sample ----------
+
+  private val ReservoirK = 100
+
+  /** Uniform [[ReservoirK]]-document sample without randomness state or a
+    * global sort: priority = md5(doc_id), keep the k smallest
+    * (TakeOrdered — per-partition top-k heaps merged on the driver, the
+    * distributed equivalent of reservoir sampling, and deterministic
+    * across runs/partitionings for audit reproducibility). */
+  def sampleReservoir(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("priority"))
+      .orderBy("priority", "doc_id").limit(ReservoirK)
+      .orderBy("doc_id")
+  val sampleReservoirSql: String =
+    s"""SELECT doc_id, priority FROM (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority
+       |  FROM documents ORDER BY priority, doc_id LIMIT $ReservoirK)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------- winnowing fingerprints ----------
+
+  private val WinK = 4 // words per gram
+  private val WinW = 4 // grams per window
+  private val WinMinShared = 3
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken): hash
+    * every [[WinK]]-word gram, keep a gram iff it is the minimum of the
+    * [[WinW]]-gram window ending at its position — guaranteeing at least
+    * one fingerprint per window (coverage MinHash cannot promise), with
+    * expected density 2/(w+1). Pairs of documents sharing ≥
+    * [[WinMinShared]] fingerprints are reported by overlap. The window
+    * pass is partitioned per document (parallel); candidate pairs meet
+    * only through the fingerprint-keyed equi-join — the same
+    * bucket-confined quadratic as the MinHash/SimHash family. */
+  def textWinnow(s: SparkSession, d: String): DataFrame = {
+    val g = t(s, d, "documents")
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(size(col("ws")) >= WinK)
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(1, size(ws) - ${WinK - 1})")).as("p"))
+      .select(col("doc_id"), col("p"),
+        expr(lane(s"concat_ws(' ', slice(ws, p, $WinK))")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(WinW - 1), 0)
+    val fp = g.withColumn("mh", min("h").over(win))
+      .filter(col("p") >= WinW && col("h") === col("mh"))
+      .select("doc_id", "h").distinct()
+      .localCheckpoint() // self-joined below
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinMinShared)
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+  val textWinnowSql: String =
+    raw"""WITH d AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         |g AS (SELECT doc_id, p,
+         |    ${laneDuck(s"array_to_string(list_slice(ws, p, p + ${WinK - 1}), ' ')")} AS h
+         |  FROM d, unnest(range(1, len(ws) - ${WinK - 2})) AS t(p)
+         |  WHERE len(ws) >= $WinK),
+         |m AS (SELECT doc_id, p, h,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS mh
+         |  FROM g),
+         |fp AS (SELECT DISTINCT doc_id, h FROM m
+         |  WHERE p >= $WinW AND h = mh),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared FROM pr
+         |WHERE shared >= $WinMinShared
+         |ORDER BY shared DESC, doc_a, doc_b LIMIT 50""".stripMargin
+
+  // ---------- ANN recall audit ----------
+
+  /** Recall@5 of the hyperplane-LSH index ([[Pipeline.simAnnLsh]])
+    * against the brute-force cosine baseline
+    * ([[Pipeline.simCosineTopk]]), per query — the audit that decides
+    * whether an approximate index is good enough to replace the exact
+    * scan before the 100 TB rollout. Both sides are the registered
+    * operators themselves, so this measures exactly what ships. */
+  def embAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = Pipeline.simCosineTopk(s, d).select("q_id", "cand_id")
+    val approx = Pipeline.simAnnLsh(s, d)
+      .select(col("q_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "cand_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("k"), col("hits"),
+        round(col("hits").cast("double") / col("k"), 6).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+  val embAnnRecallSql: String =
+    s"""SELECT e.q_id AS q_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hits,
+       |  round(CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS recall_at_5
+       |FROM (${Pipeline.simCosineTopkSql}) e
+       |LEFT JOIN (${Pipeline.simAnnLshSql}) a
+       |  ON e.q_id = a.q_id AND e.cand_id = a.cand_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
+  // ---------- registry ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_power_iteration" -> (embPowerIteration _),
+    "audit_key_skew" -> (auditKeySkew _),
+    "audit_shuffle_balance" -> (auditShuffleBalance _),
+    "sample_reservoir" -> (sampleReservoir _),
+    "text_winnow" -> (textWinnow _),
+    "emb_ann_recall" -> (embAnnRecall _))
+
+  val oracle: Map[String, String] = Map(
+    "emb_power_iteration" -> embPowerIterationSql,
+    "audit_key_skew" -> auditKeySkewSql,
+    "audit_shuffle_balance" -> auditShuffleBalanceSql,
+    "sample_reservoir" -> sampleReservoirSql,
+    "text_winnow" -> textWinnowSql,
+    "emb_ann_recall" -> embAnnRecallSql)
+}
