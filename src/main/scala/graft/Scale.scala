@@ -289,6 +289,179 @@ object Scale {
        |  ON e.q_id = a.q_id AND e.cand_id = a.cand_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  // ---------- forward as-of join ----------
+
+  /** Forward-direction as-of join (pandas `merge_asof(direction=
+    * 'forward')`): each click matches the EARLIEST error at or after its
+    * timestamp per user. Same scale topology as the backward variant
+    * ([[Pipeline.joinAsof]]): union-merge both sides, one window
+    * partitioned by the join key carrying the next match backward through
+    * `first(ignoreNulls)` over the following frame — never a per-row
+    * subquery or range join. Ties at equal ts resolve to the minimum
+    * event_id (the frame's trailing m_id sort key), mirrored in the
+    * oracle's QUALIFY dedupe. */
+  def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val lhs = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id"), col("value"),
+        lit(null).cast("bigint").as("m_id"),
+        lit(null).cast("timestamp").as("m_ts"),
+        lit(null).cast("double").as("m_value"))
+    val rhs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("bigint").as("event_id"),
+        lit(null).cast("double").as("value"),
+        col("event_id").as("m_id"),
+        col("ts").as("m_ts"),
+        col("value").as("m_value"))
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("m_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lhs.unionByName(rhs)
+      .withColumn("match_event_id", first(col("m_id"), ignoreNulls = true).over(carry))
+      .withColumn("match_ts", first(col("m_ts"), ignoreNulls = true).over(carry))
+      .withColumn("match_value", first(col("m_value"), ignoreNulls = true).over(carry))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("match_event_id"), col("match_ts"), col("match_value"))
+      .orderBy("event_id")
+  }
+  val joinAsofForwardSql: String =
+    """SELECT l.event_id, l.user_id, l.ts, l.value,
+      |  r.event_id AS match_event_id, r.ts AS match_ts,
+      |  r.value AS match_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (
+      |  SELECT * FROM events WHERE event_type = 'error'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |    ORDER BY event_id ASC) = 1) r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------- behavioral sequence motifs ----------
+
+  /** Top-20 per-user event-type trigrams ("behavioral motifs") —
+    * the sequence features a session model trains on, and the
+    * generalization of the Markov transition matrix to order 2. Per-user
+    * sequences order by (ts, event_id) inside a user-partitioned window
+    * (parallel — a user's history fits a partition by construction);
+    * motif counting is one keyed reduce; the top-20 tail is a bounded
+    * TakeOrdered. */
+  def eventSequenceNgrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("motif"))
+      .groupBy("motif").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("motif")).limit(20)
+    tri // 20-row bounded table: the rank window is driver-sized
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("motif"))))
+      .select(col("rank").cast("long").as("rank"), col("motif"), col("cnt"))
+      .orderBy("rank")
+  }
+  val eventSequenceNgramsSql: String =
+    """WITH q AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |m AS (SELECT event_type || '>' || e2 || '>' || e3 AS motif,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM q WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1),
+      |r AS (SELECT motif, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, motif) AS rank FROM m)
+      |SELECT CAST(rank AS BIGINT) AS rank, motif, cnt
+      |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  // ---------- product quantization ----------
+
+  private val PqSub = 8 // subspaces (d=64 → 8 dims each)
+  private val PqK = 4 // centroids per subspace
+
+  /** Product quantization training (one Lloyd refinement per subspace):
+    * split each embedding into [[PqSub]] contiguous subvectors, run
+    * k-means (K=[[PqK]], seeded from the K lowest vec_ids' subvectors,
+    * one update step) independently per subspace, and report each
+    * subspace's quantization MSE and assignment balance — the codebook
+    * audit that sizes a PQ index before the 100 TB ANN rollout. The
+    * distributed shape is [[Learn.embKmeans]]'s with a subspace key
+    * riding every join/reduce: centroids stay a broadcast (S·K·d/S)-row
+    * table, assignment is a keyed reduce per (vector, subspace), and
+    * the corpus is scanned, never collected. Distances and means
+    * accumulate as exact decimals (bit-identical argmin cross-engine). */
+  def embPq(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val sub = s"(cast((i0 div ${64 / PqSub}) as bigint))"
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), expr(sub).as("g"),
+        (col("i0") % (64 / PqSub)).as("j"), col("xf").cast("double").as("x"))
+      .localCheckpoint()
+    val seeds = t(s, d, "embeddings").select("vec_id")
+      .orderBy("vec_id").limit(PqK)
+    val c0 = e.join(broadcast(seeds), "vec_id")
+      .select(col("vec_id").as("cid"), col("g"), col("j"), col("x").as("cx"))
+    def assign(cent: DataFrame): DataFrame = {
+      val dist = e.join(broadcast(cent), Seq("g", "j"))
+        .groupBy("vec_id", "g", "cid")
+        .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
+          .cast(dec)).as("dist"))
+      val w = Window.partitionBy("vec_id", "g").orderBy(col("dist"), col("cid"))
+      dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val a1 = assign(c0).localCheckpoint()
+    val c1 = a1.select("vec_id", "g", "cid").join(e, Seq("vec_id", "g"))
+      .groupBy("g", "cid", "j")
+      .agg((sum(col("x").cast(DecimalType(30, 12))).cast("double") /
+        count(lit(1))).as("cx"))
+    val a2 = assign(c1)
+    a2.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("cid").as("codes_used"),
+        (sum("dist").cast("double") / count(lit(1))).as("msed"))
+      .select(col("g"), col("n"), col("codes_used"),
+        round(col("msed"), 6).as("mse"))
+      .orderBy("g")
+  }
+  val embPqSql: String = {
+    val w = 64 / PqSub
+    s"""WITH e AS (SELECT vec_id, (i - 1) // $w AS g, (i - 1) % $w AS j,
+       |    CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) AS t(i)),
+       |seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |c0 AS (SELECT vec_id AS cid, g, j, x AS cx
+       |  FROM e JOIN seeds USING (vec_id)),
+       |d1 AS (SELECT e.vec_id, e.g, c.cid,
+       |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(38,12))) AS dist
+       |  FROM e JOIN c0 c ON e.g = c.g AND e.j = c.j
+       |  GROUP BY e.vec_id, e.g, c.cid),
+       |a1 AS (SELECT vec_id, g, cid, dist FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, g
+       |      ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+       |c1 AS (SELECT e.g, a.cid, e.j,
+       |    CAST(sum(CAST(e.x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS cx
+       |  FROM e JOIN a1 a ON e.vec_id = a.vec_id AND e.g = a.g
+       |  GROUP BY e.g, a.cid, e.j),
+       |d2 AS (SELECT e.vec_id, e.g, c.cid,
+       |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(38,12))) AS dist
+       |  FROM e JOIN c1 c ON e.g = c.g AND e.j = c.j
+       |  GROUP BY e.vec_id, e.g, c.cid),
+       |a2 AS (SELECT vec_id, g, cid, dist FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, g
+       |      ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1)
+       |SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT cid) AS BIGINT) AS codes_used,
+       |  round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS mse
+       |FROM a2 GROUP BY g ORDER BY g""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -297,7 +470,10 @@ object Scale {
     "audit_shuffle_balance" -> (auditShuffleBalance _),
     "sample_reservoir" -> (sampleReservoir _),
     "text_winnow" -> (textWinnow _),
-    "emb_ann_recall" -> (embAnnRecall _))
+    "emb_ann_recall" -> (embAnnRecall _),
+    "join_asof_forward" -> (joinAsofForward _),
+    "event_sequence_ngrams" -> (eventSequenceNgrams _),
+    "emb_pq" -> (embPq _))
 
   val oracle: Map[String, String] = Map(
     "emb_power_iteration" -> embPowerIterationSql,
@@ -305,5 +481,8 @@ object Scale {
     "audit_shuffle_balance" -> auditShuffleBalanceSql,
     "sample_reservoir" -> sampleReservoirSql,
     "text_winnow" -> textWinnowSql,
-    "emb_ann_recall" -> embAnnRecallSql)
+    "emb_ann_recall" -> embAnnRecallSql,
+    "join_asof_forward" -> joinAsofForwardSql,
+    "event_sequence_ngrams" -> eventSequenceNgramsSql,
+    "emb_pq" -> embPqSql)
 }

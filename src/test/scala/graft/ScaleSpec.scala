@@ -121,6 +121,79 @@ class ScaleSpec extends AnyFunSuite {
       s"winnow pairs: got ${got.size}, expected ${expectPairs.size}")
   }
 
+  test("forward as-of join matches the brute-force earliest-match scan") {
+    val evs = Q.t(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val errs = evs.filter(_._4 == "error")
+    val rows = Scale.joinAsofForward(spark, sf).collect()
+    val clicks = evs.filter(_._4 == "click").sortBy(_._1)
+    assert(rows.length == clicks.length)
+    rows.zip(clicks).foreach { case (r, (id, u, tsm, _, _)) =>
+      assert(r.getAs[Long]("event_id") == id)
+      // earliest error at or after the click's ts; ties → min event_id
+      val cand = errs.filter(e => e._2 == u && e._3 >= tsm)
+      if (cand.isEmpty) assert(r.isNullAt(r.fieldIndex("match_event_id")))
+      else {
+        val best = cand.minBy(e => (e._3, e._1))
+        assert(r.getAs[Long]("match_event_id") == best._1,
+          s"click $id: got ${r.getAs[Long]("match_event_id")}, want ${best._1}")
+      }
+    }
+  }
+
+  test("sequence motifs match brute-force per-user trigram counts") {
+    val evs = Q.t(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type")))
+    val counts = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+        .filter(_.size == 3).map(_.mkString(">"))
+    }.groupBy(identity).map { case (m, v) => (m, v.size.toLong) }
+    val top = counts.toSeq.sortBy { case (m, c) => (-c, m) }.take(20)
+    val rows = Scale.eventSequenceNgrams(spark, sf).collect()
+    assert(rows.length == math.min(20, counts.size))
+    rows.zip(top).foreach { case (r, (m, c)) =>
+      assert(r.getAs[String]("motif") == m && r.getAs[Long]("cnt") == c,
+        s"rank ${r.getAs[Long]("rank")}: ${r.getAs[String]("motif")} vs $m")
+    }
+  }
+
+  test("product quantization: per-subspace MSE matches brute-force Lloyd") {
+    val rows = Scale.embPq(spark, sf).collect()
+    val sub = 8; val w = embs.head._2.length / sub; val k = 4
+    val seeds = embs.map(_._1).sorted.take(k)
+    assert(rows.length == sub)
+    for (g <- 0 until sub) {
+      val slice = (v: Array[Double]) => v.slice(g * w, (g + 1) * w)
+      var cents: Map[Long, Array[Double]] =
+        seeds.map(id => id -> slice(embs.find(_._1 == id).get._2)).toMap
+      def assign() = embs.map { case (id, v) =>
+        val sv = slice(v)
+        val (cid, dist) = cents.toSeq.map { case (c, cv) =>
+          (c, sv.indices.map(i => math.pow(sv(i) - cv(i), 2)).sum)
+        }.minBy { case (c, dd) => (dd, c) }
+        (id, cid, dist)
+      }
+      val a1 = assign()
+      cents = a1.groupBy(_._2).map { case (cid, as) =>
+        val members = as.map(a => slice(embs.find(_._1 == a._1).get._2))
+        cid -> Array.tabulate(w)(i => members.map(_(i)).sum / members.size)
+      }
+      val a2 = assign()
+      val mse = a2.map(_._3).sum / a2.length
+      val r = rows(g)
+      assert(r.getAs[Long]("n") == embs.length.toLong)
+      assert(r.getAs[Long]("codes_used") == a2.map(_._2).distinct.length.toLong)
+      assert(math.abs(r.getAs[Double]("mse") - mse) < 1e-4,
+        s"subspace $g mse ${r.getAs[Double]("mse")} vs brute $mse")
+    }
+  }
+
   test("ANN recall audit is consistent and bounded") {
     val rows = Scale.embAnnRecall(spark, sf).collect()
     assert(rows.length == 10) // queries are vec_id < 10
