@@ -76,12 +76,22 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         if (!prepared.contains(name)) return -1.0
-        // full materialization: consume every row of every partition,
-        // equivalent to the noop sink's iterator drain
-        spark.sparkContext.runJob(prepared(name).clone().execute(),
-          (it: Iterator[InternalRow]) => {
-            var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
-          })
+        prepared(name) match {
+          case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            // AQE re-plans per execution BY DESIGN, and a cloned adaptive
+            // plan would reuse its already-materialized query stages
+            // (shuffle outputs) — timing only the final stage. Under AQE
+            // the honest sample is the full rebuild + noop write.
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+          case p =>
+            // full materialization: consume every row of every partition,
+            // equivalent to the noop sink's iterator drain
+            spark.sparkContext.runJob(p.clone().execute(),
+              (it: Iterator[InternalRow]) => {
+                var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+              })
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0

@@ -9,7 +9,8 @@ parquet tables in <sfDir>, loads the Spark result parquet from
 compares cell values (exact for non-floats, 1e-9 relative for floats —
 plus a strict-exact report so we know which queries rely on tolerance).
 """
-import json, math, sys, glob
+import json
+import os, math, sys, glob
 import duckdb
 import pandas as pd
 
@@ -58,7 +59,12 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # a table is either a single parquet file (driver testdata) or a
+        # Spark-written directory of part files (ScaleBench corpus)
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     n_pass = n_exact = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
