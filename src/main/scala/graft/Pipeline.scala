@@ -377,6 +377,32 @@ object Pipeline {
   private def md5LaneDuck(duckExpr: String): String =
     s"(('0x' || substr(md5($duckExpr), 1, 15))::BIGINT)"
 
+  /** The hyperplane coefficient matrix used by the embedding-LSH family
+    * is a CONSTANT — it depends only on (plane, dim), not on the row —
+    * so derive it ONCE driver-side (identical md5-lane arithmetic to the
+    * SQL the oracle still runs) and embed it as a nested array literal
+    * that Catalyst constant-folds. The previous in-expression derivation
+    * recomputed 64·d md5 calls PER ROW (~82M md5s across the 10× corpus
+    * per operator — measured 2–3× of each operator's runtime). Driver
+    * cost is 64·d hashes; the literal is 64·d doubles — the same bounded
+    * bookkeeping as the IVF centroid literal. */
+  private def planeMatrix(nPlanes: Int, d: Int): String = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def lane(sx: String): Long = {
+      val hex = mdig.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (0 until nPlanes).map { p =>
+      (0 until d).map { i =>
+        val c = (lane(s"plane${p}_$i") % 1000).toDouble / 1000.0 - 0.5
+        s"${c}D"
+      }.mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+  }
+  /** Embedding width, probed from one row at plan time (driver-sized). */
+  private def embDim(s: SparkSession, d: String): Int =
+    t(s, d, "embeddings").select(size(col("embedding"))).head.getInt(0)
+
   /** Modulus for the MinHash lane family: 2^31-1 (Mersenne prime). Lane
     * values stay < 2^31 so `j * b + a` (j < [[NumHashes]]) can never
     * overflow a 64-bit long under ANSI arithmetic. */
@@ -707,13 +733,13 @@ object Pipeline {
     * — hash-exact, not rows-only. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     val nBands = 16; val bandBits = 4
+    val pl = planeMatrix(nBands * bandBits, embDim(s, d))
     val sigsExpr = expr(
       s"""transform(sequence(0, ${nBands - 1}), b ->
          |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, j) ->
          |    acc + case when aggregate(
-         |        zip_with(v, sequence(0, size(v) - 1),
-         |          (x, i) -> x * ((cast(${md5Lane(s"concat('plane', b * $bandBits + j, '_', i)")} % 1000 as double)
-         |                          / 1000.0) - 0.5)),
+         |        zip_with(v, element_at($pl, b * $bandBits + j + 1),
+         |          (x, w) -> x * w),
          |        cast(0.0 as double), (a2, x) -> a2 + x) > 0
          |      then shiftleft(1L, j) else 0L end))""".stripMargin)
     val vecs = t(s, d, "embeddings")
@@ -934,9 +960,10 @@ object Pipeline {
     * so 8-bit bands keep per-pair recall ≈ 0.99 while a 256-value band key
     * keeps buckets small. Candidates only ever meet through an equi-join on
     * (band, band-bits) — the scale topology; the triangular O(N²) join
-    * lives only in [[dedupEmbeddingBrute]] as the spec's ground truth. At
-    * 100 TB, precompute the plane matrix once and broadcast it instead of
-    * re-deriving coefficients per row, and raise the band width with log N.
+    * lives only in [[dedupEmbeddingBrute]] as the spec's ground truth.
+    * The plane matrix is precomputed once driver-side and constant-folded
+    * into the plan ([[planeMatrix]] — round 10; previously 64·d md5 calls
+    * per row); at 100 TB raise the band width with log N.
     * Oracle pairing follows the same determinism argument as
     * [[dedupNgramJaccard]]: per-pair recall ≈0.99 is probabilistic over
     * corpora but deterministic per corpus, and the exact-oracle gate is
@@ -950,9 +977,8 @@ object Pipeline {
     val bitsExpr = expr(
       s"""transform(sequence(0, ${nPlanes - 1}), p ->
          |  case when aggregate(
-         |      zip_with(v, sequence(0, size(v) - 1),
-         |        (x, i) -> x * ((cast(${md5Lane("concat('plane', p, '_', i)")} % 1000 as double)
-         |                        / 1000.0) - 0.5)),
+         |      zip_with(v, element_at(${planeMatrix(nPlanes, embDim(s, d))}, p + 1),
+         |        (x, w) -> x * w),
          |      cast(0.0 as double), (a2, x) -> a2 + x) > 0
          |    then 1 else 0 end)""".stripMargin)
     val vecs = t(s, d, "embeddings")
