@@ -302,6 +302,19 @@ object Pipeline {
     * the same plan shards by bucket; raise the seed count to trade shuffle
     * volume for recall at low thresholds.
     *
+    * Round-10 exact-copy short-circuit (the [[dedupSubstring]] pattern):
+    * documents with identical gram arrays collapse to one REPRESENTATIVE
+    * before banding — at real duplication rates most LSH candidates ARE
+    * exact copies, so banding/verification run on the distinct-content
+    * subset only (10× fewer docs at the 10× replicated corpus) and the
+    * full pair set is reconstructed exactly afterward: within-group pairs
+    * are Jaccard 1.0 by identity, cross-group pairs inherit their
+    * representatives' verified Jaccard (equal gram sets ⇒ equal Jaccard).
+    * Candidate (rep1, rep2) pairs are also deduplicated BEFORE the exact
+    * verify, so a pair colliding in all 16 bands is verified once, not 16
+    * times. Output is unchanged — the oracle and the banded==brute spec
+    * still check the full pair set.
+    *
     * On oracle pairing: banding recall is probabilistic over corpora
     * (1−(1−J)^16 per pair) but fully deterministic for a given corpus —
     * the hashes are seeded constants. The exact all-pairs oracle and the
@@ -312,25 +325,46 @@ object Pipeline {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val nSeeds = 16
     val docs = t(s, d, "documents").select(col("doc_id"), gramsExpr.as("g"))
-    val banded = docs.select(col("doc_id"), col("g"),
-      explode(expr(
+      .withColumn("gh", md5(concat_ws("\n", col("g")).cast("binary")))
+      .localCheckpoint() // read thrice: reps, members, within-group pairs
+    val members = docs.select("doc_id", "gh")
+    val reps = docs.groupBy("gh").agg(min("doc_id").as("rep"))
+      .join(docs.select(col("doc_id").as("rep"), col("g")), "rep")
+      .localCheckpoint() // distinct-content subset: banding input
+    val banded = reps.select(col("rep"), explode(expr(
         s"""transform(sequence(0, ${nSeeds - 1}), j -> named_struct(
            |  'band', j,
            |  'bh', array_min(transform(g, x -> xxhash64(concat(x, '#', j))))))"""
           .stripMargin)).as("k"))
-      .select(col("doc_id"), col("g"), col("k.band").as("band"), col("k.bh").as("bh"))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc1"),
-      col("g").as("g1"))
-    val b = banded.select(col("band").as("band2"), col("bh").as("bh2"),
-      col("doc_id").as("doc2"), col("g").as("g2"))
-    a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
-        col("doc1") < col("doc2"))
+      .select(col("rep"), col("k.band").as("band"), col("k.bh").as("bh"))
+    // candidate rep pairs, deduped BEFORE the exact verify
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("r1"), col("y.rep").as("r2")).distinct()
+    val repPairs = cands
+      .join(reps.select(col("rep").as("r1"), col("gh").as("gh1"),
+        col("g").as("g1")), "r1")
+      .join(reps.select(col("rep").as("r2"), col("gh").as("gh2"),
+        col("g").as("g2")), "r2")
       .withColumn("jaccard", round(
         size(array_intersect(col("g1"), col("g2"))).cast("double") /
           size(array_union(col("g1"), col("g2"))), 6))
       .filter(col("jaccard") >= 0.2)
+      .select("gh1", "gh2", "jaccard")
+    // reconstruct the full pair set: cross-group pairs inherit the rep
+    // Jaccard; within-group pairs are exact copies (Jaccard 1.0)
+    val cross = repPairs
+      .join(members.select(col("gh").as("gh1"), col("doc_id").as("da")), "gh1")
+      .join(members.select(col("gh").as("gh2"), col("doc_id").as("db")), "gh2")
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"), col("jaccard"))
+    val within = members.as("m").join(members.as("n"),
+        col("m.gh") === col("n.gh") && col("m.doc_id") < col("n.doc_id"))
+      .select(col("m.doc_id").as("doc1"), col("n.doc_id").as("doc2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
       .select("doc1", "doc2", "jaccard")
-      .distinct()
       .orderBy("doc1", "doc2")
   }
   /** Brute-force all-pairs twin of [[dedupNgramJaccard]] — the spec's ground
