@@ -663,31 +663,68 @@ object Pipeline {
   /** SimHash near-dup pairs: 32-bit signature from md5-lane word hashes,
     * candidates from matching 16-bit halves (Hamming ≤ pigeonhole),
     * verified with bit_count(xor) ≤ 3. Fully oracle-checked — the DuckDB
-    * SQL rebuilds the identical signatures and half-key buckets. */
+    * SQL rebuilds the identical signatures and half-key buckets. Each
+    * word is md5-hashed ONCE into a lane array and the 32 bit-majority
+    * folds run over the precomputed lanes (round 10 — the previous form
+    * re-derived the md5 inside every bit's fold: 32 md5 calls per word,
+    * ~200M md5s at the 10× corpus; identical signature values, so the
+    * oracle is unchanged).
+    *
+    * Round-10 exact-copy short-circuit (the [[dedupNgramJaccard]]
+    * pattern): identical texts collapse to one representative before
+    * signature computation and the half-key bucket join — equal text ⇒
+    * equal signature ⇒ Hamming 0 within a group and the representatives'
+    * Hamming across groups — then the full pair set is reconstructed
+    * exactly. Candidate rep pairs are verified once (not once per
+    * colliding half). Output is unchanged, oracle unchanged. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sig = expr(
+    val sigFromLanes = expr(
       s"""aggregate(
          |  transform(sequence(0, 31),
-         |    b -> case when aggregate($wordsExpr, 0L,
-         |        (acc, w) -> acc + (case when (shiftright(${md5Lane("w")}, b) & 1) = 1
+         |    b -> case when aggregate(hs, 0L,
+         |        (acc, h) -> acc + (case when (shiftright(h, b) & 1) = 1
          |                           then 1L else -1L end)) > 0
          |      then shiftleft(1L, b) else 0L end),
          |  0L, (acc, x) -> acc + x)""".stripMargin)
-    val docs = t(s, d, "documents").select(col("doc_id"), sig.as("sh"))
-    val keyed = docs.select(col("doc_id"), col("sh"),
+    val byText = t(s, d, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("th"))
+      .localCheckpoint() // read twice: members + rep election
+    val members = byText.select("doc_id", "th")
+    val reps = byText.groupBy("th").agg(min("doc_id").as("rep"))
+      .join(t(s, d, "documents").select(col("doc_id").as("rep"), col("text")),
+        "rep")
+      .select(col("rep"), col("th"),
+        expr(s"transform($wordsExpr, w -> ${md5Lane("w")})").as("hs"))
+      .select(col("rep"), col("th"), sigFromLanes.as("sh"))
+      .localCheckpoint() // signatures computed once, read by both join sides
+    val keyed = reps.select(col("rep"), col("th"), col("sh"),
       explode(array(
         struct(lit(0).as("half"), (col("sh") % 65536).as("hk")),
         struct(lit(1).as("half"), shiftright(col("sh"), 16).as("hk")))).as("k"))
-      .select(col("doc_id"), col("sh"), col("k.half").as("half"), col("k.hk").as("hk"))
-    val a = keyed.select(col("half"), col("hk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
+      .select(col("rep"), col("th"), col("sh"),
+        col("k.half").as("half"), col("k.hk").as("hk"))
+    val a = keyed.select(col("half"), col("hk"), col("rep").as("r1"),
+      col("th").as("th1"), col("sh").as("sh1"))
     val b = keyed.select(col("half").as("half2"), col("hk").as("hk2"),
-      col("doc_id").as("doc2"), col("sh").as("sh2"))
-    a.join(b, col("half") === col("half2") && col("hk") === col("hk2") &&
-        col("doc1") < col("doc2"))
+      col("rep").as("r2"), col("th").as("th2"), col("sh").as("sh2"))
+    val repPairs = a.join(b,
+        col("half") === col("half2") && col("hk") === col("hk2") &&
+          col("r1") < col("r2"))
+      .select("th1", "th2", "sh1", "sh2").distinct() // verify once per pair
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
       .filter(col("hamming") <= 3)
+      .select("th1", "th2", "hamming")
+    val cross = repPairs
+      .join(members.select(col("th").as("th1"), col("doc_id").as("da")), "th1")
+      .join(members.select(col("th").as("th2"), col("doc_id").as("db")), "th2")
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"), col("hamming"))
+    val within = members.as("m").join(members.as("n"),
+        col("m.th") === col("n.th") && col("m.doc_id") < col("n.doc_id"))
+      .select(col("m.doc_id").as("doc1"), col("n.doc_id").as("doc2"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
       .select("doc1", "doc2", "hamming")
-      .distinct()
       .orderBy("doc1", "doc2")
   }
   val dedupSimhashSql: String =
@@ -3383,70 +3420,73 @@ object Pipeline {
     * quadratic shingle join only touches LSH-screened pairs); the
     * intersection is an exact per-shingle equi-join, keyed on (doc,
     * shingle) — every stage is a keyed shuffle over candidate-bounded
-    * volume. */
+    * volume.
+    *
+    * Round-10: the exact-copy bypass became full representative grouping
+    * (the [[dedupNgramJaccard]] pattern) — identical texts collapse to
+    * one representative BEFORE the MinHash signatures, the band self-join
+    * AND the shingle verification (equal text ⇒ equal shingle set ⇒
+    * containment 1.0 within a group, and every cross-group member pair
+    * shares its representatives' n_shared/containment). Signatures and
+    * the quadratic verify now touch only distinct content; the full pair
+    * set is reconstructed exactly afterward. Output & oracle unchanged. */
   def textContainment(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val bands = docs.select(col("doc_id"), minhashSignature.as("mh"))
-      .select(col("doc_id"), explode(expr(
+    val shArr = expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(length(text) - 7, 1)),
+        |  i -> substring(text, i, 8)))""".stripMargin)
+    val byText = docs.select(col("doc_id"), md5(col("text")).as("th"))
+      .localCheckpoint() // read thrice: rep election + both expansions
+    val members = byText.select("doc_id", "th")
+    val repDocs = byText.groupBy("th").agg(min("doc_id").as("rep"))
+      .join(docs.select(col("doc_id").as("rep"), col("text")), "rep")
+      .localCheckpoint() // distinct-content subset: all heavy stages below
+    val bands = repDocs.select(col("rep"), col("th"), minhashSignature.as("mh"))
+      .select(col("rep"), col("th"), explode(expr(
         s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
            |  b -> named_struct(
            |    'band', b,
            |    'bh', concat_ws(',',
            |      transform(slice(mh, b * $BandSize + 1, $BandSize),
            |        x -> cast(x as string)))))""".stripMargin)).as("k"))
-      .select(col("doc_id"), col("k.band").as("band"), col("k.bh").as("bh"))
+      .select(col("rep"), col("th"), col("k.band").as("band"), col("k.bh").as("bh"))
       // the self-join below evaluates both sides independently (the alias
-      // split defeats exchange reuse), which would hash every document's
-      // MinHash signature twice — the dominant cost. Pin the band table
-      // once; it is |docs| × bands small rows.
+      // split defeats exchange reuse) — pin the band table once
       .localCheckpoint()
-    val cand = bands.select(col("band"), col("bh"), col("doc_id").as("doc1"))
+    val repCand = bands.select(col("band"), col("bh"), col("rep").as("r1"),
+        col("th").as("th1"))
       .join(bands.select(col("band").as("b2"), col("bh").as("h2"),
-        col("doc_id").as("doc2")),
+        col("rep").as("r2"), col("th").as("th2")),
         col("band") === col("b2") && col("bh") === col("h2") &&
-          col("doc1") < col("doc2"))
-      .select("doc1", "doc2").distinct()
-    val shArr = expr(
-      """array_distinct(transform(
-        |  sequence(1, greatest(length(text) - 7, 1)),
-        |  i -> substring(text, i, 8)))""".stripMargin)
-    // Per-doc stats stay map-side: a 128-bit content hash plus the
-    // distinct-shingle count (size of the array, no explode). Exact-copy
-    // pairs (equal md5) have containment identically 1.0 with
-    // n_shared = nsh, so they bypass the shingle-verification join whose
-    // input is quadratic in duplicate-group size — at 100 TB most LSH
-    // candidates ARE exact copies, and this keeps the heavy join's input
-    // proportional to genuinely-partial overlaps only.
-    val stats = docs.select(col("doc_id"), md5(col("text")).as("th"),
-      size(shArr).cast("long").as("nsh"))
-    val cand2 = cand
-      .join(stats.select(col("doc_id").as("doc1"), col("th").as("th1"),
-        col("nsh").as("nsh1")), Seq("doc1"))
-      .join(stats.select(col("doc_id").as("doc2"), col("th").as("th2"),
-        col("nsh").as("nsh2")), Seq("doc2"))
-      // consumed by BOTH branches below — pin the (pair-count-sized) table
-      // so the LSH band self-join is not re-evaluated per branch
-      .localCheckpoint()
-    val exact = cand2.filter(col("th1") === col("th2"))
-      .select(col("doc1"), col("doc2"), col("nsh1").as("n_shared"),
-        lit(1.0).as("containment"))
-    val restPairs = cand2.filter(col("th1") =!= col("th2"))
-      .select("doc1", "doc2")
-    val sh = docs.select(col("doc_id"), shArr.as("sgs"))
-      .select(col("doc_id"), size(col("sgs")).cast("long").as("nsh"),
-        explode(col("sgs")).as("sg"))
-    val inter = restPairs
-      .join(sh.select(col("doc_id").as("doc1"), col("sg"),
-        col("nsh").as("nsh1")), Seq("doc1"))
-      .join(sh.select(col("doc_id").as("doc2"), col("sg"),
-        col("nsh").as("nsh2")), Seq("doc2", "sg"))
-      .groupBy("doc1", "doc2")
-      .agg(count(lit(1)).as("n_shared"), max("nsh1").as("nsh1"),
-        max("nsh2").as("nsh2"))
-      .select(col("doc1"), col("doc2"), col("n_shared"),
+          col("r1") < col("r2"))
+      .select("th1", "th2").distinct() // verify once per content pair
+    val repStats = repDocs
+      .select(col("th"), size(shArr).cast("long").as("nsh"))
+      .localCheckpoint() // joined by three consumers below
+    val sh = repDocs.select(col("th"), explode(shArr).as("sg"))
+    val repVerify = repCand
+      .join(sh.select(col("th").as("th1"), col("sg")), Seq("th1"))
+      .join(sh.select(col("th").as("th2"), col("sg")), Seq("th2", "sg"))
+      .groupBy("th1", "th2").agg(count(lit(1)).as("n_shared"))
+      .join(repStats.select(col("th").as("th1"), col("nsh").as("nsh1")), "th1")
+      .join(repStats.select(col("th").as("th2"), col("nsh").as("nsh2")), "th2")
+      .select(col("th1"), col("th2"), col("n_shared"),
         round(col("n_shared").cast("double") /
           least(col("nsh1"), col("nsh2")), 6).as("containment"))
-    exact.unionByName(inter)
+    val cross = repVerify
+      .join(members.select(col("th").as("th1"), col("doc_id").as("da")), "th1")
+      .join(members.select(col("th").as("th2"), col("doc_id").as("db")), "th2")
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"),
+        col("n_shared"), col("containment"))
+    val within = members.as("m").join(members.as("n"),
+        col("m.th") === col("n.th") && col("m.doc_id") < col("n.doc_id"))
+      .join(repStats.withColumnRenamed("th", "wth"),
+        col("m.th") === col("wth"))
+      .select(col("m.doc_id").as("doc1"), col("n.doc_id").as("doc2"),
+        col("nsh").as("n_shared"), lit(1.0).as("containment"))
+    cross.unionByName(within)
       .withColumn("near_contained", col("containment") >= 0.5)
       .orderBy("doc1", "doc2")
   }
