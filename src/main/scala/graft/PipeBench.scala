@@ -40,7 +40,9 @@ object PipeBench {
     "event_user_entropy", "emb_covariance", "text_hapax",
     "emb_power_iteration", "audit_key_skew", "audit_shuffle_balance",
     "sample_reservoir", "text_winnow", "emb_ann_recall",
-    "join_asof_forward", "event_sequence_ngrams", "emb_pq")
+    "join_asof_forward", "event_sequence_ngrams", "emb_pq",
+    "dedup_semantic", "text_classifier_score", "corpus_source_overlap",
+    "stat_proportion_ci")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
