@@ -1038,7 +1038,20 @@ object Pipeline {
     * Oracle pairing follows the same determinism argument as
     * [[dedupNgramJaccard]]: per-pair recall ≈0.99 is probabilistic over
     * corpora but deterministic per corpus, and the exact-oracle gate is
-    * verified green on every driver corpus — a miss would fail loudly. */
+    * verified green on every driver corpus — a miss would fail loudly.
+    *
+    * Round-10 exact-copy short-circuit (the [[dedupNgramJaccard]]
+    * pattern): identical vectors collapse to one REPRESENTATIVE before
+    * banding — identical arrays produce identical sign bits, so banding
+    * recall is unchanged — candidate rep pairs are deduplicated BEFORE
+    * the exact cosine (a pair colliding in all 8 bands was previously
+    * verified 8 times, carrying both vectors through the shuffle each
+    * time), and the full pair set is reconstructed exactly afterward:
+    * cross-group pairs inherit their representatives' cosine (equal
+    * arrays ⇒ equal cosine bit-for-bit), within-group pairs take the
+    * representative's self-cosine computed by the SAME double fold the
+    * oracle runs (≈1.0 up to one ulp — never a literal, so rounding
+    * agrees with DuckDB exactly). */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val nPlanes = 64; val bandBits = 8
     // md5 lanes are non-negative, so lane%1000/1000 - 0.5 is symmetric in
@@ -1052,27 +1065,56 @@ object Pipeline {
          |        (x, w) -> x * w),
          |      cast(0.0 as double), (a2, x) -> a2 + x) > 0
          |    then 1 else 0 end)""".stripMargin)
-    val vecs = t(s, d, "embeddings")
+    val all = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("bits", bitsExpr)
-    val banded = vecs.select(col("vec_id"), col("v"),
-      explode(expr(
+      .localCheckpoint() // read for groups, reps, and member expansion
+    val members = all.groupBy("v").agg(min("vec_id").as("rep"))
+      .join(all, "v").select(col("vec_id"), col("rep"))
+      .localCheckpoint()
+    val reps = all.join(members.filter(col("vec_id") === col("rep"))
+        .select("vec_id"), "vec_id")
+      .select(col("vec_id").as("rep"), col("v"))
+      .localCheckpoint() // distinct-content subset: banding input
+    val banded = reps.withColumn("bits", bitsExpr)
+      .select(col("rep"), explode(expr(
         s"""transform(sequence(0, ${nPlanes / bandBits - 1}), b -> named_struct(
            |  'band', b,
            |  'bh', aggregate(slice(bits, b * $bandBits + 1, $bandBits),
            |                  0, (acc, x) -> acc * 2 + x)))""".stripMargin)).as("k"))
-      .select(col("vec_id"), col("v"), col("k.band").as("band"), col("k.bh").as("bh"))
-    val a = banded.select(col("band"), col("bh"), col("vec_id").as("id1"),
-      col("v").as("v1"))
-    val b = banded.select(col("band").as("band2"), col("bh").as("bh2"),
-      col("vec_id").as("id2"), col("v").as("v2"))
-    a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
-        col("id1") < col("id2"))
-      .withColumn("cos", dot(col("v1"), col("v2")) /
-        (norm2(col("v1")) * norm2(col("v2"))))
+      .select(col("rep"), col("k.band").as("band"), col("k.bh").as("bh"))
+    // candidate rep pairs, deduped BEFORE the exact cosine verify
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("r1"), col("y.rep").as("r2")).distinct()
+    // norms fold once per rep; nrm1·nrm2 is bit-identical to folding
+    // both norms inside the pair row, so the oracle still hash-matches
+    val repsN = reps.withColumn("nrm", norm2(col("v")))
+    val repPairs = cands
+      .join(repsN.select(col("rep").as("r1"), col("v").as("v1"),
+        col("nrm").as("n1")), "r1")
+      .join(repsN.select(col("rep").as("r2"), col("v").as("v2"),
+        col("nrm").as("n2")), "r2")
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= 0.95)
+      .select(col("r1"), col("r2"), col("cos"))
+    // reconstruct the full pair set: cross-group pairs inherit the rep
+    // cosine; within-group pairs take the rep's self-cosine (same fold)
+    val cross = repPairs
+      .join(members.select(col("rep").as("r1"), col("vec_id").as("m1")), "r1")
+      .join(members.select(col("rep").as("r2"), col("vec_id").as("m2")), "r2")
+      .select(least(col("m1"), col("m2")).as("id1"),
+        greatest(col("m1"), col("m2")).as("id2"), col("cos"))
+    val selfCos = reps
+      .withColumn("cos", dot(col("v"), col("v")) / (norm2(col("v")) * norm2(col("v"))))
+      .select(col("rep"), col("cos"))
+    val within = members.as("m").join(members.as("n"),
+        col("m.rep") === col("n.rep") && col("m.vec_id") < col("n.vec_id"))
+      .select(col("m.vec_id").as("id1"), col("n.vec_id").as("id2"),
+        col("m.rep").as("rep"))
+      .join(selfCos, "rep")
+    cross.unionByName(within.select("id1", "id2", "cos"))
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
-      .distinct()
       .orderBy("id1", "id2")
   }
   /** Triangular all-pairs twin of [[dedupEmbedding]] — exact ground truth

@@ -96,12 +96,16 @@ object Refine {
     val aw = Window.partitionBy("rep").orderBy(col("dist"), col("cid"))
     val asg = dist.withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1).select("rep", "cid")
-    // same-cluster rep pairs above τ — the cluster-bounded quadratic stage
-    val rv = reps.join(asg, "rep")
+    // same-cluster rep pairs above τ — the cluster-bounded quadratic
+    // stage. Norms fold ONCE per rep (a column, not a per-pair
+    // recomputation); nrm1·nrm2 is bit-identical to folding both norms
+    // inside the pair row, so the oracle's per-pair formula still
+    // hash-matches.
+    val rv = reps.withColumn("nrm", norm2(col("v"))).join(asg, "rep")
     val pairs = rv.as("a").join(rv.as("b"),
         col("a.cid") === col("b.cid") && col("a.rep") < col("b.rep"))
       .withColumn("cos", dot(col("a.v"), col("b.v")) /
-        (norm2(col("a.v")) * norm2(col("b.v"))))
+        (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= SemTau)
       .select(col("a.rep").as("r1"), col("b.rep").as("r2"), col("cos"))
     // reconstruct per-vector candidates: cross pairs via rep membership
