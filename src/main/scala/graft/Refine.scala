@@ -209,12 +209,15 @@ object Refine {
     * gram is bounded by the source count, so the pair table is
     * |sources|²-bounded regardless of corpus size. */
   def corpusSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    // words bound to a lambda variable so the split runs once per row
+    // (inline element_at(split(...), i) re-splits per gram — O(words²))
     val grams = t(s, d, "documents").select(col("source"), explode(expr(
-      """array_distinct(transform(
-        |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
-        |  i -> concat(element_at(split(trim(text), '\\s+'), i), ' ',
-        |              element_at(split(trim(text), '\\s+'), i + 1), ' ',
-        |              element_at(split(trim(text), '\\s+'), i + 2))))"""
+      """transform(array(split(trim(text), '\\s+')), w ->
+        |  array_distinct(transform(
+        |    sequence(1, greatest(size(w) - 2, 1)),
+        |    i -> concat(element_at(w, i), ' ',
+        |                element_at(w, i + 1), ' ',
+        |                element_at(w, i + 2)))))[0]"""
         .stripMargin)).as("g"))
       .distinct()
       .localCheckpoint() // read for totals and both join sides
