@@ -294,17 +294,340 @@ object Refine {
       |    / denom, 6) AS ci_hi
       |FROM c ORDER BY event_type""".stripMargin
 
+  // ---------- top-2 PCA via deflated power iteration ----------
+
+  private val PcaIters = 3
+
+  /** Top-2 principal directions of the uncentered gram matrix A = Σ xxᵀ,
+    * by power iteration with Hotelling deflation: three A-multiplies for
+    * the leading direction v₁, then three more for v₂ with the v₁
+    * component projected out after every multiply. Each multiply is two
+    * keyed reductions (corpus → n dot-products → d sums); every other
+    * table is d-bounded or scalar, so driver/broadcast state is O(d) —
+    * never d² (the covariance-matrix route) and never a corpus collect.
+    * λ (the operator norm of the last un-normalized iterate) is reported
+    * per component; λ₂/λ₁ is the spectral-decay read a pipeline uses to
+    * decide how hard dimensionality reduction can prune. */
+  def embPcaTop2(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val vecs = t(s, d, "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // scanned once per multiply, 6 times total
+    val dim = vecs.select(size(col("v"))).head.getInt(0)
+    // Each A-multiply broadcasts the CURRENT direction as a d-length
+    // constant-folded literal (Double.toString round-trips exactly) and
+    // computes the per-row dot product map-side with the same
+    // per-term-DECIMAL(38,12) fold the oracle's keyed sum performs
+    // (decimal addition is exact, hence order-free) — so the only
+    // shuffle per multiply is the final d-bounded reduce. The previous
+    // shape joined a corpus-sized dot-product table back to the exploded
+    // corpus every iteration: at 100 TB that join IS the job; the
+    // direction vector is the only thing small enough to move, so move
+    // it. All d-length vectors live driver-side — the same bounded
+    // bookkeeping as the IVF centroid literal.
+    def mult(v: Array[Double]): Array[Double] = {
+      val vArr = v.map(x => s"${x}D").mkString("array(", ",", ")")
+      // plain double left-fold for the per-row dot (the dedup_embedding
+      // pattern — DuckDB's list_inner_product folds in the same order);
+      // exactness is preserved where it matters, in the corpus-sized
+      // keyed sum below, which stays per-term-decimal
+      val rows = vecs
+        .withColumn("dv", expr(
+          s"""aggregate(zip_with(v, $vArr, (x, vi) -> x * vi),
+             |  cast(0.0 as double), (a, b) -> a + b)""".stripMargin))
+        .select(col("dv"), posexplode(col("v")).as(Seq("i0", "x")))
+        .select(col("i0"), (col("x") * col("dv")).cast(dec).as("t"))
+        .groupBy("i0").agg(sum("t").cast("double").as("wi"))
+        .collect()
+      val w = Array.fill(dim)(0.0)
+      rows.foreach(r => w(r.getAs[Int]("i0")) = r.getAs[Double]("wi"))
+      w
+    }
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def normOf(w: Array[Double]): Double =
+      math.sqrt(w.map(x => d12(x * x)).sum.toDouble)
+    // component 1: plain power iteration
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var w1 = v; var n1 = 0.0
+    for (_ <- 1 to PcaIters) {
+      w1 = mult(v); n1 = normOf(w1); v = w1.map(_ / n1)
+    }
+    val v1 = v
+    // component 2: same recurrence, v₁ projected out after each multiply
+    var u = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var o2 = u; var n2 = 0.0
+    for (_ <- 1 to PcaIters) {
+      val w = mult(u)
+      val p = w.indices.map(i => d12(w(i) * v1(i))).sum.toDouble
+      o2 = Array.tabulate(dim)(i => w(i) - p * v1(i))
+      n2 = normOf(o2); u = o2.map(_ / n2)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    val out =
+      (0 until dim).map(i => (1, (i + 1).toLong, r6(w1(i) / n1), r6(n1))) ++
+        (0 until dim).map(i => (2, (i + 1).toLong, r6(o2(i) / n2), r6(n2)))
+    out.toDF("component", "i", "loading", "lambda")
+      .orderBy("component", "i")
+  }
+  val embPcaTop2Sql: String = {
+    // per-row dot via list_inner_product (left-fold, matching Spark's
+    // aggregate fold); the corpus-sized keyed sum stays per-term-decimal
+    def step(n: Int, prevV: String): String =
+      s"""lv$n AS MATERIALIZED (SELECT list(vi ORDER BY i) AS q FROM $prevV),
+         |d$n AS MATERIALIZED (SELECT v.vec_id,
+         |    list_inner_product(v.e, lv.q) AS dv FROM v, lv$n lv),
+         |w$n AS MATERIALIZED (SELECT e.i,
+         |    CAST(sum(CAST(e.x * d$n.dv AS DECIMAL(38,12))) AS DOUBLE) AS wi
+         |  FROM e JOIN d$n USING (vec_id) GROUP BY e.i),
+         |n$n AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(38,12)))
+         |    AS DOUBLE)) AS nw FROM w$n),
+         |v$n AS MATERIALIZED (SELECT i, wi / nw AS vi FROM w$n, n$n)""".stripMargin
+    def stepU(n: Int, prevU: String): String =
+      s"""lu$n AS MATERIALIZED (SELECT list(vi ORDER BY i) AS q FROM $prevU),
+         |du$n AS MATERIALIZED (SELECT v.vec_id,
+         |    list_inner_product(v.e, lu.q) AS dv FROM v, lu$n lu),
+         |wu$n AS MATERIALIZED (SELECT e.i,
+         |    CAST(sum(CAST(e.x * du$n.dv AS DECIMAL(38,12))) AS DOUBLE) AS wi
+         |  FROM e JOIN du$n USING (vec_id) GROUP BY e.i),
+         |p$n AS MATERIALIZED (SELECT CAST(sum(CAST(w.wi * v.vi AS DECIMAL(38,12)))
+         |    AS DOUBLE) AS p FROM wu$n w JOIN v3 v USING (i)),
+         |o$n AS MATERIALIZED (SELECT w.i, w.wi - p.p * v.vi AS wi
+         |  FROM wu$n w JOIN v3 v USING (i), p$n p),
+         |no$n AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(38,12)))
+         |    AS DOUBLE)) AS nw FROM o$n),
+         |u$n AS MATERIALIZED (SELECT i, wi / nw AS vi FROM o$n, no$n)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |e AS (SELECT vec_id, i, e[i] AS x
+       |  FROM v, unnest(generate_series(1, len(e))) AS t(i)),
+       |dims AS (SELECT DISTINCT i FROM e),
+       |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dims),
+       |v0 AS (SELECT i, 1.0 / sqrt(CAST(d AS DOUBLE)) AS vi FROM dims, dd),
+       |${step(1, "v0")},
+       |${step(2, "v1")},
+       |${step(3, "v2")},
+       |${stepU(1, "v0")},
+       |${stepU(2, "u1")},
+       |${stepU(3, "u2")}
+       |SELECT component, i, loading, lambda FROM (
+       |  SELECT 1 AS component, CAST(i AS BIGINT) AS i,
+       |    round(wi / nw, 6) AS loading, round(nw, 6) AS lambda
+       |  FROM w3, n3
+       |  UNION ALL
+       |  SELECT 2 AS component, CAST(i AS BIGINT) AS i,
+       |    round(wi / nw, 6) AS loading, round(nw, 6) AS lambda
+       |  FROM o3, no3)
+       |ORDER BY component, i""".stripMargin
+  }
+
+  // ---------- Matryoshka truncation audit ----------
+
+  /** Recall@5 of half-dimension embeddings against the full-dimension
+    * brute-force baseline, per query — the ablation a pipeline runs
+    * before truncating Matryoshka-style embeddings to halve index cost.
+    * Both passes are the broadcast-queries × one-corpus-scan shape of
+    * the brute-force top-k baseline; the overlap join is 5·|queries|
+    * rows. */
+  def embMatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("h", expr("slice(v, 1, int(size(v) / 2))"))
+      .localCheckpoint()
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("h").as("qh"))
+    def top5(scoreCol: Column): DataFrame = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      vecs.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", scoreCol)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("cand"))
+    }
+    val full = top5(dot(col("v"), col("qv")) /
+      (norm2(col("v")) * norm2(col("qv"))))
+    val half = top5(dot(col("h"), col("qh")) /
+      (norm2(col("h")) * norm2(col("qh"))))
+    full.join(half, Seq("q_id", "cand"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      .join(queries.select("q_id"), Seq("q_id"), "right")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / lit(5.0), 6).as("recall"))
+      .orderBy("q_id")
+  }
+  val embMatryoshkaRecallSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    list_slice(embedding::DOUBLE[], 1,
+      |      CAST(len(embedding) / 2 AS INT)) AS h
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, e AS qv, h AS qh FROM v
+      |  WHERE vec_id < 10),
+      |full5 AS (SELECT q_id, cand FROM (
+      |  SELECT q.q_id, v.vec_id AS cand,
+      |    row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY list_cosine_similarity(v.e, q.qv) DESC, v.vec_id) AS rk
+      |  FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id) WHERE rk <= 5),
+      |half5 AS (SELECT q_id, cand FROM (
+      |  SELECT q.q_id, v.vec_id AS cand,
+      |    row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY list_cosine_similarity(v.h, q.qh) DESC, v.vec_id) AS rk
+      |  FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id) WHERE rk <= 5),
+      |ov AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |  FROM full5 JOIN half5 USING (q_id, cand) GROUP BY q_id)
+      |SELECT q.q_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+      |  round(coalesce(ov.n_overlap, 0) / 5.0, 6) AS recall
+      |FROM q LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin
+
+  // ---------- distinctive terms per source (weighted log-odds) ----------
+
+  /** Monroe-style weighted log-odds with an informative Dirichlet prior:
+    * for each source, the 3 terms most over-represented vs the rest of
+    * the corpus, z-scored. The corpus reduces to a (source × term) count
+    * table in one keyed aggregation; priors, deltas, and variances are a
+    * fixed expression tree over that bounded table (vocabulary-bounded,
+    * never corpus-bounded). */
+  def textDistinctiveTerms(s: SparkSession, d: String): DataFrame = {
+    val a0 = 100.0
+    val sw = t(s, d, "documents")
+      .select(col("source"), explode(expr(
+        s"filter(split(trim(text), '\\\\s+'), x -> x != '')")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("ysw"))
+      .localCheckpoint() // read thrice: per-source, per-term, global totals
+    val ns = sw.groupBy("source").agg(sum("ysw").as("ns"))
+    val yw = sw.groupBy("w").agg(sum("ysw").as("yw"))
+    val nn = sw.agg(sum("ysw").as("nn"))
+    val scored = sw.join(ns, "source").join(yw, "w").crossJoin(broadcast(nn))
+      .withColumn("aw", lit(a0) * col("yw") / col("nn"))
+      .withColumn("delta",
+        log((col("ysw") + col("aw")) /
+          (col("ns") - col("ysw") + lit(a0) - col("aw"))) -
+        log((col("yw") - col("ysw") + col("aw")) /
+          (col("nn") - col("ns") - col("yw") + col("ysw") + lit(a0) - col("aw"))))
+      .withColumn("variance",
+        lit(1.0) / (col("ysw") + col("aw")) +
+          lit(1.0) / (col("yw") - col("ysw") + col("aw")))
+      .withColumn("z", col("delta") / sqrt(col("variance")))
+    val w = Window.partitionBy("source").orderBy(col("z").desc, col("w"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("w").as("term"),
+        round(col("z"), 6).as("z_score"))
+      .orderBy("source", "rank")
+  }
+  val textDistinctiveTermsSql: String =
+    raw"""WITH tok AS (SELECT source, t.w FROM documents,
+         |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+         |      x -> x != '')) AS t(w)),
+         |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS ysw
+         |  FROM tok GROUP BY source, w),
+         |ns AS (SELECT source, CAST(sum(ysw) AS BIGINT) AS ns
+         |  FROM sw GROUP BY source),
+         |yw AS (SELECT w, CAST(sum(ysw) AS BIGINT) AS yw FROM sw GROUP BY w),
+         |nn AS (SELECT CAST(sum(ysw) AS BIGINT) AS nn FROM sw),
+         |scored AS (SELECT sw.source, sw.w,
+         |    100.0 * yw.yw / nn.nn AS aw,
+         |    ln((sw.ysw + 100.0 * yw.yw / nn.nn)
+         |      / (ns.ns - sw.ysw + 100.0 - 100.0 * yw.yw / nn.nn))
+         |    - ln((yw.yw - sw.ysw + 100.0 * yw.yw / nn.nn)
+         |      / (nn.nn - ns.ns - yw.yw + sw.ysw + 100.0
+         |         - 100.0 * yw.yw / nn.nn)) AS delta,
+         |    1.0 / (sw.ysw + 100.0 * yw.yw / nn.nn)
+         |      + 1.0 / (yw.yw - sw.ysw + 100.0 * yw.yw / nn.nn) AS variance
+         |  FROM sw JOIN ns USING (source) JOIN yw USING (w) CROSS JOIN nn)
+         |SELECT source, rank, w AS term, round(z, 6) AS z_score FROM (
+         |  SELECT source, w, delta / sqrt(variance) AS z,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY delta / sqrt(variance) DESC, w) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+
+  // ---------- label-propagation communities (word graph) ----------
+
+  private val LpaIters = 3
+
+  /** Synchronous label propagation over the word co-occurrence graph
+    * (consecutive-word edges, symmetrized, weight = occurrence count):
+    * every node adopts the label with the highest neighbor-weight sum
+    * (ties to the smallest label) for three rounds. All tables after the
+    * first aggregation are vocabulary-bounded — the per-iteration work
+    * is one keyed join + one argmax window on the edge table, the LPA
+    * shape that survives any corpus size with a bounded vocabulary. */
+  def graphLabelProp(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "documents")
+      .select(expr("split(trim(text), '\\\\s+')").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val und = pairs.union(pairs.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+      .groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+      .localCheckpoint() // vocabulary²-bounded, scanned once per round
+    val nodes = und.select(col("src").as("w")).distinct().localCheckpoint()
+    var lab = nodes.select(col("w"), col("w").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      val votes = und
+        .join(lab.select(col("w").as("dst"), col("lbl")), "dst")
+        .groupBy("src", "lbl").agg(sum("wt").as("v"))
+      val aw = Window.partitionBy("src").orderBy(col("v").desc, col("lbl"))
+      val next = votes.withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("src").as("w"), col("lbl").as("nl"))
+      lab = nodes.join(lab, "w").join(next, Seq("w"), "left")
+        .select(col("w"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lab.select(col("w").as("word"), col("lbl").as("community"))
+      .orderBy("word")
+  }
+  val graphLabelPropSql: String = {
+    def round(n: Int, prev: String): String =
+      s"""vt$n AS (SELECT e.src, l.lbl, CAST(sum(e.wt) AS BIGINT) AS v
+         |  FROM und e JOIN $prev l ON l.w = e.dst GROUP BY e.src, l.lbl),
+         |nx$n AS (SELECT src AS w, lbl FROM (SELECT src, lbl,
+         |    row_number() OVER (PARTITION BY src ORDER BY v DESC, lbl) AS rn
+         |  FROM vt$n) WHERE rn = 1),
+         |l$n AS (SELECT p.w, coalesce(nx$n.lbl, p.lbl) AS lbl
+         |  FROM $prev p LEFT JOIN nx$n USING (w))""".stripMargin
+    raw"""WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+         |  FROM documents),
+         |pairs AS (SELECT ws[i] AS src, ws[i + 1] AS dst
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM ws)),
+         |und AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt FROM (
+         |    SELECT src, dst FROM pairs
+         |    UNION ALL SELECT dst, src FROM pairs)
+         |  GROUP BY src, dst),
+         |l0 AS (SELECT DISTINCT src AS w, src AS lbl FROM und),
+         |${round(1, "l0")},
+         |${round(2, "l1")},
+         |${round(3, "l2")}
+         |SELECT w AS word, lbl AS community FROM l3 ORDER BY word""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
     "text_classifier_score" -> (textClassifierScore _),
     "corpus_source_overlap" -> (corpusSourceOverlap _),
-    "stat_proportion_ci" -> (statProportionCi _))
+    "stat_proportion_ci" -> (statProportionCi _),
+    "emb_pca_top2" -> (embPcaTop2 _),
+    "emb_matryoshka_recall" -> (embMatryoshkaRecall _),
+    "text_distinctive_terms" -> (textDistinctiveTerms _),
+    "graph_label_prop" -> (graphLabelProp _))
 
   val oracle: Map[String, String] = Map(
     "dedup_semantic" -> dedupSemanticSql,
     "text_classifier_score" -> textClassifierScoreSql,
     "corpus_source_overlap" -> corpusSourceOverlapSql,
-    "stat_proportion_ci" -> statProportionCiSql)
+    "stat_proportion_ci" -> statProportionCiSql,
+    "emb_pca_top2" -> embPcaTop2Sql,
+    "emb_matryoshka_recall" -> embMatryoshkaRecallSql,
+    "text_distinctive_terms" -> textDistinctiveTermsSql,
+    "graph_label_prop" -> graphLabelPropSql)
 }

@@ -112,6 +112,138 @@ class RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("top-2 PCA matches deflated power iteration; components orthogonal") {
+    val rows = Refine.embPcaTop2(spark, sf).collect()
+    val d = embs.head._2.length
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def mult(v: Array[Double]): Array[Double] = {
+      // per-row dot is a plain double left-fold, like the engine's
+      val dots = embs.map { case (_, x) =>
+        x.indices.foldLeft(0.0)((s0, i) => s0 + x(i) * v(i))
+      }
+      Array.tabulate(d)(i => embs.indices.map(r =>
+        dec(embs(r)._2(i) * dots(r))).sum.toDouble)
+    }
+    def norm(w: Array[Double]): Double =
+      math.sqrt(w.map(x => dec(x * x)).sum.toDouble)
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var w1 = v; var l1 = 0.0
+    for (_ <- 1 to 3) { w1 = mult(v); l1 = norm(w1); v = w1.map(_ / l1) }
+    val v1 = v
+    var u = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var o = u; var l2 = 0.0
+    for (_ <- 1 to 3) {
+      val w = mult(u)
+      val p = w.indices.map(i => dec(w(i) * v1(i))).sum.toDouble
+      o = Array.tabulate(d)(i => w(i) - p * v1(i))
+      l2 = norm(o); u = o.map(_ / l2)
+    }
+    assert(rows.length == 2 * d)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("i").toInt - 1
+      val (load, lam) =
+        if (r.getAs[Int]("component") == 1) (w1(i) / l1, l1)
+        else (o(i) / l2, l2)
+      assert(math.abs(r.getAs[Double]("loading") - load) < 1e-5)
+      assert(math.abs(r.getAs[Double]("lambda") - lam) < 1e-3)
+    }
+    // the two reported directions are near-orthogonal
+    val c1 = rows.filter(_.getAs[Int]("component") == 1)
+      .sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("loading"))
+    val c2 = rows.filter(_.getAs[Int]("component") == 2)
+      .sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("loading"))
+    val ip = c1.indices.map(i => c1(i) * c2(i)).sum
+    assert(math.abs(ip) < 1e-3, s"components not orthogonal: $ip")
+    // spectral order: lambda1 >= lambda2
+    assert(l1 >= l2)
+  }
+
+  test("Matryoshka recall matches brute-force half-vs-full top-5") {
+    val rows = Refine.embMatryoshkaRecall(spark, sf).collect()
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      dot / (math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x)) *
+        math.sqrt(b.foldLeft(0.0)((s, x) => s + x * x)))
+    }
+    val h = embs.map { case (id, v) => (id, v.take(v.length / 2)) }
+    def top5(qs: Array[(Long, Array[Double])],
+             all: Array[(Long, Array[Double])]): Map[Long, Set[Long]] =
+      qs.filter(_._1 < 10).map { case (q, qv) =>
+        q -> all.filter(_._1 != q)
+          .map { case (c, cv) => (c, cosD(qv, cv)) }
+          .sortBy { case (c, s0) => (-s0, c) }.take(5).map(_._1).toSet
+      }.toMap
+    val full = top5(embs, embs); val half = top5(h, h)
+    assert(rows.length == full.size)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val ov = (full(q) & half(q)).size
+      assert(r.getAs[Long]("n_overlap") == ov, s"overlap of $q")
+      assert(math.abs(r.getAs[Double]("recall") - ov / 5.0) < 1e-9)
+    }
+  }
+
+  test("distinctive terms match brute-force weighted log-odds") {
+    val rows = Refine.textDistinctiveTerms(spark, sf).collect()
+    val toks = docs.flatMap { case (_, text, src) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map(w => (src, w))
+    }
+    val sw = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ns = toks.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val yw = toks.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val nn = toks.length.toDouble
+    val expected = ns.keys.flatMap { src =>
+      val zs = sw.collect { case ((s0, w), ysw) if s0 == src =>
+        val aw = 100.0 * yw(w) / nn
+        val delta =
+          math.log((ysw + aw) / (ns(src) - ysw + 100.0 - aw)) -
+            math.log((yw(w) - ysw + aw) / (nn - ns(src) - yw(w) + ysw + 100.0 - aw))
+        val variance = 1.0 / (ysw + aw) + 1.0 / (yw(w) - ysw + aw)
+        (w, delta / math.sqrt(variance))
+      }.toSeq.sortBy { case (w, z) => (-z, w) }.take(3)
+      zs.zipWithIndex.map { case ((w, z), i) =>
+        (src, i + 1L) -> (w, z)
+      }
+    }.toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[Long]("rank"))
+      val (w, z) = expected(key)
+      assert(r.getAs[String]("term") == w, s"term at $key")
+      assert(math.abs(r.getAs[Double]("z_score") - z) < 1e-5)
+    }
+  }
+
+  test("label propagation matches brute-force synchronous LPA") {
+    val rows = Refine.graphLabelProp(spark, sf).collect()
+    val pairs = docs.flatMap { case (_, text, _) =>
+      val ws = text.trim.split("\\s+")
+      ws.indices.dropRight(1).map(i => (ws(i), ws(i + 1)))
+    }
+    val und = (pairs ++ pairs.map(_.swap))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nodes = und.keys.map(_._1).toSet
+    var lab = nodes.map(w => w -> w).toMap
+    for (_ <- 1 to 3) {
+      val next = nodes.map { n =>
+        // .toSeq first: collect on a Map would re-collapse duplicate
+        // label keys before the sum
+        val votes = und.toSeq.collect { case ((s0, d0), wt) if s0 == n =>
+          (lab(d0), wt)
+        }.groupBy(_._1).map { case (l, v) => l -> v.map(_._2).sum }
+        if (votes.isEmpty) n -> lab(n)
+        else n -> votes.toSeq.minBy { case (l, v) => (-v, l) }._1
+      }.toMap
+      lab = next
+    }
+    assert(rows.length == nodes.size)
+    rows.foreach { r =>
+      assert(r.getAs[String]("community") == lab(r.getAs[String]("word")),
+        s"community of ${r.getAs[String]("word")}")
+    }
+  }
+
   test("Wilson interval matches the closed form and stays inside [0,1]") {
     val rows = Refine.statProportionCi(spark, sf).collect()
     assert(rows.nonEmpty)
