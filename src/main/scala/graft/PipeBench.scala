@@ -43,7 +43,8 @@ object PipeBench {
     "join_asof_forward", "event_sequence_ngrams", "emb_pq",
     "dedup_semantic", "text_classifier_score", "corpus_source_overlap",
     "stat_proportion_ci", "emb_pca_top2", "emb_matryoshka_recall",
-    "text_distinctive_terms", "graph_label_prop")
+    "text_distinctive_terms", "graph_label_prop", "emb_ood_mahalanobis",
+    "privacy_k_anonymity", "event_forecast_ses")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

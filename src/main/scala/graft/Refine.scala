@@ -577,9 +577,11 @@ object Refine {
       val next = votes.withColumn("rn", row_number().over(aw))
         .filter(col("rn") === 1)
         .select(col("src").as("w"), col("lbl").as("nl"))
+      // no per-round checkpoint: the round count is a fixed 3, so the
+      // unrolled plan executes once from the pinned edge table — and
+      // nothing superseded is left pinned in executor storage
       lab = nodes.join(lab, "w").join(next, Seq("w"), "left")
         .select(col("w"), coalesce(col("nl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
     }
     lab.select(col("w").as("word"), col("lbl").as("community"))
       .orderBy("word")
@@ -609,6 +611,127 @@ object Refine {
          |SELECT w AS word, lbl AS community FROM l3 ORDER BY word""".stripMargin
   }
 
+  // ---------- label-conditional OOD scores (diagonal Mahalanobis) ----------
+
+  /** Squared diagonal-Mahalanobis distance of each vector from its OWN
+    * label's distribution — the out-of-distribution score a pipeline
+    * uses to catch mislabeled or corrupted embeddings that global
+    * z-scores miss (a point can sit at the corpus centroid yet be far
+    * from its class). The corpus reduces to a (label × dim) moment table
+    * in one keyed pass; scoring is a broadcast join + per-vector decimal
+    * reduce; the top-10 is a TakeOrdered, never a full sort. */
+  def embOodMahalanobis(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+        col("xf").cast("double").as("x"))
+      .localCheckpoint() // scanned twice: moments + scoring
+    val st = e.groupBy("label", "i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("s1"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("s2"))
+    val mu = col("s1") / col("n")
+    val varc = (col("s2") - col("s1") * col("s1") / col("n")) /
+      (col("n") - 1) + lit(1e-6)
+    e.join(broadcast(st), Seq("label", "i"))
+      .groupBy("vec_id", "label")
+      .agg(sum(((col("x") - mu) * (col("x") - mu) / varc).cast(dec))
+        .cast("double").as("m2"))
+      .orderBy(col("m2").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), col("label"), round(col("m2"), 6).as("m2"))
+  }
+  val embOodMahalanobisSql: String =
+    """WITH e AS (SELECT vec_id, label, i,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS t(i)),
+      |st AS (SELECT label, i, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      |  FROM e GROUP BY label, i)
+      |SELECT vec_id, label, round(m2, 6) AS m2 FROM (
+      |  SELECT e.vec_id, e.label,
+      |    CAST(sum(CAST((e.x - st.s1 / st.n) * (e.x - st.s1 / st.n)
+      |      / ((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1) + 1e-6)
+      |      AS DECIMAL(38,12))) AS DOUBLE) AS m2
+      |  FROM e JOIN st USING (label, i) GROUP BY e.vec_id, e.label)
+      |ORDER BY m2 DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---------- k-anonymity audit ----------
+
+  private val AnonK = 10
+
+  /** k-anonymity over the (lang, source) quasi-identifier pair: any
+    * combination observed on fewer than k documents re-identifies its
+    * members once joined with an auxiliary table keyed the same way.
+    * One map-side keyed reduce to a |lang|×|source|-bounded table; the
+    * release gate reads `at_risk`. */
+  def privacyKAnonymity(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", (col("n") < AnonK).cast("boolean"))
+      .select("lang", "source", "n", "at_risk")
+      .orderBy("lang", "source")
+  }
+  val privacyKAnonymitySql: String =
+    s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       |  count(*) < $AnonK AS at_risk
+       |FROM documents GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+
+  // ---------- simple-exponential-smoothing forecast ----------
+
+  /** One-step SES forecast of tomorrow's per-type daily event count,
+    * α = 0.3. The recursion F_{t+1} = α·y_t + (1−α)·F_t (seeded with
+    * F_1 = y_1) unrolls to an exponentially-weighted sum, so the
+    * forecast is computed in CLOSED FORM from the |type|×|days|-bounded
+    * daily-count table — per-day weights α·(1−α)^(T−t) plus the
+    * (1−α)^(T−1) seed carry — one keyed reduce over the corpus, then
+    * bounded-table math; no sequential scan anywhere. */
+  def eventForecastSes(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // bounded: |type| × |days|
+    // k = observation index from the latest day (gap-proof: the SES
+    // recursion runs over the OBSERVED day sequence, not the calendar)
+    val kw = Window.partitionBy("event_type").orderBy(col("day").desc)
+    val idx = daily.groupBy("event_type").agg(count(lit(1)).as("t"))
+    daily.withColumn("k", row_number().over(kw).cast("long") - 1)
+      .join(idx, "event_type")
+      .withColumn("wt",
+        when(col("k") === col("t") - 1, pow(lit(0.7), col("k")))
+          .otherwise(lit(0.3) * pow(lit(0.7), col("k"))))
+      .groupBy("event_type")
+      .agg(sum((col("y") * col("wt")).cast(DecimalType(38, 12)))
+          .cast("double").as("forecast"),
+        max(when(col("k") === 0, col("y"))).as("last_actual"))
+      .select(col("event_type"), col("last_actual"),
+        round(col("forecast"), 6).as("forecast"))
+      .orderBy("event_type")
+  }
+  val eventForecastSesSql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |ranked AS (SELECT event_type, day, y,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY day DESC) AS BIGINT) - 1 AS k
+      |  FROM daily),
+      |idx AS (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, last_actual, round(forecast, 6) AS forecast
+      |FROM (SELECT r.event_type,
+      |    CAST(sum(CAST(r.y * (CASE WHEN r.k = i.t - 1
+      |      THEN pow(0.7, r.k) ELSE 0.3 * pow(0.7, r.k) END)
+      |      AS DECIMAL(38,12))) AS DOUBLE) AS forecast,
+      |    max(CASE WHEN r.k = 0 THEN r.y END) AS last_actual
+      |  FROM ranked r JOIN idx i USING (event_type)
+      |  GROUP BY r.event_type)
+      |ORDER BY event_type""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -619,7 +742,10 @@ object Refine {
     "emb_pca_top2" -> (embPcaTop2 _),
     "emb_matryoshka_recall" -> (embMatryoshkaRecall _),
     "text_distinctive_terms" -> (textDistinctiveTerms _),
-    "graph_label_prop" -> (graphLabelProp _))
+    "graph_label_prop" -> (graphLabelProp _),
+    "emb_ood_mahalanobis" -> (embOodMahalanobis _),
+    "privacy_k_anonymity" -> (privacyKAnonymity _),
+    "event_forecast_ses" -> (eventForecastSes _))
 
   val oracle: Map[String, String] = Map(
     "dedup_semantic" -> dedupSemanticSql,
@@ -629,5 +755,8 @@ object Refine {
     "emb_pca_top2" -> embPcaTop2Sql,
     "emb_matryoshka_recall" -> embMatryoshkaRecallSql,
     "text_distinctive_terms" -> textDistinctiveTermsSql,
-    "graph_label_prop" -> graphLabelPropSql)
+    "graph_label_prop" -> graphLabelPropSql,
+    "emb_ood_mahalanobis" -> embOodMahalanobisSql,
+    "privacy_k_anonymity" -> privacyKAnonymitySql,
+    "event_forecast_ses" -> eventForecastSesSql)
 }

@@ -244,6 +244,78 @@ class RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("Mahalanobis OOD matches brute-force label-conditional scoring") {
+    val rows = Refine.embOodMahalanobis(spark, sf).collect()
+    val labels = Q.t(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val byLabel = embs.groupBy { case (id, _) => labels(id) }
+    val d = embs.head._2.length
+    val stats = byLabel.map { case (l, vs) =>
+      l -> (0 until d).map { i =>
+        val xs = vs.map(_._2(i))
+        val n = xs.length.toDouble
+        val s1 = xs.map(x => BigDecimal(x)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        val s2 = xs.map(x => BigDecimal(x * x)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        (s1 / n, (s2 - s1 * s1 / n) / (n - 1) + 1e-6)
+      }
+    }
+    val m2 = embs.map { case (id, v) =>
+      val st = stats(labels(id))
+      id -> v.indices.map { i =>
+        val (mu, vr) = st(i)
+        BigDecimal((v(i) - mu) * (v(i) - mu) / vr)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    }.toMap
+    val top = m2.toSeq.sortBy { case (id, s0) => (-s0, id) }.take(10)
+    assert(rows.length == 10)
+    rows.zip(top).foreach { case (r, (id, s0)) =>
+      assert(r.getAs[Long]("vec_id") == id)
+      assert(r.getAs[Int]("label") == labels(id))
+      assert(math.abs(r.getAs[Double]("m2") - s0) < 1e-5)
+    }
+  }
+
+  test("k-anonymity audit matches brute-force group counting") {
+    val rows = Refine.privacyKAnonymity(spark, sf).collect()
+    val docsFull = Q.t(spark, sf, "documents")
+      .select("lang", "source").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+    val counts = docsFull.groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val n = counts((r.getAs[String]("lang"), r.getAs[String]("source")))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Boolean]("at_risk") == (n < 10))
+    }
+  }
+
+  test("SES forecast matches the sequential recursion") {
+    val rows = Refine.eventForecastSes(spark, sf).collect()
+    val events = Q.t(spark, sf, "events")
+      .selectExpr("event_type", "to_date(ts) as day").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day")))
+    val daily = events.groupBy(identity)
+      .map { case ((ty, day), v) => (ty, day.toString, v.length.toLong) }
+      .toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      val ys = daily.filter(_._1 == ty).sortBy(_._2).map(_._3)
+      // sequential SES recursion, F1 = y1 — the ground truth the
+      // closed-form weighted sum must reproduce
+      var f = ys.head.toDouble
+      ys.tail.foreach(y => f = 0.3 * y + 0.7 * f)
+      assert(r.getAs[Long]("last_actual") == ys.last)
+      assert(math.abs(r.getAs[Double]("forecast") - f) < 1e-6,
+        s"SES forecast of $ty")
+    }
+  }
+
   test("Wilson interval matches the closed form and stays inside [0,1]") {
     val rows = Refine.statProportionCi(spark, sf).collect()
     assert(rows.nonEmpty)
