@@ -732,6 +732,114 @@ object Refine {
       |  GROUP BY r.event_type)
       |ORDER BY event_type""".stripMargin
 
+  // ---------- differentially-private released counts ----------
+
+  /** ε-DP noisy per-(lang, source) document counts via the DISCRETE
+    * Laplace (two-sided geometric) mechanism, ε = 1, sensitivity 1 —
+    * the standard release mechanism for integer counting queries, and
+    * deliberately integer-valued here: a continuous-Laplace release
+    * rounded to k decimals invites cross-engine ULP-vs-rounding-boundary
+    * divergence (Java's and DuckDB's ln differ in the last ulp), while
+    * floor() on a magnitude ~1 ulp away from an integer diverges with
+    * probability ~1e-15 per group. The draw derives deterministically
+    * from the group key via the md5-lane construction (u ∈ (0,1) →
+    * inverse CDF; at ε = 1 the geometric log-base is exactly −1, so the
+    * magnitude is floor(−ln(1−2|u−½|))); a production release swaps the
+    * hash-seeded u for a secret-seeded one without touching the plan.
+    * One map-side keyed reduce; everything after is bounded-table math. */
+  def privacyDpCounts(s: SparkSession, d: String): DataFrame = {
+    val u = expr(
+      "(cast(conv(substring(md5(concat(lang, '|', source)), 1, 15), 16, 10) " +
+        "as bigint) % 1000000 + 1) / 1000001.0")
+    t(s, d, "documents").groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u", u)
+      .withColumn("k",
+        (signum(col("u") - 0.5) *
+          floor(-log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5))))
+          .cast("long"))
+      .select(col("lang"), col("source"), col("n"),
+        (col("n") + col("k")).as("released"))
+      .orderBy("lang", "source")
+  }
+  val privacyDpCountsSql: String =
+    """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+      |    ((('0x' || substr(md5(lang || '|' || source), 1, 15))::BIGINT
+      |      % 1000000 + 1) / 1000001.0) AS u
+      |  FROM documents GROUP BY lang, source)
+      |SELECT lang, source, n,
+      |  n + CAST(sign(u - 0.5)
+      |    * floor(-ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT) AS released
+      |FROM g ORDER BY lang, source""".stripMargin
+
+  // ---------- DAU / MAU stickiness ----------
+
+  /** Daily active users with range-wide active-user stickiness: per
+    * day, |distinct users| and its ratio to the distinct users of the
+    * whole window (the DAU/MAU shape on the corpus's 30-day range).
+    * Two distinct-aggregations — per-day (keyed) and global; both
+    * reduce to |days|- and scalar-bounded tables. */
+  def eventDauMau(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val dau = ev.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val mau = ev.agg(countDistinct("user_id").as("mau"))
+    dau.crossJoin(broadcast(mau))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+  val eventDauMauSql: String =
+    """WITH dau AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM events GROUP BY date_trunc('day', ts)),
+      |mau AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM events)
+      |SELECT day, dau, mau,
+      |  round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+      |FROM dau, mau ORDER BY day""".stripMargin
+
+  // ---------- term burstiness (Fano factor) ----------
+
+  /** Burstiness of the 20 most frequent terms: the variance-to-mean
+    * ratio (Fano factor) of per-document occurrence counts across the
+    * documents CONTAINING each term. VMR ≈ 1 is Poisson scatter; higher
+    * means the term clumps into few documents — the signal that
+    * separates topical words from function words. One (doc × term)
+    * count pass, a vocabulary-bounded moment reduce, and a top-20
+    * TakeOrdered. */
+  def textBurstiness(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val tc = t(s, d, "documents")
+      .select(col("doc_id"), explode(expr(
+        "filter(split(trim(text), '\\\\s+'), x -> x != '')")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val st = tc.groupBy("w")
+      .agg(count(lit(1)).as("nd"), sum("c").as("total"),
+        sum((col("c") * col("c")).cast(dec)).cast("double").as("s2"))
+      .filter(col("nd") > 1)
+    val mean = col("total").cast("double") / col("nd")
+    val varc = (col("s2") - col("total").cast("double") * col("total") /
+      col("nd")) / (col("nd") - 1)
+    st.select(col("w").as("term"), col("nd").as("n_docs"), col("total"),
+        round(varc / mean, 6).as("vmr"))
+      .orderBy(col("total").desc, col("term")).limit(20)
+  }
+  val textBurstinessSql: String =
+    raw"""WITH tc AS (SELECT doc_id, t.w, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents,
+         |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+         |      x -> x != '')) AS t(w)
+         |  GROUP BY doc_id, t.w),
+         |st AS (SELECT w, CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(c) AS BIGINT) AS total,
+         |    CAST(sum(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS s2
+         |  FROM tc GROUP BY w HAVING count(*) > 1)
+         |SELECT w AS term, nd AS n_docs, total,
+         |  round(((s2 - CAST(total AS DOUBLE) * total / nd) / (nd - 1))
+         |    / (CAST(total AS DOUBLE) / nd), 6) AS vmr
+         |FROM st ORDER BY total DESC, term LIMIT 20""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -745,7 +853,10 @@ object Refine {
     "graph_label_prop" -> (graphLabelProp _),
     "emb_ood_mahalanobis" -> (embOodMahalanobis _),
     "privacy_k_anonymity" -> (privacyKAnonymity _),
-    "event_forecast_ses" -> (eventForecastSes _))
+    "event_forecast_ses" -> (eventForecastSes _),
+    "privacy_dp_counts" -> (privacyDpCounts _),
+    "event_dau_mau" -> (eventDauMau _),
+    "text_burstiness" -> (textBurstiness _))
 
   val oracle: Map[String, String] = Map(
     "dedup_semantic" -> dedupSemanticSql,
@@ -758,5 +869,8 @@ object Refine {
     "graph_label_prop" -> graphLabelPropSql,
     "emb_ood_mahalanobis" -> embOodMahalanobisSql,
     "privacy_k_anonymity" -> privacyKAnonymitySql,
-    "event_forecast_ses" -> eventForecastSesSql)
+    "event_forecast_ses" -> eventForecastSesSql,
+    "privacy_dp_counts" -> privacyDpCountsSql,
+    "event_dau_mau" -> eventDauMauSql,
+    "text_burstiness" -> textBurstinessSql)
 }

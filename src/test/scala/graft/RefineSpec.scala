@@ -316,6 +316,67 @@ class RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("discrete-Laplace release matches the geometric inverse CDF") {
+    val rows = Refine.privacyDpCounts(spark, sf).collect()
+    val counts = docs.groupBy { case (_, _, src) => src }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getAs[String]("lang") + "|" + r.getAs[String]("source")
+      val lane = java.lang.Long.parseLong(md5Hex(key).take(15), 16)
+      val u = (lane % 1000000L + 1).toDouble / 1000001.0
+      val k = (math.signum(u - 0.5) *
+        math.floor(-math.log(1.0 - 2.0 * math.abs(u - 0.5)))).toLong
+      assert(r.getAs[Long]("released") == r.getAs[Long]("n") + k,
+        s"release of $key")
+    }
+    // the mechanism actually perturbs: at least one group moves
+    assert(rows.exists(r => r.getAs[Long]("released") != r.getAs[Long]("n")))
+    assert(counts.nonEmpty) // docs fixture is loaded
+  }
+
+  test("DAU/MAU matches brute-force distinct-user counting") {
+    val rows = Refine.eventDauMau(spark, sf).collect()
+    val ev = Q.t(spark, sf, "events")
+      .selectExpr("cast(date_trunc('day', ts) as string) as day", "user_id")
+      .collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("user_id")))
+    val mau = ev.map(_._2).distinct.length.toLong
+    val dau = ev.groupBy(_._1)
+      .map { case (d0, v) => d0 -> v.map(_._2).distinct.length.toLong }
+    assert(rows.length == dau.size)
+    rows.foreach { r =>
+      val d0 = r.getAs[java.sql.Timestamp]("day").toLocalDateTime
+        .toLocalDate.toString + " 00:00:00"
+      assert(r.getAs[Long]("dau") == dau(d0), s"dau of $d0")
+      assert(r.getAs[Long]("mau") == mau)
+      assert(math.abs(r.getAs[Double]("stickiness") -
+        dau(d0).toDouble / mau) < 1e-6)
+    }
+  }
+
+  test("burstiness matches brute-force Fano factors") {
+    val rows = Refine.textBurstiness(spark, sf).collect()
+    val tc = docs.flatMap { case (id, text, _) =>
+      text.trim.split("\\s+").filter(_.nonEmpty).map(w => (id, w))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val byTerm = tc.groupBy(_._1._2)
+    val stats = byTerm.collect { case (w, m) if m.size > 1 =>
+      val cs = m.values.map(_.toDouble).toSeq
+      val n = cs.length.toDouble
+      val mean = cs.sum / n
+      val varc = cs.map(c => (c - mean) * (c - mean)).sum / (n - 1)
+      w -> (m.size.toLong, cs.sum.toLong, varc / mean)
+    }
+    val top = stats.toSeq.sortBy { case (w, (_, tot, _)) => (-tot, w) }.take(20)
+    assert(rows.length == math.min(20, stats.size))
+    rows.zip(top).foreach { case (r, (w, (nd, tot, vmr))) =>
+      assert(r.getAs[String]("term") == w)
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("total") == tot)
+      assert(math.abs(r.getAs[Double]("vmr") - vmr) < 1e-5, s"vmr of $w")
+    }
+  }
+
   test("Wilson interval matches the closed form and stays inside [0,1]") {
     val rows = Refine.statProportionCi(spark, sf).collect()
     assert(rows.nonEmpty)
