@@ -44,7 +44,9 @@ object PipeBench {
     "dedup_semantic", "text_classifier_score", "corpus_source_overlap",
     "stat_proportion_ci", "emb_pca_top2", "emb_matryoshka_recall",
     "text_distinctive_terms", "graph_label_prop", "emb_ood_mahalanobis",
-    "privacy_k_anonymity", "event_forecast_ses")
+    "privacy_k_anonymity", "event_forecast_ses", "privacy_dp_counts",
+    "event_dau_mau", "text_burstiness", "stat_tukey_hsd",
+    "event_funnel_time", "stat_ljung_box")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

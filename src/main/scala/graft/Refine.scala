@@ -840,6 +840,176 @@ object Refine {
          |    / (CAST(total AS DOUBLE) / nd), 6) AS vmr
          |FROM st ORDER BY total DESC, term LIMIT 20""".stripMargin
 
+  // ---------- Tukey HSD post-hoc pairwise comparisons ----------
+
+  /** Tukey's honestly-significant-difference test over every source
+    * pair's mean document length — the post-hoc step after `stat_anova`
+    * says "some source differs" (190 uncorrected t-tests would inflate
+    * family-wise error; the studentized-range critical value is the
+    * published fix). The corpus reduces to per-source moment triples in
+    * one keyed pass; all 190 comparisons are bounded-table math. The
+    * critical value 5.01 is the α=0.05, k=20, df=∞ studentized-range
+    * constant (public tables). */
+  def statTukeyHsd(s: SparkSession, d: String): DataFrame = {
+    val m = t(s, d, "documents").groupBy("source")
+      .agg(count(lit(1)).as("nj"), sum("n_chars").as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .localCheckpoint() // |sources|-bounded, read for MSW + both sides
+    val tot = m.agg(sum("nj").as("n"), count(lit(1)).as("k"),
+      sum("s2").cast("double").as("gs2"),
+      sum((col("s1").cast("double") * col("s1") / col("nj"))
+        .cast(DecimalType(38, 12))).cast("double").as("sb"))
+    val msw = (col("gs2") - col("sb")) / (col("n") - col("k"))
+    val a = m.select(col("source").as("src_a"), col("nj").as("na"),
+      (col("s1").cast("double") / col("nj")).as("ma"))
+    val b = m.select(col("source").as("src_b"), col("nj").as("nb"),
+      (col("s1").cast("double") / col("nj")).as("mb"))
+    a.join(b, col("src_a") < col("src_b")).crossJoin(broadcast(tot))
+      .withColumn("q", abs(col("ma") - col("mb")) /
+        sqrt((msw / 2) * (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+      .select(col("src_a"), col("src_b"),
+        round(col("ma") - col("mb"), 6).as("mean_diff"),
+        round(col("q"), 6).as("q_stat"),
+        (col("q") > 5.01).cast("boolean").as("significant"))
+      .orderBy("src_a", "src_b")
+  }
+  val statTukeyHsdSql: String =
+    """WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS nj,
+      |    CAST(sum(n_chars) AS BIGINT) AS s1,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(s2) AS DOUBLE) AS gs2,
+      |    CAST(sum(CAST(CAST(s1 AS DOUBLE) * s1 / nj AS DECIMAL(38,12)))
+      |      AS DOUBLE) AS sb FROM m)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  round(CAST(a.s1 AS DOUBLE) / a.nj - CAST(b.s1 AS DOUBLE) / b.nj, 6)
+      |    AS mean_diff,
+      |  round(abs(CAST(a.s1 AS DOUBLE) / a.nj - CAST(b.s1 AS DOUBLE) / b.nj)
+      |    / sqrt(((tot.gs2 - tot.sb) / (tot.n - tot.k) / 2)
+      |      * (1.0 / a.nj + 1.0 / b.nj)), 6) AS q_stat,
+      |  abs(CAST(a.s1 AS DOUBLE) / a.nj - CAST(b.s1 AS DOUBLE) / b.nj)
+      |    / sqrt(((tot.gs2 - tot.sb) / (tot.n - tot.k) / 2)
+      |      * (1.0 / a.nj + 1.0 / b.nj)) > 5.01 AS significant
+      |FROM m a JOIN m b ON a.source < b.source CROSS JOIN tot
+      |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------- funnel conversion timing ----------
+
+  /** Time-to-convert through the view → purchase funnel: per user, the
+    * gap between the first view and the first purchase AFTER it, with
+    * exact quartiles over converted users. Two per-user keyed firsts
+    * (map-side partial min), one user-bounded join, quartiles on the
+    * converted-user table — corpus touched exactly once. */
+  def eventFunnelTime(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+      col("ts").cast("long").as("sec"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("v"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("sec") > col("v"))
+      .groupBy("user_id").agg((min("sec") - min("v")).as("gap"))
+    firstView.agg(count(lit(1)).as("n_viewers")).crossJoin(
+      conv.agg(count(lit(1)).as("n_converted"),
+        expr("percentile(gap, 0.25)").as("p25"),
+        expr("percentile(gap, 0.5)").as("p50"),
+        expr("percentile(gap, 0.75)").as("p75")))
+      .select(col("n_viewers"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_viewers"), 6)
+          .as("conversion"),
+        round(col("p25"), 6).as("p25_sec"),
+        round(col("p50"), 6).as("median_sec"),
+        round(col("p75"), 6).as("p75_sec"))
+  }
+  val eventFunnelTimeSql: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |fv AS (SELECT user_id, min(sec) AS v FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |conv AS (SELECT e.user_id, min(e.sec) - min(f.v) AS gap
+      |  FROM ev e JOIN fv f USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.sec > f.v
+      |  GROUP BY e.user_id),
+      |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM fv),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |    quantile_cont(gap, 0.25) AS p25,
+      |    quantile_cont(gap, 0.5) AS p50,
+      |    quantile_cont(gap, 0.75) AS p75 FROM conv)
+      |SELECT n_viewers, n_converted,
+      |  round(CAST(n_converted AS DOUBLE) / n_viewers, 6) AS conversion,
+      |  round(p25, 6) AS p25_sec, round(p50, 6) AS median_sec,
+      |  round(p75, 6) AS p75_sec
+      |FROM nv, agg""".stripMargin
+
+  // ---------- Ljung–Box autocorrelation test ----------
+
+  private val LbLags = 10
+
+  /** Ljung–Box Q over the hourly event-count series (lags 1–10):
+    * Q = n(n+2)·Σ ρ̂ₖ²/(n−k), rejecting white noise when Q exceeds the
+    * χ²₁₀ 95% critical value 18.307. The series is |hours|-bounded after
+    * one keyed reduce; the lagged joins run on that bounded table, so
+    * nothing after the first aggregation scales with the corpus. */
+  def statLjungBox(s: SparkSession, d: String): DataFrame = {
+    val series = t(s, d, "events")
+      .groupBy(expr("unix_seconds(date_trunc('HOUR', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // |hours|-bounded
+    val g = series.agg(sum(col("x")).as("sx"),
+      sum(expr("x * x")).as("sxx"), count(lit(1)).as("n"))
+    val lags = s.range(1, LbLags + 1).select(col("id").as("k"))
+    val b = series.select(col("h").as("bh"), col("x").as("bx"))
+    val m = col("sx").cast("double") / col("n")
+    val rho = series.crossJoin(broadcast(lags))
+      .join(b, col("bh") === col("h") - col("k"))
+      .groupBy(col("k"))
+      .agg(sum(expr("x * bx")).as("axy"), sum(col("x")).as("bxs"),
+        sum(col("bx")).as("cxs"), count(lit(1)).as("np"))
+      .crossJoin(broadcast(g))
+      .select(col("k"), col("n"),
+        ((col("axy") - m * (col("bxs") + col("cxs")) + col("np") * m * m) /
+          (col("sxx") - col("n") * m * m)).as("r"))
+    rho.select(col("n"),
+        ((col("r") * col("r")) / (col("n") - col("k")))
+          .cast(DecimalType(38, 12)).as("term"))
+      .groupBy("n")
+      .agg(sum("term").cast("double").as("srho"))
+      .select(col("n").cast("long").as("n"),
+        round(col("n") * (col("n") + 2) * col("srho"), 6).as("q_stat"),
+        (col("n").cast("double") * (col("n") + 2) * col("srho") > 18.307)
+          .cast("boolean").as("reject_white_noise"))
+  }
+  val statLjungBoxSql: String =
+    s"""WITH series AS (
+       |  SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |g AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(count(*) AS BIGINT) AS n FROM series),
+       |lags AS (SELECT unnest(range(1, ${LbLags + 1})) AS k),
+       |rho AS (
+       |  SELECT l.k, g.n,
+       |    (CAST(sum(a.x * b.x) AS BIGINT)
+       |      - (CAST(g.sx AS DOUBLE) / g.n)
+       |        * (CAST(sum(a.x) AS BIGINT) + CAST(sum(b.x) AS BIGINT))
+       |      + CAST(count(*) AS BIGINT) * (CAST(g.sx AS DOUBLE) / g.n)
+       |        * (CAST(g.sx AS DOUBLE) / g.n))
+       |    / (g.sxx - g.n * (CAST(g.sx AS DOUBLE) / g.n)
+       |        * (CAST(g.sx AS DOUBLE) / g.n)) AS r
+       |  FROM lags l JOIN series a ON TRUE
+       |  JOIN series b ON b.h = a.h - l.k
+       |  CROSS JOIN g
+       |  GROUP BY l.k, g.n, g.sx, g.sxx)
+       |SELECT n, round(n * (n + 2) * srho, 6) AS q_stat,
+       |  CAST(n AS DOUBLE) * (n + 2) * srho > 18.307 AS reject_white_noise
+       |FROM (SELECT n,
+       |    CAST(sum(CAST(r * r / (n - k) AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS srho
+       |  FROM rho GROUP BY n)""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -856,7 +1026,10 @@ object Refine {
     "event_forecast_ses" -> (eventForecastSes _),
     "privacy_dp_counts" -> (privacyDpCounts _),
     "event_dau_mau" -> (eventDauMau _),
-    "text_burstiness" -> (textBurstiness _))
+    "text_burstiness" -> (textBurstiness _),
+    "stat_tukey_hsd" -> (statTukeyHsd _),
+    "event_funnel_time" -> (eventFunnelTime _),
+    "stat_ljung_box" -> (statLjungBox _))
 
   val oracle: Map[String, String] = Map(
     "dedup_semantic" -> dedupSemanticSql,
@@ -872,5 +1045,8 @@ object Refine {
     "event_forecast_ses" -> eventForecastSesSql,
     "privacy_dp_counts" -> privacyDpCountsSql,
     "event_dau_mau" -> eventDauMauSql,
-    "text_burstiness" -> textBurstinessSql)
+    "text_burstiness" -> textBurstinessSql,
+    "stat_tukey_hsd" -> statTukeyHsdSql,
+    "event_funnel_time" -> eventFunnelTimeSql,
+    "stat_ljung_box" -> statLjungBoxSql)
 }

@@ -377,6 +377,92 @@ class RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("Tukey HSD matches brute-force studentized-range comparisons") {
+    val rows = Refine.statTukeyHsd(spark, sf).collect()
+    val lens = Q.t(spark, sf, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val by = lens.groupBy(_._1).map { case (s0, v) => s0 -> v.map(_._2) }
+    val n = lens.length.toDouble; val k = by.size.toDouble
+    val sb = by.values.map { xs =>
+      val s1 = xs.sum.toDouble; s1 * s1 / xs.length
+    }.sum
+    val gs2 = lens.map { case (_, x) => x.toDouble * x }.sum
+    val msw = (gs2 - sb) / (n - k)
+    val srcs = by.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+      ma = by(a).sum.toDouble / by(a).length
+      mb = by(b).sum.toDouble / by(b).length
+      q = math.abs(ma - mb) / math.sqrt(
+        (msw / 2) * (1.0 / by(a).length + 1.0 / by(b).length))
+    } yield (a, b) -> (ma - mb, q)).toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val (md, q) = expected(key)
+      assert(math.abs(r.getAs[Double]("mean_diff") - md) < 1e-5)
+      assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-5)
+      assert(r.getAs[Boolean]("significant") == (q > 5.01))
+    }
+  }
+
+  test("funnel timing matches brute-force first-view-to-purchase gaps") {
+    val rows = Refine.eventFunnelTime(spark, sf).collect()
+    val ev = Q.t(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "cast(ts as long) as sec")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("sec")))
+    val fv = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, v) => u -> v.map(_._3).min }
+    val gaps = ev.filter(_._2 == "purchase")
+      .filter { case (u, _, s0) => fv.get(u).exists(s0 > _) }
+      .groupBy(_._1)
+      .map { case (u, v) => v.map(_._3).min - fv(u) }
+      .toSeq.map(_.toDouble).sorted
+    def pct(p: Double): Double = {
+      val pos = p * (gaps.length - 1)
+      val lo = pos.toInt
+      if (lo == gaps.length - 1) gaps(lo)
+      else gaps(lo) + (pos - lo) * (gaps(lo + 1) - gaps(lo))
+    }
+    val r = rows.head
+    assert(r.getAs[Long]("n_viewers") == fv.size)
+    assert(r.getAs[Long]("n_converted") == gaps.length)
+    assert(math.abs(r.getAs[Double]("median_sec") - pct(0.5)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p25_sec") - pct(0.25)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p75_sec") - pct(0.75)) < 1e-6)
+  }
+
+  test("Ljung-Box Q matches brute-force autocorrelation accumulation") {
+    val rows = Refine.statLjungBox(spark, sf).collect()
+    val hours = Q.t(spark, sf, "events")
+      .selectExpr("unix_seconds(date_trunc('HOUR', ts)) div 3600 as h")
+      .collect().map(_.getAs[Long]("h"))
+    val counts = hours.groupBy(identity)
+      .map { case (h, v) => h -> v.length.toLong }
+    val n = counts.size.toDouble
+    val mean = counts.values.sum / n
+    val denom = counts.values.map(x => x.toDouble * x).sum - n * mean * mean
+    val srho = (1 to 10).map { k =>
+      val pairs = counts.toSeq.flatMap { case (h, x) =>
+        counts.get(h - k).map(bx => (x.toDouble, bx.toDouble))
+      }
+      val num = pairs.map { case (x, bx) => x * bx }.sum -
+        mean * (pairs.map(_._1).sum + pairs.map(_._2).sum) +
+        pairs.length * mean * mean
+      val r = num / denom
+      BigDecimal(r * r / (n - k))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val q = n * (n + 2) * srho
+    val r = rows.head
+    assert(r.getAs[Long]("n") == counts.size)
+    assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-4, s"Q: $q")
+    assert(r.getAs[Boolean]("reject_white_noise") == (q > 18.307))
+  }
+
   test("Wilson interval matches the closed form and stays inside [0,1]") {
     val rows = Refine.statProportionCi(spark, sf).collect()
     assert(rows.nonEmpty)
