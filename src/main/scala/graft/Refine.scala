@@ -1010,6 +1010,88 @@ object Refine {
        |      AS srho
        |  FROM rho GROUP BY n)""".stripMargin
 
+  // ---------- skew-safe salted join ----------
+
+  /** Per-language above-average share computed through [[Q.saltedJoin]]
+    * — the hot-key mitigation exercised end-to-end: `lang` is genuinely
+    * skewed (one language carries ~40% of the corpus), so the big side
+    * spreads each language over 8 content-derived sub-keys and the
+    * 5-row dim replicates ×8; no reducer ever receives a whole hot key,
+    * and the result is IDENTICAL to the plain join the oracle runs.
+    * At 100 TB this is the fallback when AQE's skew splitting can't
+    * break a single hot key inside one partition. */
+  def joinSaltedSkew(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+    val dim = docs.groupBy("lang")
+      .agg((sum("n_chars").cast("double") / count(lit(1))).as("lang_avg"))
+    saltedJoin(docs, dim, "lang", 8)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") > col("lang_avg"), 1L).otherwise(0L))
+          .as("above_avg"))
+      .select(col("lang"), col("n"), col("above_avg"),
+        round(col("above_avg").cast("double") / col("n"), 6).as("share"))
+      .orderBy("lang")
+  }
+  val joinSaltedSkewSql: String =
+    """WITH dim AS (SELECT lang,
+      |    CAST(sum(n_chars) AS DOUBLE) / count(*) AS lang_avg
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN d.n_chars > dim.lang_avg THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS above_avg,
+      |  round(CAST(sum(CASE WHEN d.n_chars > dim.lang_avg THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS share
+      |FROM documents d JOIN dim USING (lang)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---------- bot-likeness detection ----------
+
+  /** Inter-arrival regularity per user: humans arrive bursty (CV ≈ 1 or
+    * above, exponential-ish), scripted traffic arrives metronomically
+    * (CV ≪ 1). Flags users with ≥ 10 gaps whose coefficient of
+    * variation is below 0.3. Per-user gaps come from one user-
+    * partitioned lag window (parallel across users); the moment reduce
+    * is map-side; output is user-bounded. */
+  def eventBotsDetect(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val gaps = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+      .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+      .filter(col("gap").isNotNull)
+    val st = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("gap").as("s1"),
+        sum((col("gap") * col("gap")).cast(DecimalType(38, 12)))
+          .cast("double").as("s2"))
+      .filter(col("n") >= 10)
+    val mean = col("s1").cast("double") / col("n")
+    val sd = sqrt((col("s2") - col("s1").cast("double") * col("s1") /
+      col("n")) / (col("n") - 1))
+    st.select(col("user_id"), col("n").as("n_gaps"),
+        round(mean, 6).as("mean_gap_sec"),
+        round(sd / mean, 6).as("cv"),
+        (sd / mean < 0.3).cast("boolean").as("bot_like"))
+      .orderBy("user_id")
+  }
+  val eventBotsDetectSql: String =
+    """WITH g AS (SELECT user_id,
+      |    sec - lag(sec) OVER (PARTITION BY user_id
+      |      ORDER BY sec, event_id) AS gap
+      |  FROM (SELECT user_id, event_id,
+      |      CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)),
+      |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(gap) AS BIGINT) AS s1,
+      |    CAST(sum(CAST(gap * gap AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+      |  HAVING count(*) >= 10)
+      |SELECT user_id, n AS n_gaps,
+      |  round(CAST(s1 AS DOUBLE) / n, 6) AS mean_gap_sec,
+      |  round(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+      |    / (CAST(s1 AS DOUBLE) / n), 6) AS cv,
+      |  sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+      |    / (CAST(s1 AS DOUBLE) / n) < 0.3 AS bot_like
+      |FROM st ORDER BY user_id""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1029,7 +1111,9 @@ object Refine {
     "text_burstiness" -> (textBurstiness _),
     "stat_tukey_hsd" -> (statTukeyHsd _),
     "event_funnel_time" -> (eventFunnelTime _),
-    "stat_ljung_box" -> (statLjungBox _))
+    "stat_ljung_box" -> (statLjungBox _),
+    "join_salted_skew" -> (joinSaltedSkew _),
+    "event_bots_detect" -> (eventBotsDetect _))
 
   val oracle: Map[String, String] = Map(
     "dedup_semantic" -> dedupSemanticSql,
@@ -1048,5 +1132,7 @@ object Refine {
     "text_burstiness" -> textBurstinessSql,
     "stat_tukey_hsd" -> statTukeyHsdSql,
     "event_funnel_time" -> eventFunnelTimeSql,
-    "stat_ljung_box" -> statLjungBoxSql)
+    "stat_ljung_box" -> statLjungBoxSql,
+    "join_salted_skew" -> joinSaltedSkewSql,
+    "event_bots_detect" -> eventBotsDetectSql)
 }

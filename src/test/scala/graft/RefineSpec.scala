@@ -463,6 +463,61 @@ class RefineSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("reject_white_noise") == (q > 18.307))
   }
 
+  test("salted join equals the plain join result") {
+    val salted = Refine.joinSaltedSkew(spark, sf).collect()
+    val lens = docs.map { case (id, text, _) => (id, text) }
+    assert(lens.nonEmpty) // docs fixture loaded
+    val plain = {
+      val d0 = Q.t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+      val dim = d0.groupBy("lang").agg(
+        (org.apache.spark.sql.functions.sum("n_chars").cast("double") /
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).as("lang_avg"))
+      d0.join(dim, "lang")
+    }.collect().groupBy(_.getAs[String]("lang"))
+    salted.foreach { r =>
+      val rows = plain(r.getAs[String]("lang"))
+      val above = rows.count(x =>
+        x.getAs[Long]("n_chars") > x.getAs[Double]("lang_avg"))
+      assert(r.getAs[Long]("n") == rows.length)
+      assert(r.getAs[Long]("above_avg") == above)
+    }
+    // the salted plan actually salts: its physical plan joins on __salt
+    val plan = Refine.joinSaltedSkew(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), "salt column absent from the plan")
+  }
+
+  test("bot detection matches brute-force interarrival CV") {
+    val rows = Refine.eventBotsDetect(spark, sf).collect()
+    val ev = Q.t(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "cast(ts as long) as sec")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("sec")))
+    val expected = ev.groupBy(_._1).flatMap { case (u, v) =>
+      val sorted = v.sortBy(x => (x._3, x._2)).map(_._3)
+      val gaps = sorted.zip(sorted.tail).map { case (a, b) => b - a }
+      if (gaps.length < 10) None
+      else {
+        val n = gaps.length.toDouble
+        val mean = gaps.sum / n
+        val s2 = gaps.map(g => BigDecimal(g.toDouble * g)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        val sd = math.sqrt((s2 - gaps.sum.toDouble * gaps.sum / n) / (n - 1))
+        Some(u -> (gaps.length.toLong, mean, sd / mean))
+      }
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, mean, cv) = expected(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_gaps") == n)
+      assert(math.abs(r.getAs[Double]("mean_gap_sec") - mean) < 1e-5)
+      assert(math.abs(r.getAs[Double]("cv") - cv) < 1e-5)
+      assert(r.getAs[Boolean]("bot_like") == (cv < 0.3))
+    }
+  }
+
   test("Wilson interval matches the closed form and stays inside [0,1]") {
     val rows = Refine.statProportionCi(spark, sf).collect()
     assert(rows.nonEmpty)
