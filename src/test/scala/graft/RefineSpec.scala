@@ -518,6 +518,29 @@ class RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("plan audit: no cartesian products; broadcasts where expected") {
+    // semantic dedup: seed assignment broadcasts, pair stage is an
+    // equi-join on cid — never a cartesian
+    val sem = Refine.dedupSemantic(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!sem.contains("CartesianProduct"), "dedup_semantic cartesian")
+    assert(sem.contains("BroadcastHashJoin"), "dedup_semantic broadcast")
+    // OOD scoring: the moment table joins broadcast, the reduce is keyed
+    val ood = Refine.embOodMahalanobis(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ood.contains("CartesianProduct"), "ood cartesian")
+    assert(ood.contains("BroadcastHashJoin"), "ood broadcast")
+    // source overlap: gram self-join must be a hash/merge equi-join
+    val ov = Refine.corpusSourceOverlap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ov.contains("CartesianProduct") &&
+      !ov.contains("BroadcastNestedLoopJoin"), "overlap non-equi join")
+    // classifier score: single aggregation, no join at all
+    val cls = Refine.textClassifierScore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!cls.contains("Join"), "classifier should be join-free")
+  }
+
   test("Wilson interval matches the closed form and stays inside [0,1]") {
     val rows = Refine.statProportionCi(spark, sf).collect()
     assert(rows.nonEmpty)
