@@ -3519,16 +3519,26 @@ object Pipeline {
         col("band") === col("b2") && col("bh") === col("h2") &&
           col("r1") < col("r2"))
       .select("th1", "th2").distinct() // verify once per content pair
+    // verification intersects one 64-bit hash per distinct shingle
+    // instead of joining exploded shingle STRINGS: the explode
+    // replicated each rep's ~1000 shingles once per candidate pair it
+    // appears in. |intersect| equals the string-set count absent an
+    // xxhash64 collision within a pair's shingles (P ≈ 2⁻⁴⁴ per pair) —
+    // the banding hash's own determinism argument, gate-checked.
+    // Zero-overlap candidates are filtered to match the previous
+    // inner-join-then-count semantics (and the oracle's).
     val repStats = repDocs
-      .select(col("th"), size(shArr).cast("long").as("nsh"))
+      .select(col("th"), transform(shArr, x => xxhash64(x)).as("hsh"))
+      .withColumn("nsh", size(col("hsh")).cast("long"))
       .localCheckpoint() // joined by three consumers below
-    val sh = repDocs.select(col("th"), explode(shArr).as("sg"))
     val repVerify = repCand
-      .join(sh.select(col("th").as("th1"), col("sg")), Seq("th1"))
-      .join(sh.select(col("th").as("th2"), col("sg")), Seq("th2", "sg"))
-      .groupBy("th1", "th2").agg(count(lit(1)).as("n_shared"))
-      .join(repStats.select(col("th").as("th1"), col("nsh").as("nsh1")), "th1")
-      .join(repStats.select(col("th").as("th2"), col("nsh").as("nsh2")), "th2")
+      .join(repStats.select(col("th").as("th1"), col("hsh").as("h1"),
+        col("nsh").as("nsh1")), "th1")
+      .join(repStats.select(col("th").as("th2"), col("hsh").as("h2"),
+        col("nsh").as("nsh2")), "th2")
+      .withColumn("n_shared",
+        size(array_intersect(col("h1"), col("h2"))).cast("long"))
+      .filter(col("n_shared") > 0)
       .select(col("th1"), col("th2"), col("n_shared"),
         round(col("n_shared").cast("double") /
           least(col("nsh1"), col("nsh2")), 6).as("containment"))
