@@ -46,7 +46,8 @@ object PipeBench {
     "text_distinctive_terms", "graph_label_prop", "emb_ood_mahalanobis",
     "privacy_k_anonymity", "event_forecast_ses", "privacy_dp_counts",
     "event_dau_mau", "text_burstiness", "stat_tukey_hsd",
-    "event_funnel_time", "stat_ljung_box", "join_salted_skew", "event_bots_detect")
+    "event_funnel_time", "stat_ljung_box", "join_salted_skew", "event_bots_detect", "mm_chunk_manifest",
+    "graph_jaccard_neighbors", "event_anomaly_esd")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1092,6 +1092,170 @@ object Refine {
       |    / (CAST(s1 AS DOUBLE) / n) < 0.3 AS bot_like
       |FROM st ORDER BY user_id""".stripMargin
 
+  // ---------- binary chunk manifest (content-addressable store) ----------
+
+  private val ChunkBytes = 256
+
+  /** Fixed-size chunk manifest over the opaque binary payload column —
+    * the write-side plumbing of a content-addressable blob store (each
+    * multimodal payload becomes (chunk_idx, bytes, md5) rows; dedup and
+    * retrieval key on the digest). Pure expression work: substring on
+    * binary + per-chunk md5, exploded map-side — no UDF, no shuffle
+    * before the final order. The 256-byte chunk size is test-scaled;
+    * production uses MBs with the identical plan. */
+  def mmChunkManifest(s: SparkSession, d: String): DataFrame = {
+    // chunk boundaries are CHARACTER offsets (DuckDB cannot slice
+    // BLOBs) — lengths and digests are still byte-level via the binary
+    // cast of each chunk, identical in both engines
+    t(s, d, "documents")
+      .filter(col("doc_id") < 50) // bounded output; plumbing is the point
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("total_bytes"),
+        posexplode(expr(
+          s"""transform(sequence(0, int(ceil(length(text) / ${ChunkBytes}D)) - 1),
+             |  c -> substring(text, c * $ChunkBytes + 1, $ChunkBytes))"""
+            .stripMargin)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("total_bytes"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        length(col("chunk").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("chunk").cast("binary")).as("digest"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+  val mmChunkManifestSql: String =
+    s"""WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id < 50)
+       |SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+       |    AS total_bytes,
+       |  CAST(c AS BIGINT) AS chunk_idx,
+       |  CAST(octet_length(encode(substring(text, c * $ChunkBytes + 1,
+       |    $ChunkBytes))) AS BIGINT) AS n_bytes,
+       |  md5(substring(text, c * $ChunkBytes + 1, $ChunkBytes)) AS digest
+       |FROM p, unnest(generate_series(0,
+       |  CAST(ceil(length(text) / ${ChunkBytes}.0) AS INT) - 1)) AS t(c)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------- neighbor-overlap link prediction ----------
+
+  /** Neighbor-set Jaccard between word pairs of the co-occurrence graph
+    * — the classic link-prediction / synonym-candidate baseline: two
+    * words whose neighborhoods overlap heavily are substitutable even
+    * if they never co-occur. Adjacency reduces to vocabulary-bounded
+    * distinct edges; candidate pairs only ever meet through the shared-
+    * neighbor wedge join (never all-pairs); top-20 by Jaccard with a
+    * lexicographic tie-break. */
+  def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "documents")
+      .select(expr("split(trim(text), '\\\\s+')").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val adj = pairs.union(pairs.select(col("dst"), col("src")))
+      .toDF("w", "nbr").filter(col("w") =!= col("nbr")).distinct()
+      .localCheckpoint() // vocabulary²-bounded
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    val shared = adj.select(col("w").as("wa"), col("nbr"))
+      .join(adj.select(col("w").as("wb"), col("nbr")), "nbr")
+      .filter(col("wa") < col("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("shared"))
+    shared
+      .join(deg.select(col("w").as("wa"), col("deg").as("da")), "wa")
+      .join(deg.select(col("w").as("wb"), col("deg").as("db")), "wb")
+      .select(col("wa"), col("wb"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("da") + col("db") - col("shared")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("wa"), col("wb")).limit(20)
+  }
+  val graphJaccardNeighborsSql: String =
+    raw"""WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+         |  FROM documents),
+         |pairs AS (SELECT ws[i] AS src, ws[i + 1] AS dst
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM ws)),
+         |adj AS (SELECT DISTINCT w, nbr FROM (
+         |    SELECT src AS w, dst AS nbr FROM pairs
+         |    UNION ALL SELECT dst, src FROM pairs)
+         |  WHERE w <> nbr),
+         |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg
+         |  FROM adj GROUP BY w),
+         |shared AS (SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT)
+         |    AS shared
+         |  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.w < b.w
+         |  GROUP BY a.w, b.w)
+         |SELECT wa, wb, shared,
+         |  round(CAST(shared AS DOUBLE) / (da.deg + db.deg - shared), 6)
+         |    AS jaccard
+         |FROM shared
+         |JOIN deg da ON da.w = wa JOIN deg db ON db.w = wb
+         |ORDER BY jaccard DESC, wa, wb LIMIT 20""".stripMargin
+
+  // ---------- generalized-ESD (Rosner) anomalous days ----------
+
+  /** Three rounds of Rosner's generalized ESD over the daily event-count
+    * series: each round removes the most extreme remaining day (max
+    * |y−mean|/sd, ties to the earliest day) and re-estimates the
+    * moments WITHOUT it — the re-estimation is what lets ESD catch
+    * multiple outliers that mask each other under a single z-pass
+    * (`event_outliers`' shape). The corpus reduces to the |days|-bounded
+    * daily table in one keyed pass; the three rounds are bounded-table
+    * math (flagging uses a fixed 2.8 threshold rather than the
+    * t-quantile λᵣ ladder — the distributed shape is identical). */
+  def eventAnomalyEsd(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // |days|-bounded
+    def rnd(tbl: DataFrame, r: Int): (DataFrame, DataFrame) = {
+      val st = tbl.agg(count(lit(1)).as("n"), sum("y").as("s1"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 12)))
+          .cast("double").as("s2"))
+      val mean = col("s1").cast("double") / col("n")
+      val sd = sqrt((col("s2") - col("s1").cast("double") * col("s1") /
+        col("n")) / (col("n") - 1))
+      val cand = tbl.crossJoin(broadcast(st))
+        .withColumn("r_stat", abs(col("y") - mean) / sd)
+        .orderBy(col("r_stat").desc, col("day")).limit(1)
+        .select(lit(r).as("round"), col("day"), col("y").as("value"),
+          col("r_stat"))
+        .localCheckpoint() // 1 row; read for output + removal
+      val rest = tbl.join(cand.select(col("day")), Seq("day"), "left_anti")
+      (cand, rest)
+    }
+    val (c1, t1) = rnd(daily, 1)
+    val (c2, t2) = rnd(t1, 2)
+    val (c3, _) = rnd(t2, 3)
+    c1.unionByName(c2).unionByName(c3)
+      .select(col("round"), col("day"), col("value"),
+        round(col("r_stat"), 6).as("r_stat"),
+        (col("r_stat") > 2.8).cast("boolean").as("flagged"))
+      .orderBy("round")
+  }
+  val eventAnomalyEsdSql: String = {
+    def rnd(n: Int, prev: String): String =
+      s"""st$n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS s1,
+         |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS s2
+         |  FROM $prev),
+         |c$n AS MATERIALIZED (SELECT $n AS round, day, y AS value,
+         |    abs(y - CAST(s1 AS DOUBLE) / n)
+         |      / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS r_stat
+         |  FROM $prev, st$n
+         |  ORDER BY r_stat DESC, day LIMIT 1),
+         |t$n AS MATERIALIZED (SELECT p.day, p.y FROM $prev p
+         |  WHERE p.day NOT IN (SELECT day FROM c$n))""".stripMargin
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY date_trunc('day', ts)),
+       |${rnd(1, "daily")},
+       |${rnd(2, "t1")},
+       |${rnd(3, "t2")}
+       |SELECT round, day, value, round(r_stat, 6) AS r_stat,
+       |  r_stat > 2.8 AS flagged
+       |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+       |      UNION ALL SELECT * FROM c3)
+       |ORDER BY round""".stripMargin
+  }
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1113,7 +1277,10 @@ object Refine {
     "event_funnel_time" -> (eventFunnelTime _),
     "stat_ljung_box" -> (statLjungBox _),
     "join_salted_skew" -> (joinSaltedSkew _),
-    "event_bots_detect" -> (eventBotsDetect _))
+    "event_bots_detect" -> (eventBotsDetect _),
+    "mm_chunk_manifest" -> (mmChunkManifest _),
+    "graph_jaccard_neighbors" -> (graphJaccardNeighbors _),
+    "event_anomaly_esd" -> (eventAnomalyEsd _))
 
   val oracle: Map[String, String] = Map(
     "dedup_semantic" -> dedupSemanticSql,
@@ -1134,5 +1301,8 @@ object Refine {
     "event_funnel_time" -> eventFunnelTimeSql,
     "stat_ljung_box" -> statLjungBoxSql,
     "join_salted_skew" -> joinSaltedSkewSql,
-    "event_bots_detect" -> eventBotsDetectSql)
+    "event_bots_detect" -> eventBotsDetectSql,
+    "mm_chunk_manifest" -> mmChunkManifestSql,
+    "graph_jaccard_neighbors" -> graphJaccardNeighborsSql,
+    "event_anomaly_esd" -> eventAnomalyEsdSql)
 }

@@ -541,6 +541,80 @@ class RefineSpec extends AnyFunSuite {
     assert(!cls.contains("Join"), "classifier should be join-free")
   }
 
+  test("chunk manifest reassembles to the original payload") {
+    val rows = Refine.mmChunkManifest(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val texts = docs.filter(_._1 < 50).map { case (id, t0, _) => id -> t0 }.toMap
+    assert(byDoc.keySet == texts.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val t0 = texts(id)
+      val sortedC = chunks.sortBy(_.getAs[Long]("chunk_idx"))
+      // chunk count and coverage
+      assert(sortedC.length == math.ceil(t0.length / 256.0).toInt)
+      assert(sortedC.map(_.getAs[Long]("n_bytes")).sum ==
+        t0.getBytes("UTF-8").length)
+      assert(chunks.head.getAs[Long]("total_bytes") ==
+        t0.getBytes("UTF-8").length)
+      // digests match per-chunk md5
+      sortedC.zipWithIndex.foreach { case (r, i) =>
+        val c = t0.substring(i * 256, math.min((i + 1) * 256, t0.length))
+        assert(r.getAs[String]("digest") == md5Hex(c), s"chunk $i of $id")
+      }
+    }
+  }
+
+  test("neighbor Jaccard matches brute-force adjacency overlap") {
+    val rows = Refine.graphJaccardNeighbors(spark, sf).collect()
+    val pairs = docs.flatMap { case (_, text, _) =>
+      val ws = text.trim.split("\\s+")
+      ws.indices.dropRight(1).map(i => (ws(i), ws(i + 1)))
+    }
+    val adj = (pairs ++ pairs.map(_.swap)).filter(p => p._1 != p._2)
+      .distinct.groupBy(_._1).map { case (w, v) => w -> v.map(_._2).toSet }
+    val words = adj.keys.toSeq.sorted
+    val all = for {
+      a <- words; b <- words if a < b
+      sh = (adj(a) & adj(b)).size if sh > 0
+    } yield (a, b, sh.toLong,
+      sh.toDouble / (adj(a).size + adj(b).size - sh))
+    val top = all.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+    assert(rows.length == math.min(20, all.size))
+    rows.zip(top).foreach { case (r, (a, b, sh, j)) =>
+      assert(r.getAs[String]("wa") == a && r.getAs[String]("wb") == b)
+      assert(r.getAs[Long]("shared") == sh)
+      assert(math.abs(r.getAs[Double]("jaccard") - j) < 1e-6)
+    }
+  }
+
+  test("ESD rounds remove and re-estimate like the sequential algorithm") {
+    val rows = Refine.eventAnomalyEsd(spark, sf).collect()
+    val days = Q.t(spark, sf, "events")
+      .selectExpr("cast(date_trunc('day', ts) as string) as day")
+      .collect().map(_.getAs[String]("day"))
+    var tbl = days.groupBy(identity)
+      .map { case (d0, v) => d0 -> v.length.toDouble }.toSeq
+    val expect = (1 to 3).map { r =>
+      val n = tbl.length.toDouble
+      val mean = tbl.map(_._2).sum / n
+      val sd = math.sqrt(
+        tbl.map { case (_, y) => (y - mean) * (y - mean) }.sum / (n - 1))
+      // deterministic argmax: max r_stat, ties to the EARLIEST day
+      val best = tbl.map { case (d1, y1) => (math.abs(y1 - mean) / sd, d1, y1) }
+        .sortBy { case (rs, d1, _) => (-rs, d1) }.head
+      tbl = tbl.filterNot(_._1 == best._2)
+      (r, best._2, best._3.toLong, best._1)
+    }
+    assert(rows.length == 3)
+    rows.zip(expect).foreach { case (row, (r, d0, y, rs)) =>
+      assert(row.getAs[Int]("round") == r)
+      assert(row.getAs[java.sql.Timestamp]("day").toLocalDateTime
+        .toLocalDate.toString + " 00:00:00" == d0, s"round $r day")
+      assert(row.getAs[Long]("value") == y)
+      assert(math.abs(row.getAs[Double]("r_stat") - rs) < 1e-5)
+      assert(row.getAs[Boolean]("flagged") == (rs > 2.8))
+    }
+  }
+
   test("Wilson interval matches the closed form and stays inside [0,1]") {
     val rows = Refine.statProportionCi(spark, sf).collect()
     assert(rows.nonEmpty)
