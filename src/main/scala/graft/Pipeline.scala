@@ -471,14 +471,22 @@ object Pipeline {
       """array_distinct(transform(
         |  sequence(1, greatest(length(text) - 7, 1)),
         |  i -> substring(text, i, 8)))""".stripMargin
+    // two-level transform so each shingle is md5'd ONCE (higher-order
+    // lambdas are interpreted without common-subexpression elimination,
+    // so md5(s) written inside both struct fields evaluated twice), and
+    // lane-major minima (16 array_min passes over the shingle lanes)
+    // instead of the shingle-major fold whose accumulator allocated a
+    // fresh 16-long array per shingle — together ~2× the signature
+    // stage at the 10× corpus. Values are identical: same md5 halves,
+    // same universal-hash lanes, same minima.
     expr(
-      s"""aggregate(
-         |  transform($shingles, s -> named_struct(
-         |    'a', pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), ${LaneP}L),
-         |    'b', pmod(cast(conv(substring(md5(s), 17, 15), 16, 10) as bigint), ${LaneP}L))),
-         |  array_repeat(${LaneP}L, $NumHashes),
-         |  (acc, p) -> zip_with(acc, sequence(0, ${NumHashes - 1}),
-         |    (m, j) -> least(m, pmod(p.a + j * p.b, ${LaneP}L))))""".stripMargin)
+      s"""transform(array(
+         |    transform(transform($shingles, s -> md5(s)), h -> named_struct(
+         |      'a', pmod(cast(conv(substring(h, 1, 15), 16, 10) as bigint), ${LaneP}L),
+         |      'b', pmod(cast(conv(substring(h, 17, 15), 16, 10) as bigint), ${LaneP}L)))),
+         |  ps -> transform(sequence(0, ${NumHashes - 1}),
+         |    j -> array_min(transform(ps, p -> pmod(p.a + j * p.b, ${LaneP}L)))))[0]"""
+        .stripMargin)
   }
 
   /** MinHash + LSH near-dup pairs: shingle → minhash → band → bucket-join.
@@ -488,10 +496,24 @@ object Pipeline {
     * is the joined text of the band's lanes (portable), and the lanes are
     * md5-derived, so the DuckDB oracle reproduces the banding exactly. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), minhashSignature.as("mh"))
-    val bands = docs.select(
-      col("doc_id"), col("mh"),
+    // Round-10 exact-copy short-circuit (the family-wide pattern):
+    // signatures, banding, and the lane-agreement estimate run on
+    // distinct-content REPRESENTATIVES only — identical texts produce
+    // identical signatures, so banding recall and every estimate are
+    // unchanged — and the full pair set is reconstructed exactly:
+    // within-group pairs agree on all lanes (est 1.0), cross-group
+    // pairs inherit their representatives' estimate.
+    val byText = t(s, d, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("th"))
+      .localCheckpoint() // read twice: members + rep election
+    val members = byText.select("doc_id", "th")
+    val reps = byText.groupBy("th").agg(min("doc_id").as("rep"))
+      .join(t(s, d, "documents").select(col("doc_id").as("rep"), col("text")),
+        "rep")
+      .select(col("rep"), col("th"), minhashSignature.as("mh"))
+      .localCheckpoint() // signatures computed once, read by both sides
+    val bands = reps.select(
+      col("rep"), col("th"), col("mh"),
       explode(expr(
         s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
            |  b -> named_struct(
@@ -499,24 +521,30 @@ object Pipeline {
            |    'bh', concat_ws(',',
            |      transform(slice(mh, b * $BandSize + 1, $BandSize),
            |        x -> cast(x as string)))))""".stripMargin)).as("band"))
-      .select(col("doc_id"), col("mh"), col("band.band").as("band"),
+      .select(col("rep"), col("th"), col("mh"), col("band.band").as("band"),
         col("band.bh").as("bh"))
-      // both sides of the self-join below re-evaluate their subtree (the
-      // alias split defeats exchange reuse), which would compute every
-      // document's $NumHashes-lane MinHash signature twice — the dominant
-      // cost of the whole operator. Pin the band table once.
-      .localCheckpoint()
-    val a = bands.select(col("band"), col("bh"), col("doc_id").as("doc1"),
-      col("mh").as("mh1"))
+    val a = bands.select(col("band"), col("bh"), col("rep").as("r1"),
+      col("th").as("th1"), col("mh").as("mh1"))
     val b = bands.select(col("band").as("band2"), col("bh").as("bh2"),
-      col("doc_id").as("doc2"), col("mh").as("mh2"))
-    a.join(b, col("band") === col("band2") && col("bh") === col("bh2") &&
-        col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"),
+      col("rep").as("r2"), col("th").as("th2"), col("mh").as("mh2"))
+    val repPairs = a.join(b,
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("r1") < col("r2"))
+      .select(col("th1"), col("th2"), col("mh1"), col("mh2")).distinct()
+      .select(col("th1"), col("th2"),
         round(expr(s"size(filter(zip_with(mh1, mh2, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)"), 4)
           .as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= 0.5)
+    val cross = repPairs
+      .join(members.select(col("th").as("th1"), col("doc_id").as("da")), "th1")
+      .join(members.select(col("th").as("th2"), col("doc_id").as("db")), "th2")
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"), col("est_jaccard"))
+    val within = members.as("m").join(members.as("n"),
+        col("m.th") === col("n.th") && col("m.doc_id") < col("n.doc_id"))
+      .select(col("m.doc_id").as("doc1"), col("n.doc_id").as("doc2"),
+        lit(1.0).as("est_jaccard"))
+    cross.unionByName(within)
       .orderBy("doc1", "doc2")
   }
   /** Shared CTE prefix rebuilding the MinHash signatures, band buckets and
