@@ -6,11 +6,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Q._
 
-/** Round-10 corpus-refinement operators: semantic deduplication
-  * (SemDeDup-style cluster-bounded near-dup pruning over embeddings), a
-  * hashing-trick linear quality scorer (the fastText-classifier shape),
-  * a cross-source n-gram contamination matrix, and Wilson proportion
-  * confidence intervals.
+/** Round-10 corpus-refinement operators — 22 oracle-matched additions:
+  * SemDeDup-style semantic dedup, a hashing-trick linear quality scorer
+  * (the fastText shape), a cross-source n-gram contamination matrix,
+  * top-2 PCA by deflated power iteration, a Matryoshka half-dimension
+  * recall audit, Monroe weighted-log-odds distinctive terms,
+  * label-propagation word communities, neighbor-Jaccard link
+  * prediction, label-conditional Mahalanobis OOD scores, k-anonymity +
+  * discrete-Laplace DP count release, DAU/MAU stickiness, a closed-form
+  * SES forecast, Fano-factor burstiness, Tukey HSD post-hoc
+  * comparisons, funnel time-to-convert quartiles, Ljung–Box and
+  * Wilson-interval tests, Rosner ESD anomalous days, bot-likeness
+  * detection, a skew-safe salted join, and a binary chunk manifest.
   *
   * Scale design (the 100 TB shapes):
   *  - `dedup_semantic` bounds the quadratic similarity stage by CLUSTER,
@@ -19,23 +26,24 @@ import Q._
   *    partitioning in one broadcast pass, and only same-cluster rep
   *    pairs are scored — Σ cᵢ² work on distinct content, never n². The
   *    full per-vector decision set is reconstructed exactly afterward.
-  *  - `text_classifier_score` is map-only ahead of one keyed reduce:
-  *    token → hashed bucket → weight is a pure expression (whole-stage
-  *    codegen, no join, no UDF). A trained model would broadcast its
-  *    weight vector; the deterministic hash-derived weights here keep
-  *    the plumbing identical and the oracle exact.
-  *  - `corpus_source_overlap` reduces the corpus to distinct
-  *    (source, gram) keys first; the self-join's per-gram fanout is
-  *    bounded by the source count, so the pair aggregation is
-  *    |sources|²-bounded however large the corpus grows.
-  *  - `stat_proportion_ci` is one map-side keyed reduce to an
-  *    |event_type|-bounded table; the interval math runs there.
+  *  - `emb_pca_top2` broadcasts the current d-length direction as a
+  *    constant-folded literal each multiply, so the only shuffle per
+  *    multiply is d-bounded — the direction vector is the only thing
+  *    small enough to move, so move it.
+  *  - Every statistic reduces the corpus to a bounded table (moments,
+  *    contingency grids, daily/hourly series, vocabulary keys) in one
+  *    keyed pass before any pairwise or iterative math; scorers are
+  *    map-only expressions (whole-stage codegen, no UDF).
+  *  - `corpus_source_overlap`'s gram self-join fans out at most
+  *    |sources| per key; `graph_jaccard_neighbors` meets candidates
+  *    only through the shared-neighbor wedge join.
   *
   * Determinism: distances accumulate as DECIMAL(38,12) (order-free),
   * cosines use the same double fold as the dedup_embedding family
   * (hash-exact against DuckDB's `list_cosine_similarity`), hashes ride
-  * the repo's md5-lane construction, and every surfaced double is a
-  * fixed expression tree rounded at 6.
+  * the repo's md5-lane construction, integer-valued releases (discrete
+  * Laplace) avoid transcendental rounding boundaries outright, and
+  * every surfaced double is a fixed expression tree rounded at 6.
   */
 object Refine {
 
