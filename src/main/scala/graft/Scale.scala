@@ -49,55 +49,74 @@ object Scale {
   /** Dominant direction of the uncentered Gram matrix A = Σ x·xᵀ by
     * [[PowerIters]] power iterations from the uniform unit start
     * v₀ = 1/√d. Each iteration computes w = A·v WITHOUT forming A:
-    * dot_r = ⟨x_r, v⟩ per row (broadcast-join + keyed reduce), then
-    * wᵢ = Σ_r dot_r·x_rᵢ (second keyed reduce); v ← w/‖w‖ and the
-    * Rayleigh estimate λ = ‖w‖ (v is unit). All reductions accumulate
-    * DECIMAL(38,12), so the loadings are bit-identical to the
-    * single-node oracle at any parallelism. Emits (dim, loading, λ). */
+    * dot_r = ⟨x_r, v⟩ per row map-side against the broadcast-literal
+    * direction, then wᵢ = Σ_r dot_r·x_rᵢ in ONE d-bounded keyed reduce;
+    * v ← w/‖w‖ and the Rayleigh estimate λ = ‖w‖ (v is unit). The
+    * corpus-sized keyed sum accumulates DECIMAL(38,12) (order-free) and
+    * norms use the same decimal squares driver-side, so the loadings
+    * are bit-identical to the single-node oracle at any parallelism.
+    * Emits (dim, loading, λ). */
   def embPowerIteration(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 12)
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"),
-        col("xf").cast("double").as("x"))
-      .localCheckpoint() // scanned twice per iteration
-    val dd = e.agg(countDistinct("i").as("d"))
-    val v0 = e.select("i").distinct().crossJoin(broadcast(dd))
-      .select(col("i"), (lit(1.0) / sqrt(col("d").cast("double"))).as("vi"))
-    val (wN, nwN) = (1 to PowerIters).foldLeft((v0, v0)) { case ((v, _), _) =>
-      val dv = e.join(broadcast(v), "i")
-        .groupBy("vec_id")
-        .agg(sum((col("x") * col("vi")).cast(dec)).cast("double").as("dv"))
-      val w = e.join(dv, "vec_id")
-        .groupBy("i")
-        .agg(sum((col("x") * col("dv")).cast(dec)).cast("double").as("wi"))
-        .localCheckpoint() // read twice: norm + normalize
-      val nw = w.agg(
-        sqrt(sum((col("wi") * col("wi")).cast(dec)).cast("double")).as("nw"))
-      val vNext = w.crossJoin(broadcast(nw))
-        .select(col("i"), (col("wi") / col("nw")).as("vi"))
-      (vNext, w.crossJoin(broadcast(nw)))
+    val vecs = t(s, d, "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // scanned once per multiply
+    val dim = vecs.select(size(col("v"))).head.getInt(0)
+    // The round-10 A-multiply shape shared with [[Refine.embPcaTop2]]:
+    // the CURRENT direction is broadcast as a d-length constant-folded
+    // literal (Double.toString round-trips exactly) and the per-row dot
+    // is a map-side double left-fold (DuckDB's list_inner_product folds
+    // identically), so the only shuffle per multiply is the final
+    // d-bounded reduce. The previous shape joined a corpus-sized
+    // dot-product table back to the exploded corpus every iteration —
+    // at 100 TB that join IS the job; the direction vector is the only
+    // thing small enough to move, so move it. All d-length state is
+    // driver-sized bookkeeping (the IVF-centroid argument).
+    def mult(v: Array[Double]): Array[Double] = {
+      val vArr = v.map(x => s"${x}D").mkString("array(", ",", ")")
+      val rows = vecs
+        .withColumn("dv", expr(
+          s"""aggregate(zip_with(v, $vArr, (x, vi) -> x * vi),
+             |  cast(0.0 as double), (a, b) -> a + b)""".stripMargin))
+        .select(col("dv"), posexplode(col("v")).as(Seq("i0", "x")))
+        .select(col("i0"), (col("x") * col("dv")).cast(dec).as("t"))
+        .groupBy("i0").agg(sum("t").cast("double").as("wi"))
+        .collect()
+      val w = Array.fill(dim)(0.0)
+      rows.foreach(r => w(r.getAs[Int]("i0")) = r.getAs[Double]("wi"))
+      w
     }
-    nwN
-      .select(col("i").cast("long").as("i"),
-        round(col("wi") / col("nw"), 6).as("loading"),
-        round(col("nw"), 6).as("lambda"))
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var w = v; var nw = 0.0
+    for (_ <- 1 to PowerIters) {
+      w = mult(v)
+      nw = math.sqrt(w.map(x => d12(x * x)).sum.toDouble)
+      v = w.map(_ / nw)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    (0 until dim).map(i => ((i + 1).toLong, r6(w(i) / nw), r6(nw)))
+      .toDF("i", "loading", "lambda")
       .orderBy("i")
   }
   val embPowerIterationSql: String = {
     def step(n: Int, prevV: String): String =
-      s"""d$n AS (SELECT vec_id,
-         |    CAST(sum(CAST(x * vi AS DECIMAL(38,12))) AS DOUBLE) AS dv
-         |  FROM e JOIN $prevV USING (i) GROUP BY vec_id),
-         |w$n AS (SELECT i,
-         |    CAST(sum(CAST(x * dv AS DECIMAL(38,12))) AS DOUBLE) AS wi
-         |  FROM e JOIN d$n USING (vec_id) GROUP BY i),
-         |n$n AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(38,12)))
-         |    AS DOUBLE)) AS nw FROM w$n),
-         |v$n AS (SELECT i, wi / nw AS vi FROM w$n, n$n)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-       |  FROM embeddings,
-       |    unnest(generate_series(1, len(embedding))) AS t(i)),
+      s"""lv$n AS MATERIALIZED (SELECT list(vi ORDER BY i) AS q FROM $prevV),
+         |d$n AS MATERIALIZED (SELECT v.vec_id,
+         |    list_inner_product(v.e, lv.q) AS dv FROM v, lv$n lv),
+         |w$n AS MATERIALIZED (SELECT e.i,
+         |    CAST(sum(CAST(e.x * d$n.dv AS DECIMAL(38,12))) AS DOUBLE) AS wi
+         |  FROM e JOIN d$n USING (vec_id) GROUP BY e.i),
+         |n$n AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(wi * wi
+         |    AS DECIMAL(38,12))) AS DOUBLE)) AS nw FROM w$n),
+         |v$n AS MATERIALIZED (SELECT i, wi / nw AS vi FROM w$n, n$n)"""
+        .stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |e AS (SELECT vec_id, i, e[i] AS x
+       |  FROM v, unnest(generate_series(1, len(e))) AS t(i)),
        |dims AS (SELECT DISTINCT i FROM e),
        |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dims),
        |v0 AS (SELECT i, 1.0 / sqrt(CAST(d AS DOUBLE)) AS vi FROM dims, dd),

@@ -27,10 +27,10 @@ class ScaleSpec extends AnyFunSuite {
     var nw = 0.0
     var w = Array.fill(d)(0.0)
     for (_ <- 1 to 3) {
-      // BigDecimal sums mirror the engines' DECIMAL(38,12) accumulators
+      // per-row dot is a plain double left-fold, like the engine's;
+      // BigDecimal sums below mirror the DECIMAL(38,12) keyed reduce
       val dots = embs.map { case (_, x) =>
-        x.indices.map(i => BigDecimal(x(i) * v(i))
-          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        x.indices.foldLeft(0.0)((s0, i) => s0 + x(i) * v(i))
       }
       w = Array.tabulate(d)(i => embs.indices.map(r =>
         BigDecimal(embs(r)._2(i) * dots(r))
