@@ -941,49 +941,67 @@ object Pipeline {
     val k = 16; val iters = 3; val nProbe = 6
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // scanned once per Lloyd iteration + search
     val byInit = Window.orderBy("r")
-    var centroids = vecs
+    // Training (round-10 shape, shared with the power-iteration family):
+    // the k×d centroid table is DRIVER state (the table you'd broadcast
+    // at 100 TB), constant-folded into each iteration's plan, so
+    // assignment is a map-side argmin expression (distances computed
+    // once via the one-element-transform let binding — ties fall to the
+    // lowest cid because array_position returns the FIRST minimum, the
+    // same (dist, cid) order the previous window argmin used) and the
+    // update is ONE keyed reduce — no per-iteration corpus×k join and
+    // no per-vector window sort.
+    var cents: Array[(Long, Array[Double])] = vecs
       .withColumn("r", expr(md5Lane("cast(vec_id as string)")))
       .orderBy("r").limit(k)
       .select(row_number().over(byInit).cast("long").as("cid"), col("v").as("cv"))
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cid"))
-      vecs.join(broadcast(cents))
-        .withColumn("dist", l2sq(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def cidExpr(cs: Array[(Long, Array[Double])]): Column = {
+      val centArr = cs.map(_._2.map(x => s"${x}D")
+        .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+      expr(
+        s"""transform(array(transform($centArr,
+           |    c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+           |           cast(0.0 as double), (acc, z) -> acc + z))),
+           |  ds -> array_position(ds, array_min(ds)))[0]""".stripMargin)
     }
     for (_ <- 1 to iters) {
-      centroids = assign(centroids)
+      val upd = vecs.withColumn("cid", cidExpr(cents))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, s -> s.m)").as("cv"))
+        .collect()
+      val next = upd.groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
+        val cv = Array.fill(cents.head._2.length)(0.0)
+        rows.foreach(r => cv(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+        (cid, cv)
+      }.toArray.sortBy(_._1)
+      cents = next
     }
-    // Materialize the trained centroids once, quantized to 6 decimals so
-    // the values survive a text round-trip into the oracle SQL, then
-    // collect them (16 rows × 64 doubles — centroid tables are driver-
-    // sized by construction; at 100 TB this is the table you'd broadcast).
-    val centRows = centroids
-      .select(col("cid"), expr("transform(cv, x -> round(x, 6))").as("cv"))
-      .collect()
-      .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1)))
-      .sortBy(_._1)
+    // Quantize the trained centroids to 6 decimals so the values survive
+    // a text round-trip into the oracle SQL (16 rows × 64 doubles —
+    // centroid tables are driver-sized by construction).
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val centRows: Array[(Long, Seq[Double])] =
+      cents.map { case (cid, cv) => (cid, cv.map(r6).toSeq) }
     import s.implicits._
     val centLit = broadcast(centRows.toSeq.toDF("cid", "cv"))
     simAnnIvfOracle = Some(simAnnIvfSql(centRows, k, nProbe))
     // Search half — shared bit-exact arithmetic with the oracle: unrolled
     // left-associative element sums (element_at is 1-based, like DuckDB's
     // list indexing)
-    val assignW = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("cid"))
-    val lists = vecs.join(centLit)
-      .withColumn("dist", expr(IvfDist(IvfDim, "v", "cv")))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
+    // corpus-side assignment is the same map-side argmin expression as
+    // training, over the QUANTIZED centroid literal: the fold's
+    // 0.0 + t₁ + t₂ + … is bit-identical to the oracle's unrolled
+    // left-associative sum (squares are never −0.0), and array_position
+    // picks the first minimum — the (dist, cid) order the oracle's
+    // window replays. No corpus×k join, no per-vector window sort.
+    val lists = vecs
+      .withColumn("cid",
+        cidExpr(centRows.map { case (c, cv) => (c, cv.toArray) }))
       .select(col("vec_id"), col("v"), col("cid"))
     val probeW = Window.partitionBy("q_id").orderBy(asc("pdist"), asc("pcid"))
     val probes = vecs.filter(col("vec_id") < 10)
