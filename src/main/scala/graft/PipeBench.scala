@@ -47,7 +47,8 @@ object PipeBench {
     "privacy_k_anonymity", "event_forecast_ses", "privacy_dp_counts",
     "event_dau_mau", "text_burstiness", "stat_tukey_hsd",
     "event_funnel_time", "stat_ljung_box", "join_salted_skew", "event_bots_detect", "mm_chunk_manifest",
-    "graph_jaccard_neighbors", "event_anomaly_esd")
+    "graph_jaccard_neighbors", "event_anomaly_esd", "event_concentration",
+    "emb_intrinsic_dim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1264,6 +1264,111 @@ object Refine {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------- value-concentration curve ----------
+
+  /** Share of total event value carried by the top 1 / 5 / 10 / 20% of
+    * users — the concentration read (a tabular Lorenz curve) that
+    * decides whether per-user sharding needs salting and whether a
+    * "remove the whales" ablation is worth running. Per-user totals are
+    * one keyed reduce to exact BIGINT cents; ranking rides
+    * [[Q.distPos]] (range shuffle → parallel per-partition rank →
+    * broadcast offsets — no single-partition sort); the four shares are
+    * bounded-table math. */
+  def eventConcentration(s: SparkSession, d: String): DataFrame = {
+    val users = t(s, d, "events").groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val ranked = distPos(users, "pos",
+      col("cents").desc, col("user_id"))
+      .localCheckpoint() // read once per percentile tier
+    val tot = ranked.agg(count(lit(1)).as("n"), sum("cents").as("tc"))
+    val tiers = Seq(1, 5, 10, 20)
+    tiers.map { p =>
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("pos") < ceil(col("n") * p / 100.0))
+        .groupBy()
+        .agg(count(lit(1)).as("n_users"), sum("cents").as("top_cents"),
+          max(col("tc")).as("tc"))
+        .select(lit(p).cast("long").as("top_pct"), col("n_users"),
+          round(col("top_cents").cast("double") / col("tc"), 6).as("share"))
+    }.reduce(_ unionByName _).orderBy("top_pct")
+  }
+  val eventConcentrationSql: String =
+    """WITH users AS (SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id),
+      |ranked AS (SELECT cents,
+      |    CAST(row_number() OVER (ORDER BY cents DESC, user_id) AS BIGINT)
+      |      - 1 AS pos
+      |  FROM users),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS tc FROM ranked),
+      |tiers AS (SELECT unnest([1, 5, 10, 20]) AS p)
+      |SELECT CAST(t.p AS BIGINT) AS top_pct,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  round(CAST(sum(r.cents) AS DOUBLE) / max(tot.tc), 6) AS share
+      |FROM tiers t JOIN ranked r ON TRUE CROSS JOIN tot
+      |WHERE r.pos < ceil(tot.n * t.p / 100.0)
+      |GROUP BY t.p ORDER BY top_pct""".stripMargin
+
+  // ---------- intrinsic dimensionality (TwoNN) ----------
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017, public
+    * paper): for each of 100 anchor vectors, the ratio of its 2nd- to
+    * 1st-nearest-neighbor distance; ID ≈ 1 / mean(ln d₂/d₁). The
+    * diagnostic that says how much of the embedding's nominal d is
+    * real — the go/no-go input for Matryoshka truncation and PCA depth.
+    * One broadcast-anchors × corpus pass (the brute-force top-k shape);
+    * zero distances (exact duplicate vectors) are excluded per the
+    * published estimator; the ln terms accumulate as exact decimals. */
+  def embIntrinsicDim(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint()
+    val anchors = vecs.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def l2(a: Column, b: Column): Column =
+      sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    val nn = vecs.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dist", l2(col("v"), col("qv")))
+      .filter(col("dist") > 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+    val ratios = nn.groupBy("q_id")
+      .agg(min(when(col("rk") === 1, col("dist"))).as("d1"),
+        min(when(col("rk") === 2, col("dist"))).as("d2"))
+      .select(log(col("d2") / col("d1")).cast(dec).as("lr"))
+    ratios.agg(count(lit(1)).as("n_anchors"),
+        sum("lr").cast("double").as("slr"))
+      .select(col("n_anchors"),
+        round(col("slr") / col("n_anchors"), 6).as("mean_log_ratio"),
+        round(col("n_anchors") / col("slr"), 6).as("intrinsic_dim"))
+  }
+  val embIntrinsicDimSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 100),
+      |nn AS (SELECT q_id, dist,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rk
+      |  FROM (SELECT q.q_id, v.vec_id,
+      |      sqrt(list_inner_product(
+      |        list_transform(generate_series(1, len(v.e)),
+      |          i -> v.e[i] - q.qv[i]),
+      |        list_transform(generate_series(1, len(v.e)),
+      |          i -> v.e[i] - q.qv[i]))) AS dist
+      |    FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id)
+      |  WHERE dist > 0),
+      |ratios AS (SELECT
+      |    CAST(ln(min(CASE WHEN rk = 2 THEN dist END)
+      |      / min(CASE WHEN rk = 1 THEN dist END)) AS DECIMAL(38,12)) AS lr
+      |  FROM nn WHERE rk <= 2 GROUP BY q_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+      |  round(CAST(sum(lr) AS DOUBLE) / count(*), 6) AS mean_log_ratio,
+      |  round(count(*) / CAST(sum(lr) AS DOUBLE), 6) AS intrinsic_dim
+      |FROM ratios""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1288,7 +1393,9 @@ object Refine {
     "event_bots_detect" -> (eventBotsDetect _),
     "mm_chunk_manifest" -> (mmChunkManifest _),
     "graph_jaccard_neighbors" -> (graphJaccardNeighbors _),
-    "event_anomaly_esd" -> (eventAnomalyEsd _))
+    "event_anomaly_esd" -> (eventAnomalyEsd _),
+    "event_concentration" -> (eventConcentration _),
+    "emb_intrinsic_dim" -> (embIntrinsicDim _))
 
   val oracle: Map[String, String] = Map(
     "dedup_semantic" -> dedupSemanticSql,
@@ -1312,5 +1419,7 @@ object Refine {
     "event_bots_detect" -> eventBotsDetectSql,
     "mm_chunk_manifest" -> mmChunkManifestSql,
     "graph_jaccard_neighbors" -> graphJaccardNeighborsSql,
-    "event_anomaly_esd" -> eventAnomalyEsdSql)
+    "event_anomaly_esd" -> eventAnomalyEsdSql,
+    "event_concentration" -> eventConcentrationSql,
+    "emb_intrinsic_dim" -> embIntrinsicDimSql)
 }

@@ -615,6 +615,50 @@ class RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("concentration shares match brute-force top-percent accounting") {
+    val rows = Refine.eventConcentration(spark, sf).collect()
+    val ev = Q.t(spark, sf, "events")
+      .selectExpr("user_id", "cast(round(value * 100) as bigint) as c")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("c")))
+    val users = ev.groupBy(_._1).map { case (u, v) => (u, v.map(_._2).sum) }
+      .toSeq.sortBy { case (u, c) => (-c, u) }
+    val total = users.map(_._2).sum.toDouble
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("top_pct").toInt
+      val k = math.ceil(users.length * p / 100.0).toInt
+      assert(r.getAs[Long]("n_users") == k, s"tier $p size")
+      val share = users.take(k).map(_._2).sum / total
+      assert(math.abs(r.getAs[Double]("share") - share) < 1e-6, s"tier $p")
+    }
+    // shares are monotone in the tier and the 20% tier is substantial
+    val shares = rows.sortBy(_.getAs[Long]("top_pct")).map(_.getAs[Double]("share"))
+    assert(shares.sameElements(shares.sorted))
+  }
+
+  test("TwoNN intrinsic dimension matches the brute-force estimator") {
+    val rows = Refine.embIntrinsicDim(spark, sf).collect()
+    val anchors = embs.filter(_._1 < 100)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.indices.foldLeft(0.0)((s0, i) =>
+        s0 + (a(i) - b(i)) * (a(i) - b(i))))
+    val lrs = anchors.flatMap { case (q, qv) =>
+      val ds = embs.filter(_._1 != q).map { case (c, cv) => (l2(cv, qv), c) }
+        .filter(_._1 > 0).sorted.take(2)
+      if (ds.length < 2) None
+      else Some(BigDecimal(math.log(ds(1)._1 / ds(0)._1))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val slr = lrs.sum.toDouble
+    val r = rows.head
+    assert(r.getAs[Long]("n_anchors") == lrs.length)
+    assert(math.abs(r.getAs[Double]("mean_log_ratio") - slr / lrs.length) < 1e-5)
+    assert(math.abs(r.getAs[Double]("intrinsic_dim") - lrs.length / slr) < 1e-3)
+    // sanity: the estimate is positive and at most the nominal dimension
+    assert(r.getAs[Double]("intrinsic_dim") > 0.0)
+    assert(r.getAs[Double]("intrinsic_dim") <= embs.head._2.length * 2.0)
+  }
+
   test("Wilson interval matches the closed form and stays inside [0,1]") {
     val rows = Refine.statProportionCi(spark, sf).collect()
     assert(rows.nonEmpty)
