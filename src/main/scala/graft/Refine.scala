@@ -1317,9 +1317,14 @@ object Refine {
     * 1st-nearest-neighbor distance; ID ≈ 1 / mean(ln d₂/d₁). The
     * diagnostic that says how much of the embedding's nominal d is
     * real — the go/no-go input for Matryoshka truncation and PCA depth.
-    * One broadcast-anchors × corpus pass (the brute-force top-k shape);
-    * zero distances (exact duplicate vectors) are excluded per the
-    * published estimator; the ln terms accumulate as exact decimals. */
+    * One broadcast-anchors × corpus pass (the brute-force top-k shape).
+    * The estimator assumes distinct points, so ranks run over DISTINCT
+    * positive distances: zero distances (exact duplicate vectors) are
+    * excluded, and d₂ is the smallest distance strictly greater than d₁
+    * — otherwise a corpus with duplicated content puts two copies of
+    * the same neighbor at ranks 1 and 2, every ratio collapses to 1,
+    * and Σln = 0 divides by zero. The ln terms accumulate as exact
+    * decimals. */
   def embIntrinsicDim(s: SparkSession, d: String): DataFrame = {
     val dec = DecimalType(38, 12)
     val vecs = t(s, d, "embeddings")
@@ -1330,11 +1335,12 @@ object Refine {
     def l2(a: Column, b: Column): Column =
       sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, z) => acc + z))
-    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist"))
     val nn = vecs.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dist", l2(col("v"), col("qv")))
       .filter(col("dist") > 0)
+      .select("q_id", "dist").distinct()
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 2)
     val ratios = nn.groupBy("q_id")
@@ -1351,15 +1357,16 @@ object Refine {
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 100),
       |nn AS (SELECT q_id, dist,
-      |    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rk
-      |  FROM (SELECT q.q_id, v.vec_id,
-      |      sqrt(list_inner_product(
-      |        list_transform(generate_series(1, len(v.e)),
-      |          i -> v.e[i] - q.qv[i]),
-      |        list_transform(generate_series(1, len(v.e)),
-      |          i -> v.e[i] - q.qv[i]))) AS dist
-      |    FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id)
-      |  WHERE dist > 0),
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dist) AS rk
+      |  FROM (SELECT DISTINCT q_id, dist
+      |    FROM (SELECT q.q_id,
+      |        sqrt(list_inner_product(
+      |          list_transform(generate_series(1, len(v.e)),
+      |            i -> v.e[i] - q.qv[i]),
+      |          list_transform(generate_series(1, len(v.e)),
+      |            i -> v.e[i] - q.qv[i]))) AS dist
+      |      FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id)
+      |    WHERE dist > 0)),
       |ratios AS (SELECT
       |    CAST(ln(min(CASE WHEN rk = 2 THEN dist END)
       |      / min(CASE WHEN rk = 1 THEN dist END)) AS DECIMAL(38,12)) AS lr

@@ -643,10 +643,12 @@ class RefineSpec extends AnyFunSuite {
       math.sqrt(a.indices.foldLeft(0.0)((s0, i) =>
         s0 + (a(i) - b(i)) * (a(i) - b(i))))
     val lrs = anchors.flatMap { case (q, qv) =>
-      val ds = embs.filter(_._1 != q).map { case (c, cv) => (l2(cv, qv), c) }
-        .filter(_._1 > 0).sorted.take(2)
+      // DISTINCT positive distances, like the engine: duplicated content
+      // would otherwise tie d1 = d2 and collapse the ratio to 1
+      val ds = embs.filter(_._1 != q).map { case (c, cv) => l2(cv, qv) }
+        .filter(_ > 0).distinct.sorted.take(2)
       if (ds.length < 2) None
-      else Some(BigDecimal(math.log(ds(1)._1 / ds(0)._1))
+      else Some(BigDecimal(math.log(ds(1) / ds(0)))
         .setScale(12, BigDecimal.RoundingMode.HALF_UP))
     }
     val slr = lrs.sum.toDouble
