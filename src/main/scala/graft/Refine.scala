@@ -1376,6 +1376,64 @@ object Refine {
       |  round(count(*) / CAST(sum(lr) AS DOUBLE), 6) AS intrinsic_dim
       |FROM ratios""".stripMargin
 
+  // ---------- Wald–Wolfowitz runs test ----------
+
+  /** Runs test for randomness of the daily event-count series: the
+    * day-ordered sequence of above/below-median signs is counted into
+    * runs; too few runs means trending, too many means oscillation.
+    * R is compared to its null mean 2n₁n₂/(n₁+n₂)+1 with the closed-form
+    * variance; |z| > 1.96 rejects randomness. One corpus reduce to the
+    * |days|-bounded daily table; the ordered lag runs there (a bounded
+    * window, like the rest of the daily-series family). Days equal to
+    * the median are excluded, per the standard test. */
+  def statRunsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // |days|-bounded; read for median + signs
+    val med = daily.agg(expr("percentile(y, 0.5)").as("m"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("y") =!= col("m"))
+      .select(col("day"), (col("y") > col("m")).cast("int").as("s"))
+    val w = Window.orderBy("day")
+    val runs = signs
+      .withColumn("chg",
+        when(lag("s", 1).over(w).isNull ||
+          col("s") =!= lag("s", 1).over(w), 1L).otherwise(0L))
+      .agg(sum("chg").as("r"), sum("s").as("n1"),
+        sum(lit(1) - col("s")).as("n2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val er = lit(2.0) * n1 * n2 / (n1 + n2) + 1.0
+    val vr = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    runs.select(col("n1"), col("n2"), col("r").as("runs"),
+        round((col("r") - er) / sqrt(vr), 6).as("z"),
+        (abs((col("r") - er) / sqrt(vr)) <= 1.96).cast("boolean")
+          .as("looks_random"))
+  }
+  val statRunsTestSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY date_trunc('day', ts)),
+      |med AS (SELECT quantile_cont(y, 0.5) AS m FROM daily),
+      |signs AS (SELECT day, CAST(y > m AS INT) AS s
+      |  FROM daily, med WHERE y <> m),
+      |runs AS (SELECT
+      |    CAST(sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r,
+      |    CAST(sum(s) AS BIGINT) AS n1,
+      |    CAST(sum(1 - s) AS BIGINT) AS n2
+      |  FROM (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM signs))
+      |SELECT n1, n2, r AS runs,
+      |  round((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+      |    / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+      |      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z,
+      |  abs((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+      |    / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+      |      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))) <= 1.96
+      |    AS looks_random
+      |FROM runs""".stripMargin
+
   // ---------- registry ----------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1402,7 +1460,8 @@ object Refine {
     "graph_jaccard_neighbors" -> (graphJaccardNeighbors _),
     "event_anomaly_esd" -> (eventAnomalyEsd _),
     "event_concentration" -> (eventConcentration _),
-    "emb_intrinsic_dim" -> (embIntrinsicDim _))
+    "emb_intrinsic_dim" -> (embIntrinsicDim _),
+    "stat_runs_test" -> (statRunsTest _))
 
   val oracle: Map[String, String] = Map(
     "dedup_semantic" -> dedupSemanticSql,
@@ -1428,5 +1487,6 @@ object Refine {
     "graph_jaccard_neighbors" -> graphJaccardNeighborsSql,
     "event_anomaly_esd" -> eventAnomalyEsdSql,
     "event_concentration" -> eventConcentrationSql,
-    "emb_intrinsic_dim" -> embIntrinsicDimSql)
+    "emb_intrinsic_dim" -> embIntrinsicDimSql,
+    "stat_runs_test" -> statRunsTestSql)
 }

@@ -661,6 +661,32 @@ class RefineSpec extends AnyFunSuite {
     assert(r.getAs[Double]("intrinsic_dim") <= embs.head._2.length * 2.0)
   }
 
+  test("runs test matches the sequential run count and closed form") {
+    val rows = Refine.statRunsTest(spark, sf).collect()
+    val days = Q.t(spark, sf, "events")
+      .selectExpr("cast(date_trunc('day', ts) as string) as day")
+      .collect().map(_.getAs[String]("day"))
+    val daily = days.groupBy(identity)
+      .map { case (d0, v) => (d0, v.length.toDouble) }.toSeq.sortBy(_._1)
+    val ys = daily.map(_._2).sorted
+    val m = if (ys.length % 2 == 1) ys(ys.length / 2)
+      else (ys(ys.length / 2 - 1) + ys(ys.length / 2)) / 2.0
+    val signs = daily.filter(_._2 != m).map(_._2 > m)
+    val r = 1 + signs.zip(signs.tail).count { case (a, b) => a != b }
+    val n1 = signs.count(identity).toDouble
+    val n2 = signs.length - n1
+    val er = 2 * n1 * n2 / (n1 + n2) + 1
+    val vr = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    val z = (r - er) / math.sqrt(vr)
+    val row = rows.head
+    assert(row.getAs[Long]("n1") == n1.toLong)
+    assert(row.getAs[Long]("n2") == n2.toLong)
+    assert(row.getAs[Long]("runs") == r)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-6)
+    assert(row.getAs[Boolean]("looks_random") == (math.abs(z) <= 1.96))
+  }
+
   test("Wilson interval matches the closed form and stays inside [0,1]") {
     val rows = Refine.statProportionCi(spark, sf).collect()
     assert(rows.nonEmpty)
