@@ -978,7 +978,12 @@ object Pipeline {
         rows.foreach(r => cv(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
         (cid, cv)
       }.toArray.sortBy(_._1)
-      cents = next
+      // Relabel to consecutive 1..k' after every update: cidExpr assigns
+      // by array POSITION, so stored cids must equal positions. If a
+      // Lloyd iteration empties a cluster the raw cid set goes
+      // non-consecutive and positional assignment would desync from the
+      // stored keys the probe join and the oracle use.
+      cents = next.zipWithIndex.map { case ((_, cv), i) => ((i + 1).toLong, cv) }
     }
     // Quantize the trained centroids to 6 decimals so the values survive
     // a text round-trip into the oracle SQL (16 rows × 64 doubles —
@@ -1175,6 +1180,10 @@ object Pipeline {
       .select(col("m.vec_id").as("id1"), col("n.vec_id").as("id2"),
         col("m.rep").as("rep"))
       .join(selfCos, "rep")
+      // the threshold applies to within-group pairs too: a duplicated
+      // all-zero vector has self-cosine 0/0 = NaN, which the brute-force
+      // plan and the oracle both drop (NaN >= 0.95 is false)
+      .filter(col("cos") >= 0.95)
     cross.unionByName(within.select("id1", "id2", "cos"))
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("id1", "id2")

@@ -124,9 +124,19 @@ object Refine {
       .join(members.select(col("rep").as("r2"), col("vec_id").as("m2")), "r2")
       .select(greatest(col("m1"), col("m2")).as("vid"),
         least(col("m1"), col("m2")).as("k"), col("cos"))
+    // within-group copies score the rep's ACTUAL self-cosine (not a
+    // literal 1.0): a duplicated all-zero vector yields 0/0 = NaN, which
+    // the oracle's list_cosine_similarity also produces and the >= τ
+    // filter drops in both engines; and the computed value keeps the
+    // keeper-election window's ordering bit-aligned with the oracle's.
+    val selfCos = reps
+      .withColumn("cos",
+        dot(col("v"), col("v")) / (norm2(col("v")) * norm2(col("v"))))
+      .select(col("rep"), col("cos"))
     val within = members.filter(col("vec_id") =!= col("rep"))
-      .select(col("vec_id").as("vid"), col("rep").as("k"),
-        lit(1.0).as("cos"))
+      .join(selfCos, "rep")
+      .select(col("vec_id").as("vid"), col("rep").as("k"), col("cos"))
+      .filter(col("cos") >= SemTau)
     val sel = Window.partitionBy("vid").orderBy(col("cos").desc, col("k"))
     cross.unionByName(within)
       .withColumn("rn", row_number().over(sel)).filter(col("rn") === 1)
@@ -470,7 +480,7 @@ object Refine {
   val embMatryoshkaRecallSql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
       |    list_slice(embedding::DOUBLE[], 1,
-      |      CAST(len(embedding) / 2 AS INT)) AS h
+      |      CAST(floor(len(embedding) / 2) AS INT)) AS h
       |  FROM embeddings),
       |q AS (SELECT vec_id AS q_id, e AS qv, h AS qh FROM v
       |  WHERE vec_id < 10),
@@ -567,6 +577,9 @@ object Refine {
   def graphLabelProp(s: SparkSession, d: String): DataFrame = {
     val pairs = t(s, d, "documents")
       .select(expr("split(trim(text), '\\\\s+')").as("ws"))
+      // single-word docs have no edges; without the guard sequence(1, 0)
+      // descends and ws[-1]/ws[1] emit null src/dst rows
+      .filter(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("p"))
@@ -1117,6 +1130,10 @@ object Refine {
     // cast of each chunk, identical in both engines
     t(s, d, "documents")
       .filter(col("doc_id") < 50) // bounded output; plumbing is the point
+      // empty docs emit zero chunks: without this guard the sequence stop
+      // would be -1 and Spark's sequence defaults to step -1, yielding
+      // two phantom chunks where DuckDB's generate_series(0,-1) is empty
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
       .select(col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("total_bytes"),
@@ -1154,6 +1171,8 @@ object Refine {
   def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame = {
     val pairs = t(s, d, "documents")
       .select(expr("split(trim(text), '\\\\s+')").as("ws"))
+      // same single-word guard as graphLabelProp: no words, no edges
+      .filter(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("p"))
