@@ -364,7 +364,27 @@ object Extras {
         countDistinct(col("l_orderkey")).as("exact_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
         median(col("l_extendedprice")).as("exact_median"))
+      // sketch outputs are engine-specific, so the oracle-checkable shape
+      // emits the EXACT aggregate plus a per-group tolerance boolean the
+      // oracle pins to `true`: HLL (default rsd 5%) within 10% of the
+      // exact distinct count, the 10k-bucket KLL median within 5% of the
+      // exact median. A sketch regression flips the boolean and fails the
+      // hash gate; the exact columns keep the values bit-checked.
+      .select(col("l_returnflag"),
+        col("exact_orders"),
+        round(col("exact_median"), 4).as("exact_median"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double") /
+          col("exact_orders") < 0.1).as("orders_within_tol"),
+        (abs(col("approx_median") - col("exact_median")) /
+          col("exact_median") < 0.05).as("median_within_tol"))
       .orderBy("l_returnflag")
+  val aggApproxSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  round(CAST(median(l_extendedprice) AS DOUBLE), 4) AS exact_median,
+      |  true AS orders_within_tol,
+      |  true AS median_within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** describe()/summary() (reference dataframe.py:417). The operator under
     * test is Spark's `.describe()`; its raw output is a STRING matrix whose
@@ -665,6 +685,7 @@ object Extras {
     "sql_unparse_postgres" -> sqlUnparsePostgresSql,
     "sql_unparse_mysql" -> sqlUnparseMysqlSql,
     "sql_unparse_sqlite" -> sqlUnparseSqliteSql,
+    "agg_approx" -> aggApproxSql,
     "rowop_describe" -> rowopDescribeSql,
     "fn_vector" -> fnVectorSql,
     "fn_arrow_typeof" -> fnArrowTypeofSql,

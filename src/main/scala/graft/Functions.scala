@@ -534,19 +534,76 @@ object Functions {
       |  max(CAST(floor(c_custkey / 32768) + 1 AS BIGINT)) AS max_bucket
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  /** Engine-specific hashes (xxhash64, crc32, murmur3, sha1) have no DuckDB
-    * equivalent — checked rows-only by the driver, value-checked in the
-    * ScalaTest suite against fixed expected digests. */
-  def fnHashEngine(s: SparkSession, d: String): DataFrame =
+  /** Known-answer digests for the engine-specific hash battery over the
+    * 25 fixed nation names (identical at every scale factor): xxhash64
+    * (seed 42), crc32, murmur3 (seed 42), sha1, soundex. Captured once
+    * from the shipped implementation; any drift in a hash kernel flips
+    * the corresponding `_ok` boolean and fails the oracle hash gate. */
+  private val hashKat: Seq[(Int, Long, Long, Long, String, String)] = Seq(
+    (0, -3635279775981152085L, 3678181428L, -1410831725L, "1a90e65cfdf74f01f73e0898c48e42a23146d93f", "N350"),
+    (1, -3191739825536951345L, 2889590946L, -535432793L, "84b53a4ba1b4da60205db37bbf2cf226a1caa7fa", "N350"),
+    (2, -1122549408961623051L, 892533016L, -2095085442L, "6376bb52f51a7fb0d214d6ac32e162a4911ea79c", "N350"),
+    (3, -6553752320078117943L, 1110821262L, -990314687L, "6b8582de89c84e237171dd66fe7daf1ab8bb683b", "N350"),
+    (4, -2331079757126508432L, 3696319533L, -94285657L, "35e00a9de3ea0e0b76fdfd9e91276510e7055140", "N350"),
+    (5, -1294387990695063588L, 2874567867L, -1912865338L, "0e940890e978abc08fc652f12aaae83540230da9", "N350"),
+    (6, 429854463658653475L, 845102337L, 2114803422L, "ba7e94ea75dbe30b99b6b36076e8ffef3ebddef2", "N350"),
+    (7, -1821898194479978266L, 1163398551L, 684737612L, "48d48664b5b6fc2acb4446e2d5db0fe7816b10a0", "N350"),
+    (8, 9004275367934011975L, 3588689926L, -699653559L, "28d93f603990ba38349c0479b4e52b86ed3ca1db", "N350"),
+    (9, -2287288453389768943L, 2732597392L, -1504658630L, "ebeff2be216d7bc2081c20bf681bf02d9afdbfa1", "N350"),
+    (10, 9031943545092929825L, 3434030669L, -1389056751L, "efee0918f19590574f687e56d92db60398048629", "N350"),
+    (11, 2281512348945990958L, 3148355291L, -408600478L, "0af3b8823e012a3f71b2f4257094c4829e74cdbb", "N350"),
+    (12, -5326869236346025150L, 580994913L, -1159793486L, "a00860cf2fe35c6f3ef469578b0c006ecd09a429", "N350"),
+    (13, -1287700060914886076L, 1436973047L, 202222762L, "c13434ff68e3d89801a44ffd4dcb3f302ace4a31", "N350"),
+    (14, 8953969587697275637L, 3418546772L, 931982787L, "f9e5b01802658cab1db3e001c6672a3c6d0a8ed7", "N350"),
+    (15, 8921703177071605178L, 3167081154L, 1524635837L, "5aeed18f44ff9de7e6570f6626a62ef6dc3597bb", "N350"),
+    (16, -1323510064612203124L, 634159992L, -1836591637L, "0ce789a799dcc43aa9829346a94c87177b99f590", "N350"),
+    (17, 8525034706716842015L, 1389081582L, 2112270236L, "788adb82d6ff2e45bff8d283fc9cd7e2cc501fc3", "N350"),
+    (18, 9134329436019486759L, 3262426751L, 816357108L, "a9ed2db7db7ba788d3ea9a7822fa812865ee60a0", "N350"),
+    (19, 3727839146706945451L, 3044253417L, 1154776119L, "3e71fb1d6927dda5b94c6fd80ad56cd58e9c41b5", "N350"),
+    (20, -7170314187469782521L, 3884086670L, 721845699L, "f3204ca364c7a9b263ac0467da774721da418dcc", "N350"),
+    (21, 5021686427711143555L, 2424653080L, 681881590L, "51361fe20853a86cb12de2e931475d362e6130d3", "N350"),
+    (22, 1145888113185677229L, 160175266L, -1579254473L, "123936e0ec1877cf44f40584335ef6a7e771af60", "N350"),
+    (23, -8151388513236445183L, 2123047988L, 1391635933L, "373800b1486d79cb703fd11ef677fad99bd8bb7d", "N350"),
+    (24, -1615532261484927898L, 3773804951L, -607352285L, "e09196f17c606e72dfcaabc839280108b6ec7cc2", "N350"))
+
+  /** Hash battery. md5 / sha256 exist in BOTH engines and are emitted as
+    * hex for the oracle to recompute; the engine-specific kernels
+    * (xxhash64, crc32, murmur3, sha1, soundex) have no DuckDB equivalent,
+    * so each is compared in-plan against the inline known-answer table
+    * above and emitted as a match boolean the oracle pins to `true` —
+    * making the whole battery oracle-checkable instead of rows-only. */
+  def fnHashEngine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kat = broadcast(hashKat.toDF(
+      "key", "e_xx64", "e_crc", "e_murmur", "e_sha1", "e_sdx"))
     t(s, d, "nation")
       .select(
         col("n_nationkey").as("key"),
+        col("n_name"),
         xxhash64(col("n_name")).as("xx64"),
         crc32(col("n_name").cast("binary")).as("crc"),
         hash(col("n_name")).cast("long").as("murmur"),
         sha1(col("n_name").cast("binary")).as("sha1_hex"),
         soundex(col("n_name")).as("sdx"))
+      .join(kat, "key")
+      .select(
+        col("key").cast("long").as("key"),
+        md5(col("n_name").cast("binary")).as("md5_hex"),
+        sha2(col("n_name").cast("binary"), 256).as("sha256_hex"),
+        (col("xx64") === col("e_xx64")).as("xx64_ok"),
+        (col("crc") === col("e_crc")).as("crc_ok"),
+        (col("murmur") === col("e_murmur")).as("murmur_ok"),
+        (col("sha1_hex") === col("e_sha1")).as("sha1_ok"),
+        (col("sdx") === col("e_sdx")).as("sdx_ok"))
       .orderBy("key")
+  }
+  val fnHashEngineSql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS key,
+      |  md5(n_name) AS md5_hex,
+      |  sha256(n_name) AS sha256_hex,
+      |  true AS xx64_ok, true AS crc_ok, true AS murmur_ok,
+      |  true AS sha1_ok, true AS sdx_ok
+      |FROM nation ORDER BY key""".stripMargin
 
   /** Fuzzy string matching: edit distance (levenshtein, plus a bounded
     * variant returning -1 over the threshold, and a length-normalized
@@ -619,5 +676,6 @@ object Functions {
     "fn_bitwise" -> fnBitwiseSql,
     "fn_misc" -> fnMiscSql,
     "fn_fuzzy" -> fnFuzzySql,
-    "fn_bitmap" -> fnBitmapSql)
+    "fn_bitmap" -> fnBitmapSql,
+    "fn_hash_engine" -> fnHashEngineSql)
 }

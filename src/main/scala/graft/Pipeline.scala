@@ -1216,7 +1216,13 @@ object Pipeline {
     * metadata struct → per-partition batch "decode" (a deterministic stub
     * standing in for an image/audio decoder — the container has no codec
     * libs) → extracted features. The Spark-side plumbing (binary schema,
-    * partition-batched processing, feature schema) is real. Rows-only. */
+    * partition-batched processing, feature schema) is real, AND the stub's
+    * outputs are chosen so a SQL engine can recompute them from the source
+    * text: payload byte length, md5 of the payload bytes, and md5 of the
+    * first-4-codepoint head slice (DuckDB cannot slice BLOBs, so the head
+    * boundary is a CHARACTER offset; its md5 still hashes the UTF-8
+    * bytes — identical in both engines). That turns the decode stage from
+    * rows-only into a fully oracle-hash-checked operator. */
   def mmBinaryFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents")
@@ -1228,17 +1234,32 @@ object Pipeline {
       .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { batch =>
-        // stub decoder: deterministic per-payload "features"
+        // stub decoder: per-batch digest state, deterministic features
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]): String =
+          b.map(x => f"${x & 0xff}%02x").mkString
         batch.map { case (id, bytes, mime) =>
-          val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
-          (id, mime, bytes.length.toLong, checksum, bytes.take(4).map(_.toLong))
+          md.reset()
+          val digest = hex(md.digest(bytes))
+          val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          val headEnd =
+            text.offsetByCodePoints(0, math.min(4, text.codePointCount(0, text.length)))
+          md.reset()
+          val headDigest = hex(md.digest(
+            text.substring(0, headEnd)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          (id, mime, bytes.length.toLong, digest, headDigest)
         }
       }
-      .toDF("doc_id", "mime", "n_bytes", "checksum", "head_bytes")
-      .select(col("doc_id"), col("mime"), col("n_bytes"), col("checksum"),
-        concat_ws(",", col("head_bytes")).as("head"))
+      .toDF("doc_id", "mime", "n_bytes", "digest", "head_digest")
       .orderBy("doc_id")
   }
+  val mmBinaryFeaturesSql: String =
+    """SELECT doc_id, 'text/plain' AS mime,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  md5(substring(text, 1, 4)) AS head_digest
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------- events / sessionization ----------
 
@@ -3861,6 +3882,7 @@ object Pipeline {
     "corpus_zipf" -> (corpusZipf _))
 
   private val oracleBase: Map[String, String] = Map(
+    "mm_binary_features" -> mmBinaryFeaturesSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,

@@ -323,11 +323,18 @@ class PipelineSpec extends AnyFunSuite {
 class FunctionsSpec extends AnyFunSuite {
   import SparkSpec._
 
-  test("fn_hash_engine digests match reference values") {
-    val r = Functions.fnHashEngine(spark, sf)
-      .filter("key = 0").collect().head
-    assert(r.getAs[String]("sha1_hex") == "1a90e65cfdf74f01f73e0898c48e42a23146d93f")
-    assert(r.getAs[Long]("crc") == 3678181428L)
+  test("fn_hash_engine digests match the known-answer table") {
+    val rows = Functions.fnHashEngine(spark, sf).collect()
+    assert(rows.length == 25)
+    // every engine-specific kernel matches its inline known-answer digest
+    for (c <- Seq("xx64_ok", "crc_ok", "murmur_ok", "sha1_ok", "sdx_ok"))
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c flipped")
+    // cross-engine columns: pin one md5 so the plumbing itself is checked
+    val r0 = rows.find(_.getAs[Long]("key") == 0L).get
+    assert(r0.getAs[String]("md5_hex") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("NATION_0".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString)
   }
 }
 
