@@ -470,14 +470,17 @@ object Learn {
     * Σxxᵀ partial-aggregation pattern); per-dim sums ride the same pass.
     * All sums are exact decimals; the covariance is a fixed double tree.
     *
-    * Dimension ceiling (documented contract): the per-row expansion is
-    * d(d−1)/2 structs — 2,016 at the corpus's d=64, but 523k at d=1024,
-    * where a single input row inflates ~4 MB before the combiner. This
-    * implementation is therefore contracted to d ≤ ~256. Past that, block
-    * the pair space: process j-blocks of dims per pass (each pass expands
-    * only d·B/2 products, summing the same Σxxᵀ cells across passes) —
-    * the standard tiled-Gram construction; same reduce, bounded rows. */
+    * Scale contract (tiled-Gram construction): the upper-triangle pair
+    * space is partitioned into B×B dimension-block tiles. Each row first
+    * explodes into its block-pair (bi ≤ bj) units, and each unit expands
+    * into at most B² = 1,024 product structs — so the in-memory array a
+    * single generated row materializes is CONSTANT-bounded regardless of
+    * d (at d=1024 a row becomes 528 tile units of ≤1,024 cells, never one
+    * 523k-struct array). Every (i, j) pair lands in exactly one tile and
+    * the per-cell decimal sums are order-independent, so the reduce — and
+    * the oracle — are identical to the untiled plan. */
   def embCovariance(s: SparkSession, d: String): DataFrame = {
+    val B = 32 // tile width: ≤ B² cells per generated unit; d=64 → 3 tiles
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
       .select(col("vec_id"), (col("i0") + 1).as("i"),
@@ -485,13 +488,27 @@ object Learn {
     val dims = e.groupBy("i").agg(
       sum(col("x").cast(DecimalType(30, 12))).cast(DoubleType).as("sx"),
       count(lit(1)).as("n"))
+    // hi-bound helpers (SQL fragments): tile bi covers dims
+    // [(bi-1)·B+1, min(bi·B, d)] — the last tile is ragged
     val pairs = t(s, d, "embeddings")
+      .select(col("embedding"), explode(expr(
+        s"""flatten(transform(sequence(1, int(ceil(size(embedding) / ${B}D))),
+           |  a -> transform(sequence(a, int(ceil(size(embedding) / ${B}D))),
+           |    b -> struct(a AS bi, b AS bj))))""".stripMargin)).as("blk"))
+      // i runs over tile bi but must leave room for a j > i inside tile
+      // bj (the filter drops i = hi_j on diagonal tiles — and keeps every
+      // inner sequence ascending, so no descending-sequence phantom rows)
       .select(explode(expr(
-        """flatten(transform(sequence(1, size(embedding) - 1),
-          |  i -> transform(sequence(i + 1, size(embedding)),
-          |    j -> struct(i AS i, j AS j,
-          |      cast(embedding[i - 1] as double)
-          |        * cast(embedding[j - 1] as double) AS xy))))"""
+        s"""flatten(transform(
+           |  filter(sequence((blk.bi - 1) * $B + 1,
+           |                  least(blk.bi * $B, size(embedding))),
+           |         i -> i + 1 <= least(blk.bj * $B, size(embedding))),
+           |  i -> transform(
+           |    sequence(greatest(i + 1, (blk.bj - 1) * $B + 1),
+           |             least(blk.bj * $B, size(embedding))),
+           |    j -> struct(i AS i, j AS j,
+           |      cast(embedding[i - 1] as double)
+           |        * cast(embedding[j - 1] as double) AS xy))))"""
           .stripMargin)).as("p"))
       .select(col("p.i"), col("p.j"), col("p.xy"))
       .groupBy("i", "j")

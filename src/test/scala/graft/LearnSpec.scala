@@ -154,6 +154,41 @@ class LearnSpec extends AnyFunSuite {
     assert(avs.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
   }
 
+  test("emb_covariance tiling is exact at d > 64 (ragged last tile)") {
+    import org.apache.spark.sql.functions._
+    // synthetic d=70 corpus: 3 tiles at B=32, the last ragged (dims 65-70)
+    val dDim = 70; val nRows = 40
+    val rng = new scala.util.Random(7)
+    val data = (0 until nRows).map { id =>
+      (id.toLong, Array.fill(dDim)((rng.nextInt(2000) - 1000) / 100.0f))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("covtile").toString
+    import spark.implicits._
+    data.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Learn.embCovariance(spark, dir).collect()
+    assert(out.length == 20)
+    // brute-force every pair, mirroring the exact decimal-sum pipeline
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val cols = (0 until dDim).map(i => data.map(_._2(i).toDouble))
+    val sx = cols.map(c => c.map(d12).sum.toDouble)
+    val expected = (for {
+      i <- 0 until dDim; j <- i + 1 until dDim
+      sxy = data.map(r => d12(r._2(i).toDouble * r._2(j).toDouble))
+        .sum.toDouble
+      cov = BigDecimal((sxy - sx(i) * sx(j) / nRows) / (nRows - 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } yield ((i + 1).toLong, (j + 1).toLong) -> cov).toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("i"), r.getAs[Long]("j"))
+      assert(expected(key) == r.getAs[Double]("cov"), s"pair $key")
+    }
+    // the top-20 really are the 20 largest |cov| over ALL d(d-1)/2 pairs
+    val floor = out.map(r => math.abs(r.getAs[Double]("cov"))).min
+    assert(expected.values.count(v => math.abs(v) > floor) < 20)
+  }
+
   test("text_hapax: vocab and hapax match a brute-force count per source") {
     val out = Learn.textHapax(spark, sf).collect()
     val bySrc = docs.groupBy(_.getAs[String]("source"))
