@@ -207,4 +207,31 @@ class ScaleSpec extends AnyFunSuite {
     val total = rows.map(_.getAs[Long]("hits")).sum.toDouble / (10 * 5)
     assert(total >= 0.5, s"aggregate recall@5 $total below design point")
   }
+
+  test("plan audit: literal-direction power iteration, single brute-force arm, bounded audits") {
+    // power iteration constant-folds the direction vector into the plan:
+    // no join of any kind may touch the corpus
+    val pow = Scale.embPowerIteration(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pow.contains("Join"), "power iteration grew a corpus join")
+    // ANN recall: the brute-force scoring arm is the ONLY nested-loop
+    // join (10 broadcast queries x corpus); the LSH arm must stay
+    // hash-equi-joined and nothing may plan an unbounded cartesian
+    val ann = Scale.embAnnRecall(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ann.contains("CartesianProduct"), "ann_recall cartesian")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ann).size == 1,
+      "ann_recall must have exactly one nested-loop join (the brute arm)")
+    assert(ann.contains("BroadcastHashJoin"), "LSH arm lost its hash join")
+    // audit ops: top-N selection rides a bounded TakeOrdered, never a
+    // global sort of the corpus; the threshold cross is broadcast
+    val skew = Scale.auditKeySkew(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(skew.contains("TakeOrderedAndProject(limit=10"),
+      "key-skew top-10 must be a bounded TakeOrdered")
+    assert(!skew.contains("CartesianProduct"), "key-skew cartesian")
+    val bal = Scale.auditShuffleBalance(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!bal.contains("Join"), "shuffle-balance should be join-free")
+  }
 }
