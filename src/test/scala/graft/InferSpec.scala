@@ -80,6 +80,19 @@ class InferSpec extends AnyFunSuite {
       s"unpartitioned WindowExec in Theil-Sen plan:\n$plan")
   }
 
+  test("Theil-Sen is invariant to spark.sql.shuffle.partitions") {
+    // the distPos median selection derives its range-partition width from
+    // the session conf; results must be identical at any width
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    val base = Infer.statTheilSen(spark, sf).collect().map(_.toString).toSeq
+    try {
+      conf.set("spark.sql.shuffle.partitions", "5")
+      val narrow = Infer.statTheilSen(spark, sf).collect().map(_.toString).toSeq
+      assert(narrow == base, "Theil-Sen drifted with the shuffle width")
+    } finally conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("Poisson bootstrap CI brackets the corpus mean with ordered bounds") {
     val row = Infer.statBootstrapCi(spark, sf).collect().head
     val mean = docs.map(_.getAs[Long]("n_chars")).sum.toDouble / docs.length

@@ -636,6 +636,19 @@ class RefineSpec extends AnyFunSuite {
     assert(shares.sameElements(shares.sorted))
   }
 
+  test("concentration is invariant to spark.sql.shuffle.partitions") {
+    // its distPos ranking derives the range-partition width from the
+    // session conf; results must be identical at a non-default width
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    val base = Refine.eventConcentration(spark, sf).collect().map(_.toString).toSeq
+    try {
+      conf.set("spark.sql.shuffle.partitions", "5")
+      val narrow = Refine.eventConcentration(spark, sf).collect().map(_.toString).toSeq
+      assert(narrow == base, "concentration drifted with the shuffle width")
+    } finally conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("TwoNN intrinsic dimension matches the brute-force estimator") {
     val rows = Refine.embIntrinsicDim(spark, sf).collect()
     val anchors = embs.filter(_._1 < 100)
