@@ -415,8 +415,8 @@ object Pipeline {
          |    / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.2
          |ORDER BY doc1, doc2""".stripMargin
 
-  private val NumHashes = 16
-  private val BandSize = 4
+  private[graft] val NumHashes = 16
+  private[graft] val BandSize = 4
 
   /** 60-bit hash lane from the first 15 hex chars of md5 — deliberately
     * expressible in BOTH engines (Spark `conv(substr(md5,…),16,10)`,
@@ -466,7 +466,7 @@ object Pipeline {
     * ~16× the hashing work and dominated the whole dedup family's runtime
     * at the 10× corpus. The fold keeps one md5 evaluation per shingle:
     * each (a,b) struct updates all [[NumHashes]] running minima. */
-  private def minhashSignature: Column = {
+  private[graft] def minhashSignature: Column = {
     val shingles =
       """array_distinct(transform(
         |  sequence(1, greatest(length(text) - 7, 1)),
@@ -495,14 +495,17 @@ object Pipeline {
     * bucket skew — the standard 100 TB-safe dedup topology. The band key
     * is the joined text of the band's lanes (portable), and the lanes are
     * md5-derived, so the DuckDB oracle reproduces the banding exactly. */
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    // Round-10 exact-copy short-circuit (the family-wide pattern):
-    // signatures, banding, and the lane-agreement estimate run on
-    // distinct-content REPRESENTATIVES only — identical texts produce
-    // identical signatures, so banding recall and every estimate are
-    // unchanged — and the full pair set is reconstructed exactly:
-    // within-group pairs agree on all lanes (est 1.0), cross-group
-    // pairs inherit their representatives' estimate.
+  /** Distinct-content scaffolding shared by the MinHash family
+    * (round-10 exact-copy short-circuit, round-11 extracted so
+    * [[dedupGroups]] can consume REP pairs without reconstructing the
+    * full pair set): signatures, banding, and the lane-agreement
+    * estimate run on distinct-content representatives only — identical
+    * texts produce identical signatures, so banding recall and every
+    * estimate are unchanged. Returns (members: one (doc_id, th) row per
+    * document; repPairs: verified representative pairs (r1 < r2) with
+    * their text hashes and est_jaccard ≥ 0.5). */
+  private def minhashScaffold(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val byText = t(s, d, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("th"))
       .localCheckpoint() // read twice: members + rep election
@@ -530,11 +533,20 @@ object Pipeline {
     val repPairs = a.join(b,
         col("band") === col("band2") && col("bh") === col("bh2") &&
           col("r1") < col("r2"))
-      .select(col("th1"), col("th2"), col("mh1"), col("mh2")).distinct()
-      .select(col("th1"), col("th2"),
+      .select(col("r1"), col("r2"), col("th1"), col("th2"),
+        col("mh1"), col("mh2")).distinct()
+      .select(col("r1"), col("r2"), col("th1"), col("th2"),
         round(expr(s"size(filter(zip_with(mh1, mh2, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)"), 4)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+    (members, repPairs)
+  }
+
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // the full pair set is reconstructed exactly from the rep pairs:
+    // within-group pairs agree on all lanes (est 1.0), cross-group
+    // pairs inherit their representatives' estimate.
+    val (members, repPairs) = minhashScaffold(s, d)
     val cross = repPairs
       .join(members.select(col("th").as("th1"), col("doc_id").as("da")), "th1")
       .join(members.select(col("th").as("th2"), col("doc_id").as("db")), "th2")
@@ -602,8 +614,17 @@ object Pipeline {
     * Oracle: DuckDB recursive CTE over the identical pair CTEs. */
   def dedupGroups(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val p = dedupMinhashLsh(s, d).select(col("doc1"), col("doc2"))
-    val edges = p.union(p.select(col("doc2"), col("doc1")))
+    // Round-11: propagate over the REPRESENTATIVE graph, not the
+    // reconstructed full pair set. Identical-text groups are cliques
+    // that share their rep's connections, so components over rep pairs
+    // expand exactly to components over all pairs — and every rep IS
+    // its group's min doc id, so the component's min rep label equals
+    // the min doc id the full-graph fixpoint would compute. At a
+    // replicated corpus (group size g) this shrinks the fixpoint input
+    // by ~g² while the output stays bit-identical.
+    val (members, repPairs) = minhashScaffold(s, d)
+    val p = repPairs.select(col("r1"), col("r2"))
+    val edges = p.union(p.select(col("r2"), col("r1")))
       .toDF("src", "dst").cache()
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
@@ -639,15 +660,25 @@ object Pipeline {
         s"dedup_groups: min-label propagation did not converge in $iter " +
           "rounds — a component's diameter exceeds the iteration cap; " +
           "returning partial labels would silently split groups")
-    // Materialize the final labels (small: one row per doc in any pair)
-    // so the persisted RDD and edge cache can be released — otherwise one
-    // MEMORY_AND_DISK RDD leaks per call.
-    val out = s.createDataset(labelsRdd).toDF("doc_id", "keep_id")
-      .orderBy("doc_id")
+    // Materialize the rep labels (rep-bounded) so the persisted RDD and
+    // edge cache can be released — otherwise one MEMORY_AND_DISK RDD
+    // leaks per call.
+    val labelsRep = s.createDataset(labelsRdd).toDF("rep", "label")
       .localCheckpoint()
     labelsRdd.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    out
+    // Expand rep components to documents. A doc is in the full pair set
+    // iff its rep pairs with another rep OR its identical-text group has
+    // ≥ 2 members (within-group pairs); its component label is its rep's
+    // propagated label, or the rep itself for a pure within-group clique.
+    val docRep = members.join(
+      members.groupBy("th").agg(min("doc_id").as("rep"),
+        count(lit(1)).as("gsz")), "th")
+    docRep.join(labelsRep, Seq("rep"), "left")
+      .filter(col("label").isNotNull || col("gsz") >= 2)
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep")).as("keep_id"))
+      .orderBy("doc_id")
   }
   val dedupGroupsSql: String =
     raw"""WITH RECURSIVE $minhashPairsCtes,
@@ -3059,9 +3090,13 @@ object Pipeline {
     * is this document — the "how much genuinely new text does this doc
     * add" curation signal (the streaming-order complement of
     * [[dedupSubstring]]'s span overlap). Shingles hash through the
-    * repo-wide md5 lane so both engines bucket identically; topology is
-    * explode → distinct → one gram-keyed aggregation → gram-keyed join
-    * back — all keyed shuffles, no global ordering. */
+    * repo-wide md5 lane so both engines bucket identically. Round-11
+    * topology: NO gram-keyed join back — a doc's novel-gram count is
+    * just how many grams in the first-occurrence table name it, so the
+    * plan is explode → distinct → two keyed aggregations (doc-keyed
+    * gram counts; gram-keyed min-doc reduced again doc-keyed) and one
+    * doc-cardinality left join. The gram-cardinality shuffle join the
+    * previous shape paid — the dominant cost at corpus scale — is gone. */
   def textNgramNovelty(s: SparkSession, d: String): DataFrame = {
     val g = t(s, d, "documents")
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
@@ -3071,12 +3106,13 @@ object Pipeline {
            |  i -> ${md5Lane("concat_ws(' ', slice(ws, i, 5))")})"""
           .stripMargin)).as("gh"))
       .distinct()
-    val first = g.groupBy("gh").agg(min("doc_id").as("first_doc"))
-    g.join(first, "gh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+      .localCheckpoint() // gram explode + md5 computed ONCE for both aggs
+    val perDoc = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy("gh").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams"), 6))
       .orderBy("doc_id")

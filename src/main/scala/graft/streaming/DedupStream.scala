@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.{Pipeline, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-incremental MinHash dedup — the ingest-time posture of
+  * [[graft.Pipeline.dedupIncremental]] run as a Structured Streaming
+  * pipeline (reference exposes only batch dedup-style joins; the
+  * streaming arrangement is the 100 TB ingest design this library adds):
+  *
+  *   - the already-ingested half of the corpus becomes a PRECOMPUTED
+  *     signature/band table (at production scale this is a maintained
+  *     table, not recomputed per batch) — localCheckpointed once;
+  *   - the "new" half arrives as parquet files in a watched directory,
+  *     consumed with `Trigger.AvailableNow` + `maxFilesPerTrigger 1`, so
+  *     every micro-batch sees only the newly-landed file;
+  *   - `foreachBatch` runs the SAME band-bucket join + lane-agreement
+  *     estimate against the static reference and appends each batch's
+  *     verdict rows to the sink — each new doc is scanned exactly once,
+  *     and new×new pairs are never generated.
+  *
+  * Returns the accumulated sink as a DataFrame ordered like the batch
+  * operator, so equivalence is a direct row-for-row comparison. */
+object DedupStream {
+
+  /** Run the streaming incremental dedup over `d`'s documents; `files`
+    * controls how many arrival files (micro-batches) the new half is
+    * split into. */
+  def dedupIncrementalStream(
+      s: SparkSession, d: String, files: Int = 4): DataFrame = {
+    val docs = Q.t(s, d, "documents")
+    val cut = docs.agg((max(col("doc_id")).cast("long") / 2).cast("long"))
+      .head().getLong(0)
+
+    // Reference half: precomputed band table (the maintained-state side).
+    val refBands = docs.filter(col("doc_id") <= cut)
+      .select(col("doc_id"), Pipeline.minhashSignature.as("mh"))
+      .select(col("doc_id"), col("mh"),
+        explode(expr(
+          s"""transform(sequence(0, ${Pipeline.NumHashes / Pipeline.BandSize - 1}),
+             |  b -> named_struct(
+             |    'band', b,
+             |    'bh', concat_ws(',',
+             |      transform(slice(mh, b * ${Pipeline.BandSize} + 1, ${Pipeline.BandSize}),
+             |        x -> cast(x as string)))))""".stripMargin)).as("k"))
+      .select(col("doc_id").as("ref_id"), col("mh").as("mh_r"),
+        col("k.band").as("band"), col("k.bh").as("bh"))
+      .localCheckpoint()
+
+    // New half lands as `files` parquet files in a watched directory.
+    val newDocs = docs.filter(col("doc_id") > cut)
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ing_in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ing_out")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ing_ck")
+    newDocs.withColumn("f", pmod(col("doc_id"), lit(files)))
+      .write.partitionBy("f").mode("overwrite").parquet(inDir.toString)
+
+    val schema = newDocs.schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/f=*")
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ckDir.toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-batch: band the arrivals, bucket-join the static reference,
+        // verify lane agreement, aggregate per new doc — complete within
+        // the batch because new×ref evidence never spans arrivals
+        val nb = batch
+          .select(col("doc_id"), Pipeline.minhashSignature.as("mh"))
+          .select(col("doc_id"), col("mh"),
+            explode(expr(
+              s"""transform(sequence(0, ${Pipeline.NumHashes / Pipeline.BandSize - 1}),
+                 |  b -> named_struct(
+                 |    'band', b,
+                 |    'bh', concat_ws(',',
+                 |      transform(slice(mh, b * ${Pipeline.BandSize} + 1, ${Pipeline.BandSize}),
+                 |        x -> cast(x as string)))))""".stripMargin)).as("k"))
+          .select(col("doc_id").as("new_id"), col("mh").as("mh_n"),
+            col("k.band").as("band2"), col("k.bh").as("bh2"))
+        val pairs = nb.join(refBands,
+            col("band2") === col("band") && col("bh2") === col("bh"))
+          .select(col("new_id"), col("ref_id"),
+            round(expr(s"size(filter(zip_with(mh_n, mh_r, (x, y) -> x = y), " +
+              s"v -> v)) / cast(${Pipeline.NumHashes} as double)"), 4)
+              .as("est_jaccard"))
+          .distinct()
+          .filter(col("est_jaccard") >= 0.35)
+        val perNew = pairs.groupBy("new_id")
+          .agg(count(lit(1)).as("n_ref_dups"),
+            max("est_jaccard").as("best_jaccard"))
+        batch.select(col("doc_id").as("new_id"))
+          .join(perNew, Seq("new_id"), "left")
+          .select(col("new_id"),
+            coalesce(col("n_ref_dups"), lit(0L)).as("n_ref_dups"),
+            col("best_jaccard"),
+            (coalesce(col("n_ref_dups"), lit(0L)) > 0).as("is_dup"))
+          .write.mode("append").parquet(outDir.toString)
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    s.read.parquet(outDir.toString).orderBy("new_id")
+  }
+}

@@ -146,6 +146,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed > 0)
   }
 
+  test("streaming incremental dedup over AvailableNow matches the batch operator") {
+    // the 100 TB ingest posture end-to-end: precomputed reference band
+    // table + per-file micro-batches through foreachBatch — the result
+    // must equal the batch reference-vs-new operator row for row
+    val streamed = streaming.DedupStream
+      .dedupIncrementalStream(spark, sf, files = 3).collect()
+    val batch = Pipeline.dedupIncremental(spark, sf).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[Long]("new_id")
+    val sm = streamed.map(r => key(r) -> r.toString).toMap
+    batch.foreach { r =>
+      assert(sm(key(r)) == r.toString, s"mismatch at new_id ${key(r)}")
+    }
+  }
+
   test("stateful streaming: mapGroupsWithState per-user counts match batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_state_stream")
