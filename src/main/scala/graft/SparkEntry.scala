@@ -13,7 +13,7 @@ object SparkEntry {
     Tpch.queries ++ Ops.queries ++ Functions.queries ++ Pipeline.queries ++
       Extras.queries ++ Advanced.queries ++ Stats.queries ++ Curation.queries ++
       Quality.queries ++ Insight.queries ++ Infer.queries ++ Mining.queries ++
-      Learn.queries ++ Scale.queries ++ Refine.queries
+      Learn.queries ++ Scale.queries ++ Refine.queries ++ Polish.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +21,5 @@ object SparkEntry {
     Tpch.oracle ++ Ops.oracle ++ Functions.oracle ++ Pipeline.oracle ++
       Extras.oracle ++ Advanced.oracle ++ Stats.oracle ++ Curation.oracle ++
       Quality.oracle ++ Insight.oracle ++ Infer.oracle ++ Mining.oracle ++
-      Learn.oracle ++ Scale.oracle ++ Refine.oracle
+      Learn.oracle ++ Scale.oracle ++ Refine.oracle ++ Polish.oracle
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force cross-checks for the round-11 operators. */
+class PolishSpec extends AnyFunSuite {
+  import SparkSpec._
+
+  private val P = 1000000007L
+  private val Mask = 64L
+  private val Pow: IndexedSeq[Long] =
+    (0 until 8).scanLeft(1L)((acc, _) => acc * 257L % P).take(8)
+
+  /** Reference CDC chunker mirroring the operator's parameters. */
+  private def cdcChunks(text: String): Seq[String] = {
+    val cs = text.map(_.toLong)
+    val bounds = (0 to cs.length - 8).flatMap { i0 =>
+      val h = (0 until 8).map(j => cs(i0 + j) * Pow(7 - j)).sum % P
+      if (h % Mask == 0) Some(i0 + 8) else None
+    }
+    val cuts = 0 +: bounds :+ text.length
+    cuts.zip(cuts.tail).collect { case (a, b) if b > a =>
+      text.substring(a, b)
+    }
+  }
+
+  test("cdc chunking matches the reference chunker and reassembles") {
+    val docs = Q.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val out = Polish.dedupCdcChunks(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // brute-force global accounting: first doc per chunk content
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    docs.sortBy(_._1).foreach { case (id, t0) =>
+      cdcChunks(t0).foreach(c => firstDoc.getOrElseUpdate(c, id))
+    }
+    docs.foreach { case (id, t0) =>
+      val cs = cdcChunks(t0)
+      assert(cs.mkString == t0, s"doc $id chunks must reassemble")
+      val r = out(id)
+      assert(r.getAs[Long]("n_chunks") == cs.length, s"doc $id n_chunks")
+      val dup = cs.filter(c => firstDoc(c) < id)
+      assert(r.getAs[Long]("n_dup") == dup.length, s"doc $id n_dup")
+      assert(r.getAs[Long]("dup_chars") == dup.map(_.length).sum.toLong,
+        s"doc $id dup_chars")
+    }
+    assert(out.values.exists(_.getAs[Long]("n_dup") > 0),
+      "corpus should contain duplicated chunk content")
+  }
+
+  test("cdc boundaries are content-defined: a prefix edit leaves later chunks intact") {
+    // the defining CDC property fixed-size chunking lacks: insert one
+    // char at the front and the chunk digests after the first boundary
+    // are unchanged (all offsets shifted, content identical)
+    val base = Q.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+      .find(cdcChunks(_).length >= 3).get
+    val edited = "X" + base
+    val a = cdcChunks(base)
+    val b = cdcChunks(edited)
+    // all chunks after the first boundary of each version coincide
+    assert(a.tail.toSet.intersect(b.tail.toSet).size >= a.length - 2,
+      "later chunks must survive a prefix insertion")
+  }
+
+  test("l-diversity matches a brute-force recount") {
+    val ev = Q.t(spark, sf, "events")
+      .selectExpr("event_type", "cast(hour(ts) as long) as hr",
+        "user_id % 100 as cohort").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr"),
+        r.getAs[Long]("cohort")))
+    val expected = ev.groupBy(e => (e._1, e._2)).map { case (k, v) =>
+      k -> (v.length.toLong, v.map(_._3).distinct.length.toLong)
+    }
+    val out = Polish.privacyLDiversity(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("hr"))
+      val (n, l) = expected(k)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("l") == l, s"$k")
+      assert(r.getAs[Boolean]("diverse") == (l >= 5))
+    }
+  }
+
+  test("changepoint is the argmax of the centered cumulative sum") {
+    val daily = Q.t(spark, sf, "events")
+      .selectExpr("date_trunc('day', ts) as day").collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("day"))
+      .map { case (d0, v) => (d0, v.length.toLong) }.toSeq.sortBy(_._1)
+    val tot = daily.map(_._2).sum
+    val nd = daily.length
+    val devs = daily.zipWithIndex.map { case ((d0, _), i) =>
+      val cy = daily.take(i + 1).map(_._2).sum
+      (d0, cy, i + 1L, cy.toDouble - (i + 1).toDouble * tot / nd)
+    }
+    val best = devs.maxBy(x => (math.abs(x._4), -x._1.getTime))
+    val r = Polish.eventChangepoint(spark, sf).collect().head
+    assert(r.getAs[java.sql.Timestamp]("cp_day") == best._1)
+    assert(math.abs(r.getAs[Double]("cusum_dev") - best._4) < 1e-6)
+    val pre = best._2.toDouble / best._3
+    val post = (tot - best._2).toDouble / (nd - best._3)
+    assert(math.abs(r.getAs[Double]("pre_mean") - pre) < 1e-6)
+    assert(math.abs(r.getAs[Double]("post_mean") - post) < 1e-6)
+  }
+
+  test("jarque-bera matches a brute-force moment computation") {
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val ev = Q.t(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val out = Polish.statJarqueBera(spark, sf).collect()
+    out.foreach { r =>
+      val xs = ev.filter(_._1 == r.getAs[String]("event_type")).map(_._2)
+      val n = xs.length.toDouble
+      val s1 = xs.map(d12).sum.toDouble
+      val s2 = xs.map(x => d12(x * x)).sum.toDouble
+      val s3 = xs.map(x => d12(x * x * x)).sum.toDouble
+      val s4 = xs.map(x => d12(x * x * x * x)).sum.toDouble
+      val m = s1 / n
+      val mu2 = s2 / n - m * m
+      val mu3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+      val mu4 = s4 / n - 4.0 * m * (s3 / n) +
+        6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m
+      val sk = mu3 / math.pow(mu2, 1.5)
+      val ku = mu4 / (mu2 * mu2)
+      val jb = n / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0)
+      assert(r.getAs[Long]("n") == xs.length)
+      assert(math.abs(r.getAs[Double]("skewness") - sk) < 1e-6)
+      assert(math.abs(r.getAs[Double]("kurtosis") - ku) < 1e-6)
+      assert(math.abs(r.getAs[Double]("jb") - jb) < 1e-4)
+    }
+  }
+
+  test("orc roundtrip preserves every supplier row") {
+    val src = Q.t(spark, sf, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // and the registered aggregate runs
+    assert(Polish.scanOrcRoundtrip(spark, sf).collect().nonEmpty)
+  }
+}
