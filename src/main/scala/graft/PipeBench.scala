@@ -48,7 +48,9 @@ object PipeBench {
     "event_dau_mau", "text_burstiness", "stat_tukey_hsd",
     "event_funnel_time", "stat_ljung_box", "join_salted_skew", "event_bots_detect", "mm_chunk_manifest",
     "graph_jaccard_neighbors", "event_anomaly_esd", "event_concentration",
-    "emb_intrinsic_dim", "stat_runs_test")
+    "emb_intrinsic_dim", "stat_runs_test",
+    "dedup_cdc_chunks", "privacy_l_diversity", "event_changepoint",
+    "stat_jarque_bera", "scan_orc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
