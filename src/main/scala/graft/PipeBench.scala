@@ -50,7 +50,8 @@ object PipeBench {
     "graph_jaccard_neighbors", "event_anomaly_esd", "event_concentration",
     "emb_intrinsic_dim", "stat_runs_test",
     "dedup_cdc_chunks", "privacy_l_diversity", "event_changepoint",
-    "stat_jarque_bera", "scan_orc_roundtrip")
+    "stat_jarque_bera", "scan_orc_roundtrip", "text_rake_keywords",
+    "stat_hurst")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

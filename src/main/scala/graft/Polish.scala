@@ -304,17 +304,227 @@ object Polish {
        |  min(s_name) AS first_name, max(s_suppkey) AS last_key
        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  // ---------- RAKE keyword extraction ----------
+
+  private val RakeStops: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** RAKE (Rapid Automatic Keyword Extraction) top-3 keyphrases per
+    * document: candidate phrases are maximal stopword-free word runs;
+    * each word scores degree/frequency (degree = summed length of the
+    * phrase instances containing it), and a phrase scores the sum of its
+    * words' scores. Per-word ratios are decimal-quantized before the
+    * phrase sum so the aggregation is order-independent and the DuckDB
+    * oracle matches bit-for-bit. Topology: one per-doc window for phrase
+    * ids, then (doc, phrase)- and (doc, word)-keyed reduces and joins —
+    * everything doc-partitioned, top-3 via a ranked window. */
+  def textRakeKeywords(s: SparkSession, d: String): DataFrame = {
+    val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
+    val occ = t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("split(trim(text), '\\\\s+')")).as(Seq("pos", "w")))
+      .withColumn("stop", expr(s"w IN ($stopList)"))
+      .withColumn("pid",
+        sum(when(col("stop"), 1L).otherwise(0L)).over(
+          Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(!col("stop"))
+      .select(col("doc_id"), col("pid"), col("pos").cast("long").as("pos"),
+        col("w"))
+      .localCheckpoint() // consumed by phrase, degree, and score stages
+    val phrases = occ.groupBy("doc_id", "pid")
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(pos, w))), p -> p.w)")).as("phrase"))
+    val wordStats = occ.join(
+        phrases.select(col("doc_id"), col("pid"), col("plen")),
+        Seq("doc_id", "pid"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore",
+        (col("deg").cast("double") / col("freq")).cast(DecimalType(38, 12)))
+    val pscore = occ.join(wordStats.select("doc_id", "w", "wscore"),
+        Seq("doc_id", "w"))
+      .groupBy("doc_id", "pid")
+      .agg(sum("wscore").as("psum"))
+    val rk = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("phrase"))
+    phrases.join(pscore, Seq("doc_id", "pid"))
+      .select(col("doc_id"), col("phrase"),
+        col("psum").cast("double").as("score"))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("phrase"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+  val textRakeKeywordsSql: String = {
+    val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
+    raw"""WITH w0 AS (SELECT doc_id, pos, w,
+         |    w IN ($stopList) AS stop
+         |  FROM (SELECT doc_id, i AS pos, ws[i] AS w
+         |    FROM (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS ws
+         |      FROM documents),
+         |      unnest(generate_series(1, len(ws))) AS t(i))),
+         |p0 AS (SELECT doc_id, pos, w, stop,
+         |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS UNBOUNDED PRECEDING) AS pid
+         |  FROM w0),
+         |occ AS (SELECT doc_id, pid, CAST(pos AS BIGINT) AS pos, w
+         |  FROM p0 WHERE NOT stop),
+         |ph AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+         |    string_agg(w, ' ' ORDER BY pos) AS phrase
+         |  FROM occ GROUP BY doc_id, pid),
+         |ws AS (SELECT occ.doc_id, occ.w,
+         |    CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(plen) AS BIGINT) AS deg
+         |  FROM occ JOIN ph USING (doc_id, pid)
+         |  GROUP BY occ.doc_id, occ.w),
+         |sc AS (SELECT doc_id, w,
+         |    CAST(CAST(deg AS DOUBLE) / freq AS DECIMAL(38,12)) AS wscore
+         |  FROM ws),
+         |ps AS (SELECT occ.doc_id, occ.pid, sum(wscore) AS psum
+         |  FROM occ JOIN sc USING (doc_id, w)
+         |  GROUP BY occ.doc_id, occ.pid),
+         |ranked AS (SELECT ph.doc_id, ph.phrase,
+         |    CAST(psum AS DOUBLE) AS score,
+         |    CAST(row_number() OVER (PARTITION BY ph.doc_id
+         |      ORDER BY CAST(psum AS DOUBLE) DESC, ph.phrase) AS BIGINT)
+         |      AS rank
+         |  FROM ph JOIN ps USING (doc_id, pid))
+         |SELECT doc_id, rank, phrase, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  }
+
+  // ---------- Hurst exponent (rescaled range) ----------
+
+  /** Hurst exponent of the daily event-count series via the classic
+    * rescaled-range (R/S) two-scale estimate: segment the series at
+    * m = 8 and m = 16 days, compute each segment's cumulative-deviation
+    * range over its standard deviation, average per scale (per-segment
+    * ratios decimal-quantized so the mean is order-independent), and
+    * slope the two points on the log-log line — H = log2(RS₁₆/RS₈).
+    * H ≈ 0.5 for an uncorrelated series, > 0.5 for persistent ones. All
+    * segment moments come from exact integer sums; the series table is
+    * calendar-bounded so its ordering windows are safe by construction. */
+  def statHurst(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("t",
+        row_number().over(Window.orderBy("day")).cast("long"))
+      .localCheckpoint() // calendar-bounded
+    val n = daily.count()
+    def rs(m: Int): DataFrame = {
+      val k = n / m
+      val seg = daily.filter(col("t") <= k * m)
+        .withColumn("seg", ((col("t") - 1) / m).cast("long"))
+        .withColumn("i", ((col("t") - 1) % m + 1).cast("long"))
+      val moments = seg.groupBy("seg")
+        .agg(sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
+      seg.withColumn("cy", sum("y").over(
+          Window.partitionBy("seg").orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .join(moments, "seg")
+        .withColumn("dev", col("cy").cast("double")
+          - col("i").cast("double") * col("sy") / m)
+        .groupBy("seg")
+        .agg(max("dev").as("dmax"), min("dev").as("dmin"),
+          first(col("sy")).as("sy"), first(col("syy")).as("syy"))
+        .select(col("seg"),
+          ((col("dmax") - col("dmin"))
+            / sqrt(col("syy").cast("double") / m
+              - (col("sy").cast("double") / m) * (col("sy").cast("double") / m)))
+            .cast(DecimalType(38, 12)).as("rs"))
+        .agg((sum("rs").cast("double") / k).as("avg_rs"))
+    }
+    val r8 = rs(8).withColumnRenamed("avg_rs", "rs8")
+    val r16 = rs(16).withColumnRenamed("avg_rs", "rs16")
+    r8.crossJoin(r16)
+      .select(lit(n).as("n_days"),
+        round(col("rs8"), 6).as("rs8"),
+        round(col("rs16"), 6).as("rs16"),
+        round(log2(col("rs16") / col("rs8")), 6).as("hurst"))
+  }
+  val statHurstSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY date_trunc('day', ts)),
+      |idx AS (SELECT y,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      |  FROM daily),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+      |rs8 AS (
+      |  SELECT sum(rs) / max(k) AS avg_rs FROM (
+      |    SELECT CAST((dmax - dmin)
+      |        / sqrt(CAST(syy AS DOUBLE) / 8
+      |          - (CAST(sy AS DOUBLE) / 8) * (CAST(sy AS DOUBLE) / 8))
+      |      AS DECIMAL(38,12)) AS rs,
+      |      (SELECT n // 8 FROM nn) AS k
+      |    FROM (
+      |      SELECT seg, max(dev) AS dmax, min(dev) AS dmin,
+      |        max(sy) AS sy, max(syy) AS syy
+      |      FROM (
+      |        SELECT s.seg, s.i,
+      |          CAST(sum(s.y) OVER (PARTITION BY s.seg ORDER BY s.i
+      |            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |            - CAST(s.i AS DOUBLE) * m.sy / 8 AS dev,
+      |          m.sy, m.syy
+      |        FROM (SELECT (t - 1) // 8 AS seg, (t - 1) % 8 + 1 AS i, y
+      |          FROM idx WHERE t <= (SELECT n // 8 FROM nn) * 8) s
+      |        JOIN (SELECT (t - 1) // 8 AS seg,
+      |            CAST(sum(y) AS BIGINT) AS sy,
+      |            CAST(sum(y * y) AS BIGINT) AS syy
+      |          FROM idx WHERE t <= (SELECT n // 8 FROM nn) * 8
+      |          GROUP BY (t - 1) // 8) m USING (seg))
+      |      GROUP BY seg))),
+      |rs16 AS (
+      |  SELECT sum(rs) / max(k) AS avg_rs FROM (
+      |    SELECT CAST((dmax - dmin)
+      |        / sqrt(CAST(syy AS DOUBLE) / 16
+      |          - (CAST(sy AS DOUBLE) / 16) * (CAST(sy AS DOUBLE) / 16))
+      |      AS DECIMAL(38,12)) AS rs,
+      |      (SELECT n // 16 FROM nn) AS k
+      |    FROM (
+      |      SELECT seg, max(dev) AS dmax, min(dev) AS dmin,
+      |        max(sy) AS sy, max(syy) AS syy
+      |      FROM (
+      |        SELECT s.seg, s.i,
+      |          CAST(sum(s.y) OVER (PARTITION BY s.seg ORDER BY s.i
+      |            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |            - CAST(s.i AS DOUBLE) * m.sy / 16 AS dev,
+      |          m.sy, m.syy
+      |        FROM (SELECT (t - 1) // 16 AS seg, (t - 1) % 16 + 1 AS i, y
+      |          FROM idx WHERE t <= (SELECT n // 16 FROM nn) * 16) s
+      |        JOIN (SELECT (t - 1) // 16 AS seg,
+      |            CAST(sum(y) AS BIGINT) AS sy,
+      |            CAST(sum(y * y) AS BIGINT) AS syy
+      |          FROM idx WHERE t <= (SELECT n // 16 FROM nn) * 16
+      |          GROUP BY (t - 1) // 16) m USING (seg))
+      |      GROUP BY seg)))
+      |SELECT (SELECT n FROM nn) AS n_days,
+      |  round(CAST((SELECT avg_rs FROM rs8) AS DOUBLE), 6) AS rs8,
+      |  round(CAST((SELECT avg_rs FROM rs16) AS DOUBLE), 6) AS rs16,
+      |  round(log2(CAST((SELECT avg_rs FROM rs16) AS DOUBLE)
+      |    / CAST((SELECT avg_rs FROM rs8) AS DOUBLE)), 6) AS hurst""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "event_changepoint" -> (eventChangepoint _),
     "stat_jarque_bera" -> (statJarqueBera _),
-    "scan_orc_roundtrip" -> (scanOrcRoundtrip _))
+    "scan_orc_roundtrip" -> (scanOrcRoundtrip _),
+    "text_rake_keywords" -> (textRakeKeywords _),
+    "stat_hurst" -> (statHurst _))
 
   val oracle: Map[String, String] = Map(
     "dedup_cdc_chunks" -> dedupCdcChunksSql,
     "privacy_l_diversity" -> privacyLDiversitySql,
     "event_changepoint" -> eventChangepointSql,
     "stat_jarque_bera" -> statJarqueBeraSql,
-    "scan_orc_roundtrip" -> scanOrcRoundtripSql)
+    "scan_orc_roundtrip" -> scanOrcRoundtripSql,
+    "text_rake_keywords" -> textRakeKeywordsSql,
+    "stat_hurst" -> statHurstSql)
 }

@@ -133,6 +133,74 @@ class PolishSpec extends AnyFunSuite {
     }
   }
 
+  test("rake keywords match a brute-force extractor") {
+    val stops = Set("the", "a", "of", "and", "to", "in", "is", "on",
+      "for", "with")
+    val docs = Q.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val out = Polish.textRakeKeywords(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    docs.foreach { case (id, t0) =>
+      // brute force: phrases = stopword-free runs
+      val words = t0.trim.split("\\s+").toSeq
+      val phrases = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      words.foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) { phrases += cur.toSeq; cur.clear() } }
+        else cur += w
+      }
+      if (cur.nonEmpty) phrases += cur.toSeq
+      if (phrases.nonEmpty) {
+        val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size)
+        val deg = phrases.flatMap(p => p.map(_ -> p.length))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        def d12(x: Double) =
+          BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        val scored = phrases.map { p =>
+          (p.mkString(" "),
+            p.map(w => d12(deg(w).toDouble / freq(w))).sum.toDouble)
+        }
+        val top = scored.sortBy { case (ph, sc) => (-sc, ph) }.take(3)
+        val got = out(id).sortBy(_.getAs[Long]("rank"))
+          .map(r => (r.getAs[String]("phrase"), r.getAs[Double]("score")))
+        assert(got.length == math.min(3, scored.length), s"doc $id count")
+        got.zip(top).foreach { case ((gp, gs), (ep, es)) =>
+          assert(gp == ep, s"doc $id phrase: $gp vs $ep")
+          assert(math.abs(gs - es) < 1e-6, s"doc $id score")
+        }
+      } else assert(!out.contains(id))
+    }
+  }
+
+  test("hurst exponent matches a brute-force rescaled-range estimate") {
+    val daily = Q.t(spark, sf, "events")
+      .selectExpr("date_trunc('day', ts) as day").collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("day"))
+      .map { case (d0, v) => (d0, v.length.toLong) }.toSeq.sortBy(_._1)
+      .map(_._2)
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def rsAvg(m: Int): Double = {
+      val k = daily.length / m
+      val segs = daily.take(k * m).grouped(m).toSeq
+      segs.map { seg =>
+        val sy = seg.sum
+        val mean = sy.toDouble / m
+        val devs = seg.scanLeft(0L)(_ + _).tail.zipWithIndex
+          .map { case (cy, i) => cy.toDouble - (i + 1).toDouble * sy / m }
+        val sd = math.sqrt(seg.map(y => y * y).sum.toDouble / m - mean * mean)
+        d12((devs.max - devs.min) / sd)
+      }.sum.toDouble / k
+    }
+    val r = Polish.statHurst(spark, sf).collect().head
+    assert(r.getAs[Long]("n_days") == daily.length)
+    assert(math.abs(r.getAs[Double]("rs8") - rsAvg(8)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rs16") - rsAvg(16)) < 1e-6)
+    val h = math.log(rsAvg(16) / rsAvg(8)) / math.log(2.0)
+    assert(math.abs(r.getAs[Double]("hurst") - h) < 1e-6)
+  }
+
   test("orc roundtrip preserves every supplier row") {
     val src = Q.t(spark, sf, "supplier")
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
