@@ -360,16 +360,18 @@ object Extras {
   def aggApprox(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
         median(col("l_extendedprice")).as("exact_median"))
       // sketch outputs are engine-specific, so the oracle-checkable shape
       // emits the EXACT aggregate plus a per-group tolerance boolean the
-      // oracle pins to `true`: HLL (default rsd 5%) within 10% of the
-      // exact distinct count, the 10k-bucket KLL median within 5% of the
-      // exact median. A sketch regression flips the boolean and fails the
-      // hash gate; the exact columns keep the values bit-checked.
+      // oracle pins to `true`: HLL at rsd 2% within 10% of the exact
+      // distinct count (a 5-sigma margin, so the boolean stays true on any
+      // regenerated corpus, not just this one), the 10k-bucket KLL median
+      // within 5% of the exact median. A sketch regression flips the
+      // boolean and fails the hash gate; the exact columns keep the
+      // values bit-checked.
       .select(col("l_returnflag"),
         col("exact_orders"),
         round(col("exact_median"), 4).as("exact_median"),

@@ -491,6 +491,11 @@ object Learn {
     // hi-bound helpers (SQL fragments): tile bi covers dims
     // [(bi-1)·B+1, min(bi·B, d)] — the last tile is ragged
     val pairs = t(s, d, "embeddings")
+      // pairs need d >= 2; without this, an empty embedding's block count
+      // ceil(0/B) = 0 makes sequence(1, 0) DESCEND through phantom tile 0
+      // whose j-transform indexes embedding[-32..-2] — an ANSI
+      // INVALID_ARRAY_INDEX error, not an empty result
+      .filter(size(col("embedding")) >= 2)
       .select(col("embedding"), explode(expr(
         s"""flatten(transform(sequence(1, int(ceil(size(embedding) / ${B}D))),
            |  a -> transform(sequence(a, int(ceil(size(embedding) / ${B}D))),

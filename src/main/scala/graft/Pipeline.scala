@@ -489,6 +489,21 @@ object Pipeline {
         .stripMargin)
   }
 
+  /** LSH band keys over a signature column named `mh`: an array of
+    * (band, bh) structs, bh the comma-joined text of the band's
+    * [[BandSize]] lanes (portable across engines). The SINGLE source of
+    * the band-key format — the batch operators, the incremental dedup,
+    * and the streaming ingest (graft.streaming.DedupStream) all explode
+    * this same expression, so a format change cannot desync one
+    * consumer's bucket join from the others. */
+  private[graft] def minhashBandStructs: Column = expr(
+    s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
+       |  b -> named_struct(
+       |    'band', b,
+       |    'bh', concat_ws(',',
+       |      transform(slice(mh, b * $BandSize + 1, $BandSize),
+       |        x -> cast(x as string)))))""".stripMargin)
+
   /** MinHash + LSH near-dup pairs: shingle → minhash → band → bucket-join.
     * Candidate pairs only ever meet inside an LSH band bucket (shuffle on
     * the band key), so the plan scales linearly with corpus size times
@@ -517,13 +532,7 @@ object Pipeline {
       .localCheckpoint() // signatures computed once, read by both sides
     val bands = reps.select(
       col("rep"), col("th"), col("mh"),
-      explode(expr(
-        s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
-           |  b -> named_struct(
-           |    'band', b,
-           |    'bh', concat_ws(',',
-           |      transform(slice(mh, b * $BandSize + 1, $BandSize),
-           |        x -> cast(x as string)))))""".stripMargin)).as("band"))
+      explode(minhashBandStructs).as("band"))
       .select(col("rep"), col("th"), col("mh"), col("band.band").as("band"),
         col("band.bh").as("bh"))
     val a = bands.select(col("band"), col("bh"), col("rep").as("r1"),
@@ -1194,7 +1203,7 @@ object Pipeline {
       .join(repsN.select(col("rep").as("r2"), col("v").as("v2"),
         col("nrm").as("n2")), "r2")
       .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-      .filter(col("cos") >= 0.95)
+      .filter(col("cos") >= 0.95 && !isnan(col("cos")))
       .select(col("r1"), col("r2"), col("cos"))
     // reconstruct the full pair set: cross-group pairs inherit the rep
     // cosine; within-group pairs take the rep's self-cosine (same fold)
@@ -1212,9 +1221,11 @@ object Pipeline {
         col("m.rep").as("rep"))
       .join(selfCos, "rep")
       // the threshold applies to within-group pairs too: a duplicated
-      // all-zero vector has self-cosine 0/0 = NaN, which the brute-force
-      // plan and the oracle both drop (NaN >= 0.95 is false)
-      .filter(col("cos") >= 0.95)
+      // all-zero vector has self-cosine 0/0 = NaN. NaN compares GREATER
+      // than any number in both Spark and DuckDB, so `NaN >= 0.95` alone
+      // would keep the pair — the isnan guard (mirrored in the brute
+      // force plan and the oracle SQL) is what drops it.
+      .filter(col("cos") >= 0.95 && !isnan(col("cos")))
     cross.unionByName(within.select("id1", "id2", "cos"))
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("id1", "id2")
@@ -1229,7 +1240,7 @@ object Pipeline {
     a.join(b, col("id1") < col("id2"))
       .withColumn("cos", dot(col("v1"), col("v2")) /
         (norm2(col("v1")) * norm2(col("v2"))))
-      .filter(col("cos") >= 0.95)
+      .filter(col("cos") >= 0.95 && !isnan(col("cos")))
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("id1", "id2")
   }
@@ -1239,6 +1250,7 @@ object Pipeline {
       |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
       |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+      |  AND NOT isnan(list_cosine_similarity(a.v, b.v))
       |ORDER BY id1, id2""".stripMargin
 
   // ---------- multimodal plumbing ----------
@@ -3336,13 +3348,7 @@ object Pipeline {
     val bands = docs.select(col("doc_id"), minhashSignature.as("mh"))
       .crossJoin(cut)
       .select(col("doc_id"), col("cut"), col("mh"),
-        explode(expr(
-          s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
-             |  b -> named_struct(
-             |    'band', b,
-             |    'bh', concat_ws(',',
-             |      transform(slice(mh, b * $BandSize + 1, $BandSize),
-             |        x -> cast(x as string)))))""".stripMargin)).as("k"))
+        explode(minhashBandStructs).as("k"))
       .select(col("doc_id"), col("cut"), col("mh"),
         col("k.band").as("band"), col("k.bh").as("bh"))
       // consumed by both the reference and new-batch branches — pin so the
@@ -3613,13 +3619,7 @@ object Pipeline {
       .join(docs.select(col("doc_id").as("rep"), col("text")), "rep")
       .localCheckpoint() // distinct-content subset: all heavy stages below
     val bands = repDocs.select(col("rep"), col("th"), minhashSignature.as("mh"))
-      .select(col("rep"), col("th"), explode(expr(
-        s"""transform(sequence(0, ${NumHashes / BandSize - 1}),
-           |  b -> named_struct(
-           |    'band', b,
-           |    'bh', concat_ws(',',
-           |      transform(slice(mh, b * $BandSize + 1, $BandSize),
-           |        x -> cast(x as string)))))""".stripMargin)).as("k"))
+      .select(col("rep"), col("th"), explode(minhashBandStructs).as("k"))
       .select(col("rep"), col("th"), col("k.band").as("band"), col("k.bh").as("bh"))
       // the self-join below evaluates both sides independently (the alias
       // split defeats exchange reuse) — pin the band table once

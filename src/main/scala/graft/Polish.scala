@@ -433,10 +433,15 @@ object Polish {
         .groupBy("seg")
         .agg(max("dev").as("dmax"), min("dev").as("dmin"),
           first(col("sy")).as("sy"), first(col("syy")).as("syy"))
+        // a constant segment has sd = 0 AND range = 0: 0/0 = NaN would
+        // throw on the ANSI NaN→DECIMAL cast. Null the divisor so the
+        // segment drops out of the sum (its limiting R/S ratio is 0;
+        // k stays the full segment count) — mirrored via nullif in SQL.
+        .withColumn("sd", sqrt(greatest(lit(0d),
+          col("syy").cast("double") / m
+            - (col("sy").cast("double") / m) * (col("sy").cast("double") / m))))
         .select(col("seg"),
-          ((col("dmax") - col("dmin"))
-            / sqrt(col("syy").cast("double") / m
-              - (col("sy").cast("double") / m) * (col("sy").cast("double") / m)))
+          ((col("dmax") - col("dmin")) / when(col("sd") > 0, col("sd")))
             .cast(DecimalType(38, 12)).as("rs"))
         .agg((sum("rs").cast("double") / k).as("avg_rs"))
     }
@@ -448,62 +453,46 @@ object Polish {
         round(col("rs16"), 6).as("rs16"),
         round(log2(col("rs16") / col("rs8")), 6).as("hurst"))
   }
+  /** One rescaled-range CTE per scale — the m=8 and m=16 blocks differ
+    * only in the constant, so both are generated from this template
+    * (a fix applies once or not at all). nullif keeps a zero-variance
+    * segment's 0/0 out of the DECIMAL cast, mirroring the Spark guard. */
+  private def hurstRsCte(name: String, m: Int): String =
+    s"""$name AS (
+       |  SELECT sum(rs) / max(k) AS avg_rs FROM (
+       |    SELECT CAST((dmax - dmin)
+       |        / nullif(sqrt(greatest(CAST(syy AS DOUBLE) / $m
+       |          - (CAST(sy AS DOUBLE) / $m) * (CAST(sy AS DOUBLE) / $m),
+       |          0)), 0)
+       |      AS DECIMAL(38,12)) AS rs,
+       |      (SELECT n // $m FROM nn) AS k
+       |    FROM (
+       |      SELECT seg, max(dev) AS dmax, min(dev) AS dmin,
+       |        max(sy) AS sy, max(syy) AS syy
+       |      FROM (
+       |        SELECT s.seg, s.i,
+       |          CAST(sum(s.y) OVER (PARTITION BY s.seg ORDER BY s.i
+       |            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |            - CAST(s.i AS DOUBLE) * m.sy / $m AS dev,
+       |          m.sy, m.syy
+       |        FROM (SELECT (t - 1) // $m AS seg, (t - 1) % $m + 1 AS i, y
+       |          FROM idx WHERE t <= (SELECT n // $m FROM nn) * $m) s
+       |        JOIN (SELECT (t - 1) // $m AS seg,
+       |            CAST(sum(y) AS BIGINT) AS sy,
+       |            CAST(sum(y * y) AS BIGINT) AS syy
+       |          FROM idx WHERE t <= (SELECT n // $m FROM nn) * $m
+       |          GROUP BY (t - 1) // $m) m USING (seg))
+       |      GROUP BY seg)))""".stripMargin
   val statHurstSql: String =
-    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+    s"""WITH daily AS (SELECT date_trunc('day', ts) AS day,
       |    CAST(count(*) AS BIGINT) AS y
       |  FROM events GROUP BY date_trunc('day', ts)),
       |idx AS (SELECT y,
       |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
       |  FROM daily),
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
-      |rs8 AS (
-      |  SELECT sum(rs) / max(k) AS avg_rs FROM (
-      |    SELECT CAST((dmax - dmin)
-      |        / sqrt(CAST(syy AS DOUBLE) / 8
-      |          - (CAST(sy AS DOUBLE) / 8) * (CAST(sy AS DOUBLE) / 8))
-      |      AS DECIMAL(38,12)) AS rs,
-      |      (SELECT n // 8 FROM nn) AS k
-      |    FROM (
-      |      SELECT seg, max(dev) AS dmax, min(dev) AS dmin,
-      |        max(sy) AS sy, max(syy) AS syy
-      |      FROM (
-      |        SELECT s.seg, s.i,
-      |          CAST(sum(s.y) OVER (PARTITION BY s.seg ORDER BY s.i
-      |            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-      |            - CAST(s.i AS DOUBLE) * m.sy / 8 AS dev,
-      |          m.sy, m.syy
-      |        FROM (SELECT (t - 1) // 8 AS seg, (t - 1) % 8 + 1 AS i, y
-      |          FROM idx WHERE t <= (SELECT n // 8 FROM nn) * 8) s
-      |        JOIN (SELECT (t - 1) // 8 AS seg,
-      |            CAST(sum(y) AS BIGINT) AS sy,
-      |            CAST(sum(y * y) AS BIGINT) AS syy
-      |          FROM idx WHERE t <= (SELECT n // 8 FROM nn) * 8
-      |          GROUP BY (t - 1) // 8) m USING (seg))
-      |      GROUP BY seg))),
-      |rs16 AS (
-      |  SELECT sum(rs) / max(k) AS avg_rs FROM (
-      |    SELECT CAST((dmax - dmin)
-      |        / sqrt(CAST(syy AS DOUBLE) / 16
-      |          - (CAST(sy AS DOUBLE) / 16) * (CAST(sy AS DOUBLE) / 16))
-      |      AS DECIMAL(38,12)) AS rs,
-      |      (SELECT n // 16 FROM nn) AS k
-      |    FROM (
-      |      SELECT seg, max(dev) AS dmax, min(dev) AS dmin,
-      |        max(sy) AS sy, max(syy) AS syy
-      |      FROM (
-      |        SELECT s.seg, s.i,
-      |          CAST(sum(s.y) OVER (PARTITION BY s.seg ORDER BY s.i
-      |            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-      |            - CAST(s.i AS DOUBLE) * m.sy / 16 AS dev,
-      |          m.sy, m.syy
-      |        FROM (SELECT (t - 1) // 16 AS seg, (t - 1) % 16 + 1 AS i, y
-      |          FROM idx WHERE t <= (SELECT n // 16 FROM nn) * 16) s
-      |        JOIN (SELECT (t - 1) // 16 AS seg,
-      |            CAST(sum(y) AS BIGINT) AS sy,
-      |            CAST(sum(y * y) AS BIGINT) AS syy
-      |          FROM idx WHERE t <= (SELECT n // 16 FROM nn) * 16
-      |          GROUP BY (t - 1) // 16) m USING (seg))
-      |      GROUP BY seg)))
+      |${hurstRsCte("rs8", 8)},
+      |${hurstRsCte("rs16", 16)}
       |SELECT (SELECT n FROM nn) AS n_days,
       |  round(CAST((SELECT avg_rs FROM rs8) AS DOUBLE), 6) AS rs8,
       |  round(CAST((SELECT avg_rs FROM rs16) AS DOUBLE), 6) AS rs16,

@@ -114,7 +114,7 @@ object Refine {
         col("a.cid") === col("b.cid") && col("a.rep") < col("b.rep"))
       .withColumn("cos", dot(col("a.v"), col("b.v")) /
         (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") >= SemTau)
+      .filter(col("cos") >= SemTau && !isnan(col("cos")))
       .select(col("a.rep").as("r1"), col("b.rep").as("r2"), col("cos"))
     // reconstruct per-vector candidates: cross pairs via rep membership
     // (both directions — the keeper is whichever member id is lower),
@@ -125,10 +125,11 @@ object Refine {
       .select(greatest(col("m1"), col("m2")).as("vid"),
         least(col("m1"), col("m2")).as("k"), col("cos"))
     // within-group copies score the rep's ACTUAL self-cosine (not a
-    // literal 1.0): a duplicated all-zero vector yields 0/0 = NaN, which
-    // the oracle's list_cosine_similarity also produces and the >= τ
-    // filter drops in both engines; and the computed value keeps the
-    // keeper-election window's ordering bit-aligned with the oracle's.
+    // literal 1.0): a duplicated all-zero vector yields 0/0 = NaN. Both
+    // Spark and DuckDB order NaN ABOVE every number, so `NaN >= τ` is
+    // TRUE in both engines — the explicit isnan guard (mirrored in the
+    // oracle SQL) is what actually drops the degenerate pair, and it
+    // keeps NaN out of the keeper-election ordering.
     val selfCos = reps
       .withColumn("cos",
         dot(col("v"), col("v")) / (norm2(col("v")) * norm2(col("v"))))
@@ -136,7 +137,7 @@ object Refine {
     val within = members.filter(col("vec_id") =!= col("rep"))
       .join(selfCos, "rep")
       .select(col("vec_id").as("vid"), col("rep").as("k"), col("cos"))
-      .filter(col("cos") >= SemTau)
+      .filter(col("cos") >= SemTau && !isnan(col("cos")))
     val sel = Window.partitionBy("vid").orderBy(col("cos").desc, col("k"))
     cross.unionByName(within)
       .withColumn("rn", row_number().over(sel)).filter(col("rn") === 1)
@@ -164,7 +165,8 @@ object Refine {
        |  FROM asg aa JOIN asg bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
        |  JOIN v va ON va.vec_id = aa.vec_id
        |  JOIN v vb ON vb.vec_id = bb.vec_id
-       |  WHERE list_cosine_similarity(va.e, vb.e) >= $SemTau)
+       |  WHERE list_cosine_similarity(va.e, vb.e) >= $SemTau
+       |    AND NOT isnan(list_cosine_similarity(va.e, vb.e)))
        |SELECT vid AS vec_id, cid, k AS keeper, round(cos, 6) AS cos_sim
        |FROM (SELECT *, row_number() OVER
        |    (PARTITION BY vid ORDER BY cos DESC, k) AS rn FROM p)

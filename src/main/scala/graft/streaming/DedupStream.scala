@@ -38,13 +38,7 @@ object DedupStream {
     val refBands = docs.filter(col("doc_id") <= cut)
       .select(col("doc_id"), Pipeline.minhashSignature.as("mh"))
       .select(col("doc_id"), col("mh"),
-        explode(expr(
-          s"""transform(sequence(0, ${Pipeline.NumHashes / Pipeline.BandSize - 1}),
-             |  b -> named_struct(
-             |    'band', b,
-             |    'bh', concat_ws(',',
-             |      transform(slice(mh, b * ${Pipeline.BandSize} + 1, ${Pipeline.BandSize}),
-             |        x -> cast(x as string)))))""".stripMargin)).as("k"))
+        explode(Pipeline.minhashBandStructs).as("k"))
       .select(col("doc_id").as("ref_id"), col("mh").as("mh_r"),
         col("k.band").as("band"), col("k.bh").as("bh"))
       .localCheckpoint()
@@ -72,13 +66,7 @@ object DedupStream {
         val nb = batch
           .select(col("doc_id"), Pipeline.minhashSignature.as("mh"))
           .select(col("doc_id"), col("mh"),
-            explode(expr(
-              s"""transform(sequence(0, ${Pipeline.NumHashes / Pipeline.BandSize - 1}),
-                 |  b -> named_struct(
-                 |    'band', b,
-                 |    'bh', concat_ws(',',
-                 |      transform(slice(mh, b * ${Pipeline.BandSize} + 1, ${Pipeline.BandSize}),
-                 |        x -> cast(x as string)))))""".stripMargin)).as("k"))
+            explode(Pipeline.minhashBandStructs).as("k"))
           .select(col("doc_id").as("new_id"), col("mh").as("mh_n"),
             col("k.band").as("band2"), col("k.bh").as("bh2"))
         val pairs = nb.join(refBands,
