@@ -1202,7 +1202,12 @@ object Pipeline {
         col("nrm").as("n1")), "r1")
       .join(repsN.select(col("rep").as("r2"), col("v").as("v2"),
         col("nrm").as("n2")), "r2")
-      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      // try_divide: a zero vector's norm product is 0, and under ANSI
+      // mode even DOUBLE 0/0 throws DIVIDE_BY_ZERO — the null result
+      // falls out of the threshold filter instead (isnan covers NaN
+      // payloads arriving in the data itself)
+      .withColumn("cos",
+        try_divide(dot(col("v1"), col("v2")), col("n1") * col("n2")))
       .filter(col("cos") >= 0.95 && !isnan(col("cos")))
       .select(col("r1"), col("r2"), col("cos"))
     // reconstruct the full pair set: cross-group pairs inherit the rep
@@ -1213,7 +1218,8 @@ object Pipeline {
       .select(least(col("m1"), col("m2")).as("id1"),
         greatest(col("m1"), col("m2")).as("id2"), col("cos"))
     val selfCos = reps
-      .withColumn("cos", dot(col("v"), col("v")) / (norm2(col("v")) * norm2(col("v"))))
+      .withColumn("cos", try_divide(dot(col("v"), col("v")),
+        norm2(col("v")) * norm2(col("v"))))
       .select(col("rep"), col("cos"))
     val within = members.as("m").join(members.as("n"),
         col("m.rep") === col("n.rep") && col("m.vec_id") < col("n.vec_id"))
@@ -1221,10 +1227,11 @@ object Pipeline {
         col("m.rep").as("rep"))
       .join(selfCos, "rep")
       // the threshold applies to within-group pairs too: a duplicated
-      // all-zero vector has self-cosine 0/0 = NaN. NaN compares GREATER
-      // than any number in both Spark and DuckDB, so `NaN >= 0.95` alone
-      // would keep the pair — the isnan guard (mirrored in the brute
-      // force plan and the oracle SQL) is what drops it.
+      // all-zero vector's self-cosine is try_divide(0, 0) = null, which
+      // the filter drops. The isnan leg guards NaN payloads in the data
+      // (NaN compares GREATER than any number in both Spark and DuckDB,
+      // so `NaN >= 0.95` alone would keep the pair — the oracle SQL
+      // carries the same NOT isnan).
       .filter(col("cos") >= 0.95 && !isnan(col("cos")))
     cross.unionByName(within.select("id1", "id2", "cos"))
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
@@ -1238,8 +1245,8 @@ object Pipeline {
     val a = vecs.select(col("vec_id").as("id1"), col("v").as("v1"))
     val b = vecs.select(col("vec_id").as("id2"), col("v").as("v2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", dot(col("v1"), col("v2")) /
-        (norm2(col("v1")) * norm2(col("v2"))))
+      .withColumn("cos", try_divide(dot(col("v1"), col("v2")),
+        norm2(col("v1")) * norm2(col("v2"))))
       .filter(col("cos") >= 0.95 && !isnan(col("cos")))
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("id1", "id2")

@@ -112,8 +112,10 @@ object Refine {
     val rv = reps.withColumn("nrm", norm2(col("v"))).join(asg, "rep")
     val pairs = rv.as("a").join(rv.as("b"),
         col("a.cid") === col("b.cid") && col("a.rep") < col("b.rep"))
-      .withColumn("cos", dot(col("a.v"), col("b.v")) /
-        (col("a.nrm") * col("b.nrm")))
+      // try_divide: a zero vector's norm product is 0, and ANSI mode
+      // throws on DOUBLE 0/0 — null falls out of the threshold filter
+      .withColumn("cos", try_divide(dot(col("a.v"), col("b.v")),
+        col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= SemTau && !isnan(col("cos")))
       .select(col("a.rep").as("r1"), col("b.rep").as("r2"), col("cos"))
     // reconstruct per-vector candidates: cross pairs via rep membership
@@ -125,14 +127,15 @@ object Refine {
       .select(greatest(col("m1"), col("m2")).as("vid"),
         least(col("m1"), col("m2")).as("k"), col("cos"))
     // within-group copies score the rep's ACTUAL self-cosine (not a
-    // literal 1.0): a duplicated all-zero vector yields 0/0 = NaN. Both
-    // Spark and DuckDB order NaN ABOVE every number, so `NaN >= τ` is
-    // TRUE in both engines — the explicit isnan guard (mirrored in the
-    // oracle SQL) is what actually drops the degenerate pair, and it
-    // keeps NaN out of the keeper-election ordering.
+    // literal 1.0): a duplicated all-zero vector's try_divide(0, 0) is
+    // null, which the threshold filter drops (a plain `/` would throw
+    // DIVIDE_BY_ZERO under ANSI). The isnan leg guards NaN payloads in
+    // the data itself — NaN orders ABOVE every number in both Spark and
+    // DuckDB, so `NaN >= τ` alone would keep the pair and even win the
+    // keeper election; the oracle SQL carries the same NOT isnan.
     val selfCos = reps
-      .withColumn("cos",
-        dot(col("v"), col("v")) / (norm2(col("v")) * norm2(col("v"))))
+      .withColumn("cos", try_divide(dot(col("v"), col("v")),
+        norm2(col("v")) * norm2(col("v"))))
       .select(col("rep"), col("cos"))
     val within = members.filter(col("vec_id") =!= col("rep"))
       .join(selfCos, "rep")

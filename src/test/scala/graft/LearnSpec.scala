@@ -189,6 +189,34 @@ class LearnSpec extends AnyFunSuite {
     assert(expected.values.count(v => math.abs(v) > floor) < 20)
   }
 
+  test("covariance is invariant to empty-embedding rows (no phantom tiles)") {
+    // an empty array's block count ceil(0/B) = 0 once made sequence(1, 0)
+    // descend into a phantom tile whose products indexed embedding[-32..]
+    // — an ANSI INVALID_ARRAY_INDEX error. The d >= 2 pair guard must make
+    // such rows contribute nothing at all (posexplode already skips them
+    // in the per-dim sums), and a singleton row must not crash either.
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val data = (0 until 12).map { id =>
+      (id.toLong, Array.fill(6)((rng.nextInt(200) - 100) / 10.0f))
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("cov_plain").toString
+    val dirB = java.nio.file.Files.createTempDirectory("cov_empty").toString
+    data.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dirA/embeddings.parquet")
+    (data :+ (99L, Array.empty[Float])).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
+    val a = Learn.embCovariance(spark, dirA).collect().map(_.toString).toSeq
+    val b = Learn.embCovariance(spark, dirB).collect().map(_.toString).toSeq
+    assert(a == b, "an empty embedding row must be invisible to covariance")
+    val dirC = java.nio.file.Files.createTempDirectory("cov_single").toString
+    (data :+ (98L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dirC/embeddings.parquet")
+    // d=6 has 15 pairs total; the singleton adds none and must not throw
+    assert(Learn.embCovariance(spark, dirC).collect().length == a.length)
+  }
+
   test("text_hapax: vocab and hapax match a brute-force count per source") {
     val out = Learn.textHapax(spark, sf).collect()
     val bySrc = docs.groupBy(_.getAs[String]("source"))

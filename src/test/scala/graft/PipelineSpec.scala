@@ -123,6 +123,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("zero-vector duplicates are dropped by the NaN guard, not elected as keepers") {
+    // identical all-zero vectors have self-cosine 0/0 = NaN, and NaN
+    // compares GREATER than any number in Spark — without the explicit
+    // isnan guard the >= 0.95 filter keeps the pair and the semantic
+    // keeper election ranks it above every genuine match
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val rows = (0 until 12).map { id =>
+      val v =
+        if (id < 3) Array.fill(dim)(0.0f) // three identical zero vectors
+        else if (id < 6) base.zipWithIndex.map { case (x, i) =>
+          (x + 0.002 * id * ((i % 3) - 1)).toFloat } // genuine near-dups
+        else Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (id.toLong, v)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_zerovec").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val banded = Pipeline.dedupEmbedding(spark, dir).collect()
+    val brute = Pipeline.dedupEmbeddingBrute(spark, dir).collect()
+    assert(banded.map(_.toString).toSeq == brute.map(_.toString).toSeq)
+    assert(banded.nonEmpty, "the genuine near-dups must still pair")
+    assert(banded.forall(r => !r.getAs[Double]("cos_sim").isNaN))
+    assert(!banded.exists(r => r.getAs[Long]("id1") < 3),
+      "zero-vector pairs must be dropped, not kept by NaN >= tau")
+    val sem = Refine.dedupSemantic(spark, dir).collect()
+    assert(sem.forall(r => !r.getAs[Double]("cos_sim").isNaN &&
+      r.getAs[Long]("keeper") >= 3 && r.getAs[Long]("vec_id") >= 3),
+      "semantic dedup must neither emit nor elect zero vectors")
+  }
+
   test("plan audit: default dedup plans contain no nested-loop or cartesian join") {
     Seq(Pipeline.dedupEmbedding(spark, sf), Pipeline.dedupNgramJaccard(spark, sf))
       .foreach { df =>

@@ -207,6 +207,52 @@ class PolishSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("hurst") - h) < 1e-6)
   }
 
+  test("hurst: a constant segment contributes null R/S instead of a NaN cast error") {
+    import spark.implicits._
+    // 32 synthetic days; the first 8 share one count, so the m=8 segment 0
+    // has sd = 0 exactly — its 0/0 must drop out of the scale average
+    // (divisor nulled), never reach the ANSI NaN->DECIMAL cast
+    val base = java.time.LocalDateTime.of(2025, 1, 1, 0, 0)
+    def eventsFor(counts: Seq[Int]): Seq[java.sql.Timestamp] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(k =>
+          java.sql.Timestamp.valueOf(base.plusDays(d).plusHours(k % 12)))
+      }
+    val counts = Seq.fill(8)(5) ++ (8 until 32).map(d => 3 + d % 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hurst").toString
+    eventsFor(counts).toDF("ts").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val r = Polish.statHurst(spark, dir).collect().head
+    assert(r.getAs[Long]("n_days") == 32)
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def rsAvg(m: Int): Double = {
+      val k = counts.length / m
+      counts.take(k * m).grouped(m).toSeq.flatMap { seg =>
+        val sy = seg.map(_.toLong).sum
+        val mean = sy.toDouble / m
+        val sd = math.sqrt(math.max(0.0,
+          seg.map(y => y.toLong * y).sum.toDouble / m - mean * mean))
+        if (sd == 0) None
+        else {
+          val devs = seg.scanLeft(0L)(_ + _).tail.zipWithIndex
+            .map { case (cy, i) => cy.toDouble - (i + 1).toDouble * sy / m }
+          Some(d12((devs.max - devs.min) / sd))
+        }
+      }.sum.toDouble / k
+    }
+    assert(math.abs(r.getAs[Double]("rs8") - rsAvg(8)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rs16") - rsAvg(16)) < 1e-6)
+    // an entirely constant series: every segment drops -> null scales and
+    // null hurst, still no exception
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hurst2").toString
+    eventsFor(Seq.fill(32)(4)).toDF("ts").write.mode("overwrite")
+      .parquet(s"$dir2/events.parquet")
+    val r2 = Polish.statHurst(spark, dir2).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("rs8")) &&
+      r2.isNullAt(r2.fieldIndex("hurst")))
+  }
+
   test("orc roundtrip preserves every supplier row") {
     val src = Q.t(spark, sf, "supplier")
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
