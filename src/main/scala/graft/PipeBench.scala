@@ -51,7 +51,9 @@ object PipeBench {
     "emb_intrinsic_dim", "stat_runs_test",
     "dedup_cdc_chunks", "privacy_l_diversity", "event_changepoint",
     "stat_jarque_bera", "scan_orc_roundtrip", "text_rake_keywords",
-    "stat_hurst")
+    "stat_hurst", "privacy_t_closeness", "stat_kruskal_wallis",
+    "graph_clustering_coeff", "stat_dickey_fuller", "emb_isotropy",
+    "text_mattr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import Q._
 
-/** Round-11 additions: content-defined-chunking dedup, l-diversity,
-  * changepoint detection, Jarque-Bera normality, and the ORC scan
+/** Round-11 additions: content-defined-chunking dedup, the
+  * l-diversity / t-closeness privacy audits, changepoint detection,
+  * Jarque-Bera normality, Kruskal-Wallis, Dickey-Fuller stationarity,
+  * Hurst exponent, RAKE keywords, MATTR lexical diversity, local
+  * clustering coefficients, embedding isotropy, and the ORC scan
   * round-trip. All fully DuckDB-oracle-checked. */
 object Polish {
 
@@ -499,7 +502,401 @@ object Polish {
       |  round(log2(CAST((SELECT avg_rs FROM rs16) AS DOUBLE)
       |    / CAST((SELECT avg_rs FROM rs8) AS DOUBLE)), 6) AS hurst""".stripMargin
 
+  // ---------- t-closeness (completes the k-anon / l-div / t-close trio) ----------
+
+  /** t-closeness audit over the same quasi-identifier classes as the
+    * k-anonymity / l-diversity operators (event_type × hour, sensitive
+    * attribute = user cohort): per QI class, the total-variation
+    * distance between the class's cohort distribution and the corpus
+    * global one. For a categorical sensitive attribute TVD IS the Earth
+    * Mover's Distance of the t-closeness definition. Absent cohorts are
+    * folded in closed form — TVD = ½(Σ_present (|p_c − p_g| − p_g) + 1)
+    * — so no class×cohort grid is ever materialized: two keyed reduces,
+    * one broadcast join against the cohort-bounded global table. Per-cell
+    * terms are deterministic double trees quantized to DECIMAL(38,12),
+    * so the per-class sum is order-independent in both engines. */
+  def privacyTCloseness(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("event_type"),
+      expr("cast(hour(ts) as long)").as("hr"),
+      (col("user_id") % 100).as("cohort"))
+    val cell = ev.groupBy("event_type", "hr", "cohort")
+      .agg(count(lit(1)).as("c"))
+    val cls = cell.groupBy("event_type", "hr").agg(sum("c").as("n"))
+    val glob = ev.groupBy("cohort").agg(count(lit(1)).as("g"))
+    val tot = ev.agg(count(lit(1)).as("nn"))
+    cell.join(cls, Seq("event_type", "hr"))
+      .join(broadcast(glob), "cohort")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        (abs(col("c").cast("double") / col("n") -
+          col("g").cast("double") / col("nn")) -
+          col("g").cast("double") / col("nn")).cast(DecimalType(38, 12)))
+      .groupBy("event_type", "hr", "n")
+      .agg((lit(0.5) * (sum("term").cast("double") + 1.0)).as("tvd0"))
+      .select(col("event_type"), col("hr"), col("n"),
+        round(col("tvd0"), 6).as("tvd"),
+        (col("tvd0") <= 0.25).as("t_close"))
+      .orderBy("event_type", "hr")
+  }
+  val privacyTClosenessSql: String =
+    """WITH ev AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+      |    user_id % 100 AS cohort FROM events),
+      |cell AS (SELECT event_type, hr, cohort,
+      |    CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2, 3),
+      |cls AS (SELECT event_type, hr, CAST(sum(c) AS BIGINT) AS n
+      |  FROM cell GROUP BY 1, 2),
+      |gdist AS (SELECT cohort, CAST(count(*) AS BIGINT) AS g
+      |  FROM ev GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM ev),
+      |term AS (SELECT event_type, hr, n,
+      |    CAST(abs(CAST(c AS DOUBLE) / n - CAST(g AS DOUBLE) / nn)
+      |      - CAST(g AS DOUBLE) / nn AS DECIMAL(38,12)) AS term
+      |  FROM cell JOIN cls USING (event_type, hr)
+      |  JOIN gdist USING (cohort) CROSS JOIN tot)
+      |SELECT event_type, hr, n,
+      |  round(0.5 * (CAST(sum(term) AS DOUBLE) + 1.0), 6) AS tvd,
+      |  0.5 * (CAST(sum(term) AS DOUBLE) + 1.0) <= 0.25 AS t_close
+      |FROM term GROUP BY event_type, hr, n
+      |ORDER BY event_type, hr""".stripMargin
+
+  // ---------- Kruskal–Wallis H (rank-based one-way ANOVA) ----------
+
+  /** Kruskal–Wallis H across the three l_returnflag groups over
+    * l_quantity, with midrank ties and the tie correction. The value
+    * domain is BOUNDED (1..50 integral quantities), so pooled midranks
+    * come from one cumulative window over the ≤50-row distinct-value
+    * table — never a corpus-length ranking. Midranks are exact
+    * half-integers, so the per-group rank sums are exact doubles
+    * (order-independent); R²/n and m³−m terms are deterministic double
+    * trees quantized to DECIMAL(38,6) before their 3- and 50-row sums. */
+  def statKruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val cnt = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
+    val vals = cnt.groupBy("q").agg(sum("c").as("m"))
+    val w = Window.orderBy("q") // <= 50 distinct integral quantities
+    val mid = vals
+      .withColumn("cum_excl", coalesce(
+        sum("m").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("midrank",
+        col("cum_excl").cast("double") + (col("m").cast("double") + 1.0) / 2.0)
+    val grp = cnt.join(broadcast(mid.select("q", "midrank")), "q")
+      .groupBy("l_returnflag")
+      .agg(sum("c").as("n_g"),
+        sum(col("c").cast("double") * col("midrank")).as("r_g"))
+    val nk = grp.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+      sum((col("r_g") * col("r_g") / col("n_g").cast("double"))
+        .cast(DecimalType(38, 6))).cast("double").as("s"))
+    val ties = mid.agg(sum(
+      (col("m").cast("double") * col("m") * col("m") -
+        col("m").cast("double")).cast(DecimalType(38, 6)))
+      .cast("double").as("t3"))
+    nk.crossJoin(broadcast(ties))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("h",
+        lit(12.0) / (col("nd") * (col("nd") + 1.0)) * col("s") -
+          lit(3.0) * (col("nd") + 1.0))
+      .withColumn("corr",
+        lit(1.0) - col("t3") / (col("nd") * col("nd") * col("nd") - col("nd")))
+      .select(col("n").as("n_total"), col("k").as("k_groups"),
+        round(col("h"), 6).as("h_stat"),
+        round(col("h") / when(col("corr") > 0, col("corr")), 6)
+          .as("h_tie_corrected"))
+  }
+  val statKruskalWallisSql: String =
+    """WITH cnt AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+      |vals AS (SELECT q, CAST(sum(c) AS BIGINT) AS m FROM cnt GROUP BY q),
+      |mid AS (SELECT q, m,
+      |    CAST(coalesce(sum(m) OVER (ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      |      + (CAST(m AS DOUBLE) + 1.0) / 2.0 AS midrank
+      |  FROM vals),
+      |grp AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n_g,
+      |    sum(CAST(c AS DOUBLE) * midrank) AS r_g
+      |  FROM cnt JOIN mid USING (q) GROUP BY l_returnflag),
+      |nk AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(CAST(r_g * r_g / CAST(n_g AS DOUBLE) AS DECIMAL(38,6)))
+      |      AS DOUBLE) AS s
+      |  FROM grp),
+      |ties AS (SELECT CAST(sum(CAST(CAST(m AS DOUBLE) * m * m
+      |      - CAST(m AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS t3
+      |  FROM vals)
+      |SELECT n AS n_total, k AS k_groups,
+      |  round(h, 6) AS h_stat,
+      |  round(h / nullif(greatest(corr, 0), 0), 6) AS h_tie_corrected
+      |FROM (SELECT n, k,
+      |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+      |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+      |    1.0 - t3 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+      |  FROM nk CROSS JOIN ties)""".stripMargin
+
+  // ---------- local clustering coefficient ----------
+
+  /** Top-20 nodes of the word-adjacency graph by LOCAL clustering
+    * coefficient 2·t_v / (deg_v·(deg_v−1)) — the per-node counterpart of
+    * graph_triangles' global transitivity (same edge construction,
+    * Pipeline.graphTriangles). Each x<y<z triangle row explodes into its
+    * three member nodes for a node-keyed count; the graph is
+    * vocabulary-bounded, so the broadcast triangle join and the final
+    * top-20 window both run on bounded tables. */
+  def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val und = t(s, d, "documents")
+      .select(expr("split(trim(text), '\\\\s+')").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
+      .where(col("e.src") =!= col("e.dst"))
+      .select(least(col("e.src"), col("e.dst")).as("a"),
+        greatest(col("e.src"), col("e.dst")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val triNodes = und.as("e1")
+      .join(broadcast(und.as("e2")), col("e1.b") === col("e2.a"))
+      .join(broadcast(und.as("e3")),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val w = Window.orderBy(col("coeff").desc, col("node")) // vocab-bounded
+    deg.filter(col("deg") >= 2)
+      .join(triNodes, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("coeff", lit(2.0) * col("n_tri") /
+        (col("deg").cast("double") * (col("deg").cast("double") - 1.0)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("node"), col("deg"), col("n_tri"),
+        round(col("coeff"), 6).as("coeff"))
+      .orderBy("rk")
+  }
+  val graphClusteringCoeffSql: String =
+    raw"""WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS w
+         |       FROM documents),
+         |bg AS (SELECT w[i] AS src, w[i+1] AS dst
+         |       FROM ws, UNNEST(range(1, len(w))) AS t(i)),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+         |       greatest(src, dst) AS b FROM bg WHERE src <> dst),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |       SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) u
+         |     GROUP BY node),
+         |tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |       SELECT unnest([e1.a, e1.b, e2.b]) AS node FROM und e1
+         |       JOIN und e2 ON e2.a = e1.b
+         |       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) x
+         |     GROUP BY node),
+         |sc AS (SELECT deg.node, deg.deg,
+         |       coalesce(tri.n_tri, 0) AS n_tri,
+         |       2.0 * coalesce(tri.n_tri, 0)
+         |         / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+         |         AS coeff
+         |     FROM deg LEFT JOIN tri USING (node) WHERE deg.deg >= 2)
+         |SELECT CAST(row_number() OVER (ORDER BY coeff DESC, node) AS BIGINT)
+         |    AS rk, node, deg, n_tri, round(coeff, 6) AS coeff
+         |FROM sc QUALIFY rk <= 20 ORDER BY rk""".stripMargin
+
+  // ---------- Dickey–Fuller stationarity test ----------
+
+  /** Dickey–Fuller test (no lag terms) on the daily event-count series:
+    * OLS of Δy_t on y_{t−1} with intercept, t-statistic of the slope
+    * against the 5% critical value −2.86. All five moment sums are exact
+    * integer sums in DECIMAL lanes (daily counts are integers, so Δy and
+    * the products are too); the slope / intercept / SSE / SE chain is one
+    * fixed double tree on top. The lag window runs on the
+    * calendar-bounded daily table; divisors are nulled when degenerate
+    * (constant series) rather than risking an ANSI divide error. */
+  def statDickeyFuller(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val lagged = daily
+      .withColumn("x", lag("y", 1).over(Window.orderBy("day")))
+      .filter(col("x").isNotNull)
+      .select(col("x"), (col("y") - col("x")).as("z"))
+    val d38 = DecimalType(38, 0)
+    val m0 = lagged.agg(count(lit(1)).as("m"),
+      sum(col("x").cast(d38)).cast("double").as("sx"),
+      sum(col("z").cast(d38)).cast("double").as("sz"),
+      sum((col("x") * col("x")).cast(d38)).cast("double").as("sxx"),
+      sum((col("x") * col("z")).cast(d38)).cast("double").as("sxz"),
+      sum((col("z") * col("z")).cast(d38)).cast("double").as("szz"))
+    m0.withColumn("md", col("m").cast("double"))
+      .withColumn("den", col("md") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("rho",
+        (col("md") * col("sxz") - col("sx") * col("sz")) /
+          when(col("den") > 0, col("den")))
+      .withColumn("alpha", (col("sz") - col("rho") * col("sx")) / col("md"))
+      .withColumn("sse", col("szz") - col("alpha") * col("sz") -
+        col("rho") * col("sxz"))
+      .withColumn("se", sqrt(
+        (col("sse") / (col("md") - 2.0)) /
+          (col("sxx") - col("sx") * col("sx") / col("md"))))
+      .withColumn("t", col("rho") / when(col("se") > 0, col("se")))
+      .select((col("m") + 1).as("n_days"),
+        round(col("rho"), 6).as("rho"),
+        round(col("t"), 6).as("t_stat"),
+        (col("t") < -2.86).as("stationary"))
+  }
+  val statDickeyFullerSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY date_trunc('day', ts)),
+      |lagged AS (SELECT x, y - x AS z FROM (
+      |    SELECT y, lag(y) OVER (ORDER BY day) AS x FROM daily)
+      |  WHERE x IS NOT NULL),
+      |m0 AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(z AS DECIMAL(38,0))) AS DOUBLE) AS sz,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(x * z AS DECIMAL(38,0))) AS DOUBLE) AS sxz,
+      |    CAST(sum(CAST(z * z AS DECIMAL(38,0))) AS DOUBLE) AS szz
+      |  FROM lagged),
+      |fit AS (SELECT m, sx, sz, sxx, sxz, szz,
+      |    CAST(m AS DOUBLE) AS md,
+      |    (CAST(m AS DOUBLE) * sxz - sx * sz)
+      |      / nullif(greatest(CAST(m AS DOUBLE) * sxx - sx * sx, 0), 0)
+      |      AS rho
+      |  FROM m0),
+      |fin AS (SELECT m, md, rho,
+      |    (sz - rho * sx) / md AS alpha,
+      |    szz - ((sz - rho * sx) / md) * sz - rho * sxz AS sse,
+      |    sxx - sx * sx / md AS sdx
+      |  FROM fit)
+      |SELECT m + 1 AS n_days, round(rho, 6) AS rho,
+      |  round(rho / nullif(greatest(sqrt((sse / (md - 2.0)) / sdx), 0), 0), 6)
+      |    AS t_stat,
+      |  rho / nullif(greatest(sqrt((sse / (md - 2.0)) / sdx), 0), 0) < -2.86
+      |    AS stationary
+      |FROM fin""".stripMargin
+
+  // ---------- embedding isotropy ----------
+
+  /** Corpus embedding-isotropy audit: distribution of each vector's
+    * cosine to the corpus centroid. An isotropic embedding space has
+    * mean-cosine near 0; anisotropic ("narrow cone") spaces — common
+    * before whitening — sit near 1 and degrade cosine retrieval, which
+    * is what this screens for ahead of the sim_/dedup_ stages. Shape:
+    * per-dim centroid is a d-bounded reduce; the per-vector dot rides
+    * one broadcast join back over the exploded dims (the
+    * emb_centroid_drift shape); every float product is quantized to a
+    * decimal lane so the per-vector and corpus sums are
+    * order-independent. try_divide nulls a zero vector's cosine. */
+  def embIsotropy(s: SparkSession, d: String): DataFrame = {
+    val ex = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("i0").as("i"),
+        col("xf").cast("double").as("x"))
+    val cent = ex.groupBy("i")
+      .agg(sum(col("x").cast(DecimalType(30, 12))).cast("double").as("sx"),
+        count(lit(1)).as("nd"))
+      .select(col("i"), (col("sx") / col("nd")).as("c"))
+    val cn = cent.agg(sqrt(sum((col("c") * col("c"))
+      .cast(DecimalType(38, 12))).cast("double")).as("cnorm"))
+    val pv = ex.join(broadcast(cent), "i")
+      .groupBy("vec_id")
+      .agg(sum((col("x") * col("c")).cast(DecimalType(38, 12)))
+          .cast("double").as("dot"),
+        sqrt(sum((col("x") * col("x")).cast(DecimalType(38, 12)))
+          .cast("double")).as("nrm"))
+    pv.crossJoin(broadcast(cn))
+      .withColumn("cos", try_divide(col("dot"), col("nrm") * col("cnorm")))
+      .filter(col("cos").isNotNull)
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cos").cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1)), 6).as("mean_cos"),
+        round(min("cos"), 6).as("min_cos"),
+        round(max("cos"), 6).as("max_cos"),
+        round(sum(when(col("cos") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("frac_pos"))
+  }
+  val embIsotropySql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |ex AS (SELECT vec_id, i, e[i] AS x
+      |  FROM v, unnest(generate_series(1, len(e))) AS t(i)),
+      |cent AS (SELECT i,
+      |    CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
+      |  FROM ex GROUP BY i),
+      |cn AS (SELECT sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE))
+      |    AS cnorm FROM cent),
+      |pv AS (SELECT vec_id,
+      |    CAST(sum(CAST(x * c AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+      |    sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      |  FROM ex JOIN cent USING (i) GROUP BY vec_id),
+      |cs AS (SELECT vec_id, dot / nullif(nrm * cnorm, 0) AS cos
+      |  FROM pv CROSS JOIN cn)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      |  round(CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+      |    AS mean_cos,
+      |  round(min(cos), 6) AS min_cos,
+      |  round(max(cos), 6) AS max_cos,
+      |  round(CAST(sum(CASE WHEN cos > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS frac_pos
+      |FROM cs WHERE cos IS NOT NULL""".stripMargin
+
+  // ---------- moving-average type-token ratio (MATTR) ----------
+
+  /** MATTR lexical diversity per document: the mean type-token ratio
+    * over every 50-token sliding window (Covington & McFall's fix for
+    * raw TTR's length bias; documents shorter than the window get their
+    * single whole-doc window). Each token fans out to at most 50 window
+    * starts via a bounded sequence explode — W×tokens rows, never a
+    * per-doc quadratic — then distinct (doc, start, type) rows reduce to
+    * per-window type counts. Per-window ratios are quantized to a
+    * decimal lane so the per-doc mean is order-independent. */
+  def textMattr(s: SparkSession, d: String): DataFrame = {
+    val W = 50
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"))
+        .as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+    val nD = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wins = toks.join(nD, "doc_id")
+      .select(col("doc_id"), col("tok"), col("n"),
+        explode(expr(s"sequence(greatest(1L, p - ${W - 1}), " +
+          s"least(p, greatest(n - ${W - 1}, 1L)))")).as("s"))
+      .distinct()
+    val perWin = wins.groupBy("doc_id", "n", "s")
+      .agg(count(lit(1)).as("u"))
+      .withColumn("ttr", (col("u").cast("double") /
+        least(lit(W.toLong), col("n")).cast("double"))
+        .cast(DecimalType(38, 12)))
+    perWin.groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("n_windows"),
+        round(sum("ttr").cast("double") / count(lit(1)), 6).as("mattr"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_windows"),
+        col("mattr"))
+      .orderBy("doc_id")
+  }
+  val textMattrSql: String =
+    raw"""WITH wsx AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         |      x -> x != '') AS w
+         |  FROM documents),
+         |toks AS (SELECT doc_id, CAST(p AS BIGINT) AS p, w[p] AS tok,
+         |    CAST(len(w) AS BIGINT) AS n
+         |  FROM wsx, unnest(generate_series(1, len(w))) AS t(p)),
+         |wins AS (SELECT DISTINCT doc_id, s, tok, n
+         |  FROM toks, unnest(generate_series(greatest(1, p - 49),
+         |    least(p, greatest(n - 49, 1)))) AS u(s)),
+         |pw AS (SELECT doc_id, n, s, CAST(count(*) AS BIGINT) AS u
+         |  FROM wins GROUP BY 1, 2, 3)
+         |SELECT doc_id, n AS n_tokens, CAST(count(*) AS BIGINT) AS n_windows,
+         |  round(CAST(sum(CAST(CAST(u AS DOUBLE) / least(50, n)
+         |    AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mattr
+         |FROM pw GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_isotropy" -> (embIsotropy _),
+    "text_mattr" -> (textMattr _),
+    "graph_clustering_coeff" -> (graphClusteringCoeff _),
+    "stat_dickey_fuller" -> (statDickeyFuller _),
+    "privacy_t_closeness" -> (privacyTCloseness _),
+    "stat_kruskal_wallis" -> (statKruskalWallis _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "event_changepoint" -> (eventChangepoint _),
@@ -509,6 +906,12 @@ object Polish {
     "stat_hurst" -> (statHurst _))
 
   val oracle: Map[String, String] = Map(
+    "emb_isotropy" -> embIsotropySql,
+    "text_mattr" -> textMattrSql,
+    "graph_clustering_coeff" -> graphClusteringCoeffSql,
+    "stat_dickey_fuller" -> statDickeyFullerSql,
+    "privacy_t_closeness" -> privacyTClosenessSql,
+    "stat_kruskal_wallis" -> statKruskalWallisSql,
     "dedup_cdc_chunks" -> dedupCdcChunksSql,
     "privacy_l_diversity" -> privacyLDiversitySql,
     "event_changepoint" -> eventChangepointSql,

@@ -253,6 +253,182 @@ class PolishSpec extends AnyFunSuite {
       r2.isNullAt(r2.fieldIndex("hurst")))
   }
 
+  test("t-closeness matches a brute-force TVD recount") {
+    val ev = Q.t(spark, sf, "events")
+      .selectExpr("event_type", "cast(hour(ts) as long) as hr",
+        "user_id % 100 as cohort").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr"),
+        r.getAs[Long]("cohort")))
+    val nn = ev.length.toDouble
+    val glob = ev.groupBy(_._3).map { case (c, v) => c -> v.length }
+    val out = Polish.privacyTCloseness(spark, sf).collect()
+    val byClass = ev.groupBy(e => (e._1, e._2))
+    assert(out.length == byClass.size)
+    out.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("hr"))
+      val rows = byClass(k)
+      val n = rows.length.toDouble
+      val cls = rows.groupBy(_._3).map { case (c, v) => c -> v.length }
+      // full TVD over ALL cohorts, absent ones at p_class = 0.
+      // keys is a SET — map via iterator so equal terms don't collapse
+      val tvd = 0.5 * glob.keys.iterator.map { c =>
+        math.abs(cls.getOrElse(c, 0) / n - glob(c) / nn)
+      }.sum
+      assert(r.getAs[Long]("n") == rows.length, s"$k n")
+      assert(math.abs(r.getAs[Double]("tvd") - tvd) < 1e-6, s"$k tvd")
+      assert(r.getAs[Boolean]("t_close") == (tvd <= 0.25), s"$k close")
+    }
+  }
+
+  test("kruskal-wallis matches a brute-force midrank computation") {
+    val rows = Q.t(spark, sf, "lineitem")
+      .selectExpr("l_returnflag", "cast(l_quantity as long) as q").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("q")))
+    val n = rows.length.toDouble
+    val byVal = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sorted = byVal.toSeq.sortBy(_._1)
+    val midrank = sorted.scanLeft((0L, 0.0)) { case ((cum, _), (_, m)) =>
+      (cum + m, cum + (m + 1.0) / 2.0)
+    }.tail.map(_._2).zip(sorted).map { case (mr, (q, _)) => q -> mr }.toMap
+    val groups = rows.groupBy(_._1)
+    val s = groups.values.map { g =>
+      val rg = g.map(e => midrank(e._2)).sum
+      BigDecimal(rg * rg / g.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    val t3 = byVal.values.map(m =>
+      BigDecimal(m.toDouble * m * m - m.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val hc = h / (1.0 - t3 / (n * n * n - n))
+    val r = Polish.statKruskalWallis(spark, sf).collect().head
+    assert(r.getAs[Long]("n_total") == rows.length)
+    assert(r.getAs[Long]("k_groups") == groups.size)
+    assert(math.abs(r.getAs[Double]("h_stat") - h) < 1e-6)
+    assert(math.abs(r.getAs[Double]("h_tie_corrected") - hc) < 1e-6)
+  }
+
+  test("local clustering coefficients match a brute-force adjacency count") {
+    val docs = Q.t(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0))
+    val edges = docs.flatMap { t0 =>
+      val ws = t0.trim.split("\\s+")
+      ws.zip(ws.tail).filter(p => p._1 != p._2)
+        .map(p => (Seq(p._1, p._2).min, Seq(p._1, p._2).max))
+    }.distinct
+    val adj = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val out = Polish.graphClusteringCoeff(spark, sf).collect()
+    assert(out.length == math.min(20, adj.count(_._2.size >= 2)))
+    out.foreach { r =>
+      val v = r.getAs[String]("node")
+      val nb = adj(v)
+      val deg = nb.size.toLong
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      val coeff = 2.0 * tri / (deg.toDouble * (deg - 1.0))
+      assert(r.getAs[Long]("deg") == deg, s"$v deg")
+      assert(r.getAs[Long]("n_tri") == tri, s"$v tri")
+      assert(math.abs(r.getAs[Double]("coeff") - coeff) < 1e-6, s"$v coeff")
+    }
+    // the ranking really is by coefficient
+    val cs = out.map(_.getAs[Double]("coeff"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("dickey-fuller matches a brute-force OLS of diff on lag") {
+    val daily = Q.t(spark, sf, "events")
+      .selectExpr("date_trunc('day', ts) as day").collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("day"))
+      .map { case (d0, v) => (d0, v.length.toLong) }.toSeq.sortBy(_._1)
+      .map(_._2)
+    val pairs = daily.zip(daily.tail).map { case (x, y) => (x, y - x) }
+    val m = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum.toDouble
+    val sz = pairs.map(_._2).sum.toDouble
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val sxz = pairs.map(p => p._1 * p._2).sum.toDouble
+    val szz = pairs.map(p => p._2 * p._2).sum.toDouble
+    val rho = (m * sxz - sx * sz) / (m * sxx - sx * sx)
+    val alpha = (sz - rho * sx) / m
+    val sse = szz - alpha * sz - rho * sxz
+    val se = math.sqrt((sse / (m - 2.0)) / (sxx - sx * sx / m))
+    val r = Polish.statDickeyFuller(spark, sf).collect().head
+    assert(r.getAs[Long]("n_days") == daily.length)
+    assert(math.abs(r.getAs[Double]("rho") - rho) < 1e-6)
+    assert(math.abs(r.getAs[Double]("t_stat") - rho / se) < 1e-6)
+    assert(r.getAs[Boolean]("stationary") == (rho / se < -2.86))
+  }
+
+  test("embedding isotropy matches a brute-force centroid-cosine scan") {
+    val embs = Q.t(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = embs.head.length
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val cent = (0 until dim).map(i =>
+      embs.map(v => d12(v(i))).sum.toDouble / embs.length)
+    val cnorm = math.sqrt(cent.map(c => d12(c * c)).sum.toDouble)
+    val coss = embs.map { v =>
+      val dot = v.zip(cent).map { case (x, c) => d12(x * c) }.sum.toDouble
+      val nrm = math.sqrt(v.map(x => d12(x * x)).sum.toDouble)
+      dot / (nrm * cnorm)
+    }
+    val r = Polish.embIsotropy(spark, sf).collect().head
+    assert(r.getAs[Long]("n_vecs") == embs.length)
+    assert(math.abs(r.getAs[Double]("mean_cos") -
+      coss.map(d12).sum.toDouble / embs.length) < 1e-6)
+    assert(math.abs(r.getAs[Double]("min_cos") - coss.min) < 1e-6)
+    assert(math.abs(r.getAs[Double]("max_cos") - coss.max) < 1e-6)
+    assert(math.abs(r.getAs[Double]("frac_pos") -
+      coss.count(_ > 0).toDouble / embs.length) < 1e-6)
+  }
+
+  test("mattr matches a brute-force sliding-window TTR") {
+    val docs = Q.t(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim.split("\\s+")
+          .filter(_.nonEmpty).toSeq)
+    val out = Polish.textMattr(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.filter(_._2.nonEmpty).foreach { case (id, ws) =>
+      val n = ws.length
+      val wlen = math.min(50, n)
+      val starts = 1 to math.max(n - 49, 1)
+      val ttrs = starts.map { s0 =>
+        ws.slice(s0 - 1, s0 - 1 + wlen).distinct.length.toDouble / wlen
+      }
+      val mattr = ttrs.map(t0 => BigDecimal(t0)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+        starts.length
+      val r = out(id)
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id n")
+      assert(r.getAs[Long]("n_windows") == starts.length, s"doc $id wins")
+      assert(math.abs(r.getAs[Double]("mattr") - mattr) < 1e-6, s"doc $id")
+    }
+  }
+
+  test("plan audit: new ops join keyed or broadcast, single-row cross joins only") {
+    // ops whose only non-equi join is the one single-row scalar broadcast
+    // (tot / ties / cnorm) — anything more is a corpus-sized cartesian
+    Seq(Polish.privacyTCloseness(spark, sf),
+      Polish.statKruskalWallis(spark, sf),
+      Polish.embIsotropy(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj <= 1, s"expected at most the scalar cross join:\n$plan")
+    }
+    // equi-joins only in the graph and window-TTR plans
+    Seq(Polish.graphClusteringCoeff(spark, sf),
+      Polish.textMattr(spark, sf), Polish.statDickeyFuller(spark, sf))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"), plan)
+      }
+  }
+
   test("orc roundtrip preserves every supplier row") {
     val src = Q.t(spark, sf, "supplier")
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
