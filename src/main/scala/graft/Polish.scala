@@ -842,11 +842,14 @@ object Polish {
   /** MATTR lexical diversity per document: the mean type-token ratio
     * over every 50-token sliding window (Covington & McFall's fix for
     * raw TTR's length bias; documents shorter than the window get their
-    * single whole-doc window). Each token fans out to at most 50 window
-    * starts via a bounded sequence explode — W×tokens rows, never a
-    * per-doc quadratic — then distinct (doc, start, type) rows reduce to
-    * per-window type counts. Per-window ratios are quantized to a
-    * decimal lane so the per-doc mean is order-independent. */
+    * single whole-doc window). No per-window fan-out: a token at
+    * position p counts as a TYPE in the window starting at s iff its
+    * previous occurrence q is before s, so Σ_s u(s) collapses to a
+    * per-token closed form — the size of the valid s-range
+    * [max(1, p−W+1, q+1), min(p, n_windows)] — from one lag window
+    * partitioned by (doc, token). The running total stays an exact
+    * integer until the single final division, so both engines agree
+    * bit-for-bit with no decimal lanes at all. */
   def textMattr(s: SparkSession, d: String): DataFrame = {
     val W = 50
     val toks = t(s, d, "documents")
@@ -855,21 +858,21 @@ object Polish {
         .as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
     val nD = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val wins = toks.join(nD, "doc_id")
-      .select(col("doc_id"), col("tok"), col("n"),
-        explode(expr(s"sequence(greatest(1L, p - ${W - 1}), " +
-          s"least(p, greatest(n - ${W - 1}, 1L)))")).as("s"))
-      .distinct()
-    val perWin = wins.groupBy("doc_id", "n", "s")
-      .agg(count(lit(1)).as("u"))
-      .withColumn("ttr", (col("u").cast("double") /
-        least(lit(W.toLong), col("n")).cast("double"))
-        .cast(DecimalType(38, 12)))
-    perWin.groupBy("doc_id", "n")
-      .agg(count(lit(1)).as("n_windows"),
-        round(sum("ttr").cast("double") / count(lit(1)), 6).as("mattr"))
-      .select(col("doc_id"), col("n").as("n_tokens"), col("n_windows"),
-        col("mattr"))
+    val prevW = Window.partitionBy("doc_id", "tok").orderBy("p")
+    toks
+      .withColumn("q", coalesce(lag("p", 1).over(prevW), lit(0L)))
+      .join(nD, "doc_id")
+      .withColumn("nw", greatest(col("n") - (W - 1), lit(1L)))
+      .withColumn("c", greatest(
+        least(col("p"), col("nw")) -
+          greatest(lit(1L), col("p") - (W - 1), col("q") + 1) + 1, lit(0L)))
+      .groupBy("doc_id", "n", "nw")
+      .agg(sum("c").as("tu"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("nw").as("n_windows"),
+        round(col("tu").cast("double") /
+          (col("nw") * least(lit(W.toLong), col("n"))).cast("double"), 6)
+          .as("mattr"))
       .orderBy("doc_id")
   }
   val textMattrSql: String =
@@ -880,15 +883,18 @@ object Polish {
          |toks AS (SELECT doc_id, CAST(p AS BIGINT) AS p, w[p] AS tok,
          |    CAST(len(w) AS BIGINT) AS n
          |  FROM wsx, unnest(generate_series(1, len(w))) AS t(p)),
-         |wins AS (SELECT DISTINCT doc_id, s, tok, n
-         |  FROM toks, unnest(generate_series(greatest(1, p - 49),
-         |    least(p, greatest(n - 49, 1)))) AS u(s)),
-         |pw AS (SELECT doc_id, n, s, CAST(count(*) AS BIGINT) AS u
-         |  FROM wins GROUP BY 1, 2, 3)
-         |SELECT doc_id, n AS n_tokens, CAST(count(*) AS BIGINT) AS n_windows,
-         |  round(CAST(sum(CAST(CAST(u AS DOUBLE) / least(50, n)
-         |    AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mattr
-         |FROM pw GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+         |pr AS (SELECT doc_id, n, p,
+         |    coalesce(lag(p) OVER (PARTITION BY doc_id, tok ORDER BY p), 0)
+         |      AS q
+         |  FROM toks),
+         |c AS (SELECT doc_id, n, greatest(n - 49, 1) AS nw,
+         |    greatest(least(p, greatest(n - 49, 1))
+         |      - greatest(1, p - 49, q + 1) + 1, 0) AS c
+         |  FROM pr)
+         |SELECT doc_id, n AS n_tokens, CAST(nw AS BIGINT) AS n_windows,
+         |  round(CAST(sum(c) AS DOUBLE) / (CAST(nw AS DOUBLE) * least(50, n)),
+         |    6) AS mattr
+         |FROM c GROUP BY doc_id, n, nw ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_isotropy" -> (embIsotropy _),

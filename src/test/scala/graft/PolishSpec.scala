@@ -395,12 +395,10 @@ class PolishSpec extends AnyFunSuite {
       val n = ws.length
       val wlen = math.min(50, n)
       val starts = 1 to math.max(n - 49, 1)
-      val ttrs = starts.map { s0 =>
-        ws.slice(s0 - 1, s0 - 1 + wlen).distinct.length.toDouble / wlen
-      }
-      val mattr = ttrs.map(t0 => BigDecimal(t0)
-        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
-        starts.length
+      val totalU = starts.map { s0 =>
+        ws.slice(s0 - 1, s0 - 1 + wlen).distinct.length.toLong
+      }.sum
+      val mattr = totalU.toDouble / (starts.length.toLong * wlen)
       val r = out(id)
       assert(r.getAs[Long]("n_tokens") == n, s"doc $id n")
       assert(r.getAs[Long]("n_windows") == starts.length, s"doc $id wins")
