@@ -53,7 +53,8 @@ object PipeBench {
     "stat_jarque_bera", "scan_orc_roundtrip", "text_rake_keywords",
     "stat_hurst", "privacy_t_closeness", "stat_kruskal_wallis",
     "graph_clustering_coeff", "stat_dickey_fuller", "emb_isotropy",
-    "text_mattr")
+    "text_mattr", "stat_friedman", "stat_cohens_kappa",
+    "event_forecast_holt")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -896,7 +896,246 @@ object Polish {
          |    6) AS mattr
          |FROM c GROUP BY doc_id, n, nw ORDER BY doc_id""".stripMargin
 
+  // ---------- Friedman test (blocked nonparametric ANOVA) ----------
+
+  /** Friedman test across event types (treatments) blocked by day: are
+    * the daily count levels of the k event types systematically ordered?
+    * Completes the nonparametric family next to Kruskal-Wallis — KW
+    * pools all observations, Friedman ranks WITHIN each block, removing
+    * day-level traffic shifts. Only complete blocks (days observing all
+    * k types) enter, per the classical complete-design requirement.
+    * Ranks come from a per-day window over ≤k rows (never corpus-wide);
+    * midranks are exact half-integers so the per-treatment rank sums are
+    * exact doubles; the k-bounded R² and tie sums ride decimal lanes. */
+  def statFriedman(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    val kAll = daily.agg(countDistinct("event_type").as("k"))
+    val comp = daily
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("day")))
+      .crossJoin(broadcast(kAll))
+      .filter(col("c") === col("k")) // complete blocks only
+    val rk = comp
+      .withColumn("rmin", rank().over(
+        Window.partitionBy("day").orderBy("y")).cast("long"))
+      .withColumn("teq", count(lit(1)).over(
+        Window.partitionBy("day", "y")))
+      .withColumn("midrank", col("rmin").cast("double") +
+        (col("teq").cast("double") - 1.0) / 2.0)
+    val rj = rk.groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n"), sum("midrank").as("rj"))
+    val ties = rk.select("day", "y", "teq").distinct()
+      .agg(coalesce(sum((col("teq").cast("double") * col("teq") * col("teq") -
+        col("teq").cast("double")).cast(DecimalType(38, 6)))
+        .cast("double"), lit(0.0)).as("tt"))
+    rj.groupBy("k", "n")
+      .agg(sum((col("rj") * col("rj")).cast(DecimalType(38, 6)))
+        .cast("double").as("s2"))
+      .crossJoin(broadcast(ties))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("kd", col("k").cast("double"))
+      .withColumn("q",
+        lit(12.0) / (col("nd") * col("kd") * (col("kd") + 1.0)) * col("s2") -
+          lit(3.0) * col("nd") * (col("kd") + 1.0))
+      .withColumn("corr", lit(1.0) -
+        col("tt") / (col("nd") * col("kd") * (col("kd") * col("kd") - 1.0)))
+      .select(col("n").as("n_blocks"), col("k").as("k_treatments"),
+        round(col("q"), 6).as("q_stat"),
+        round(col("q") / when(col("corr") > 0, col("corr")), 6)
+          .as("q_tie_corrected"))
+  }
+  val statFriedmanSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      |  FROM daily),
+      |comp AS (SELECT day, event_type, y, k FROM (
+      |    SELECT day, event_type, y,
+      |      CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS c
+      |    FROM daily) x CROSS JOIN kk WHERE c = k),
+      |rk AS (SELECT day, event_type, y, k,
+      |    CAST(rank() OVER (PARTITION BY day ORDER BY y) AS BIGINT) AS rmin,
+      |    CAST(count(*) OVER (PARTITION BY day, y) AS BIGINT) AS teq
+      |  FROM comp),
+      |mid AS (SELECT day, event_type, y, k, teq,
+      |    CAST(rmin AS DOUBLE) + (CAST(teq AS DOUBLE) - 1.0) / 2.0
+      |      AS midrank
+      |  FROM rk),
+      |rj AS (SELECT event_type, k, CAST(count(*) AS BIGINT) AS n,
+      |    sum(midrank) AS rj FROM mid GROUP BY 1, 2),
+      |ties AS (SELECT coalesce(CAST(sum(CAST(
+      |      CAST(teq AS DOUBLE) * teq * teq - CAST(teq AS DOUBLE)
+      |    AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS tt
+      |  FROM (SELECT DISTINCT day, y, teq FROM mid)),
+      |agg AS (SELECT k, n,
+      |    CAST(sum(CAST(rj * rj AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      |  FROM rj GROUP BY 1, 2),
+      |fin AS (SELECT n, k,
+      |    12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+      |      * (CAST(k AS DOUBLE) + 1.0)) * s2
+      |      - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) AS q,
+      |    1.0 - tt / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+      |      * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) AS corr
+      |  FROM agg CROSS JOIN ties)
+      |SELECT n AS n_blocks, k AS k_treatments, round(q, 6) AS q_stat,
+      |  round(q / nullif(greatest(corr, 0), 0), 6) AS q_tie_corrected
+      |FROM fin""".stripMargin
+
+  // ---------- Cohen's kappa (quality-filter agreement) ----------
+
+  /** Cohen's kappa between two independent document quality filters:
+    * rater A = the Gopher-style length rule (50 ≤ tokens ≤ 100000 AND
+    * mean word length in [3, 10]) and rater B = the symbol-ratio rule
+    * (non-alphanumeric, non-space characters < 10% of text). Kappa
+    * measures agreement beyond chance — near 0 means the filters are
+    * redundant-free, near 1 means one is informationally subsumed.
+    * Both raters are pure integer comparisons (mean-word-length bounds
+    * multiplied through, symbol fraction as sym×10 < len), so no
+    * division/null edge exists; one map-side pass, one global reduce,
+    * fixed double tree on the 2×2 counts. */
+  def statCohensKappa(s: SparkSession, d: String): DataFrame = {
+    val f = t(s, d, "documents")
+      .withColumn("n_tok", size(expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"))
+        .cast("long"))
+      .withColumn("chars",
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("sym",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+          .cast("long"))
+      .withColumn("a", col("n_tok") >= 50 && col("n_tok") <= 100000 &&
+        col("chars") >= lit(3L) * col("n_tok") &&
+        col("chars") <= lit(10L) * col("n_tok"))
+      .withColumn("b", col("sym") * 10 < length(col("text")).cast("long"))
+    val g = f.agg(
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"),
+      count(lit(1)).as("n"))
+    g.withColumn("po",
+        (col("n11") + col("n00")).cast("double") / col("n"))
+      .withColumn("pe",
+        ((col("n11") + col("n10")).cast("double") / col("n")) *
+          ((col("n11") + col("n01")).cast("double") / col("n")) +
+          ((col("n01") + col("n00")).cast("double") / col("n")) *
+            ((col("n10") + col("n00")).cast("double") / col("n")))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+        round((col("po") - col("pe")) /
+          when(col("pe") < 1.0, lit(1.0) - col("pe")), 6).as("kappa"))
+  }
+  val statCohensKappaSql: String =
+    raw"""WITH f AS (SELECT
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)),
+         |      '\s+'), x -> x != '')) AS BIGINT) AS n_tok,
+         |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+         |      AS chars,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+         |      AS BIGINT) AS sym,
+         |    CAST(length(text) AS BIGINT) AS len
+         |  FROM documents),
+         |r AS (SELECT
+         |    (n_tok >= 50 AND n_tok <= 100000 AND chars >= 3 * n_tok
+         |      AND chars <= 10 * n_tok) AS a,
+         |    (sym * 10 < len) AS b
+         |  FROM f),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n10,
+         |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n01,
+         |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n00,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM r),
+         |p AS (SELECT n11, n10, n01, n00,
+         |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+         |    (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+         |      + (CAST(n01 + n00 AS DOUBLE) / n)
+         |        * (CAST(n10 + n00 AS DOUBLE) / n) AS pe
+         |  FROM g)
+         |SELECT n11, n10, n01, n00, round(po, 6) AS po, round(pe, 6) AS pe,
+         |  round((po - pe) / (CASE WHEN pe < 1.0 THEN 1.0 - pe END), 6)
+         |    AS kappa
+         |FROM p""".stripMargin
+
+  // ---------- Holt linear-trend forecast ----------
+
+  /** One-step Holt (double exponential smoothing) forecast of tomorrow's
+    * per-type daily event count, α = 0.3, β = 0.2 — completes the
+    * forecast family next to the closed-form SES: Holt carries a trend
+    * state, so the recursion l_t = αy_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} (seeded l₁ = y₁, b₁ = y₂−y₁)
+    * has no scalar closed form. It folds over the |days|-bounded
+    * collected series per type — one keyed reduce builds the array, the
+    * fold is driver-free bounded math — and the DuckDB oracle replays
+    * the identical IEEE operation sequence as a recursive CTE, so the
+    * engines agree bit-for-bit. */
+  def eventForecastHolt(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("sarr"))
+      .withColumn("ys", expr("transform(sarr, p -> cast(p.y as double))"))
+      .withColumn("t", size(col("ys")).cast("long"))
+      .withColumn("st", expr(
+        """if(size(ys) < 2, named_struct('l', ys[0], 'b', 0D),
+          |  aggregate(slice(ys, 2, size(ys) - 1),
+          |    named_struct('l', ys[0], 'b', ys[1] - ys[0]),
+          |    (acc, x) -> named_struct(
+          |      'l', 0.3D * x + 0.7D * (acc.l + acc.b),
+          |      'b', 0.2D * ((0.3D * x + 0.7D * (acc.l + acc.b)) - acc.l)
+          |        + 0.8D * acc.b)))""".stripMargin))
+      .select(col("event_type"), col("t").as("n_days"),
+        round(col("st").getField("l") + col("st").getField("b"), 6)
+          .as("forecast"),
+        round(col("st").getField("b"), 6).as("trend"))
+      .orderBy("event_type")
+  }
+  val eventForecastHoltSql: String =
+    """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |ranked AS (SELECT event_type, y,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS k
+      |  FROM daily),
+      |tmax AS (SELECT event_type, max(k) AS t FROM ranked GROUP BY 1),
+      |rec AS (
+      |  SELECT r1.event_type, CAST(1 AS BIGINT) AS k,
+      |      CAST(r1.y AS DOUBLE) AS l,
+      |      CAST(r2.y AS DOUBLE) - CAST(r1.y AS DOUBLE) AS b
+      |    FROM ranked r1 JOIN ranked r2
+      |      ON r2.event_type = r1.event_type AND r2.k = 2
+      |    WHERE r1.k = 1
+      |  UNION ALL
+      |  SELECT rec.event_type, rec.k + 1,
+      |      0.3 * rn.y + 0.7 * (rec.l + rec.b),
+      |      0.2 * ((0.3 * rn.y + 0.7 * (rec.l + rec.b)) - rec.l)
+      |        + 0.8 * rec.b
+      |    FROM rec JOIN ranked rn
+      |      ON rn.event_type = rec.event_type AND rn.k = rec.k + 1),
+      |fin AS (
+      |  SELECT rec.event_type, t.t AS n_days, rec.l + rec.b AS fc,
+      |      rec.b AS tr
+      |    FROM rec JOIN tmax t USING (event_type) WHERE rec.k = t.t
+      |  UNION ALL
+      |  SELECT r.event_type, 1, CAST(r.y AS DOUBLE), 0.0
+      |    FROM ranked r JOIN tmax t USING (event_type)
+      |    WHERE t.t = 1 AND r.k = 1)
+      |SELECT event_type, n_days, round(fc, 6) AS forecast,
+      |  round(tr, 6) AS trend
+      |FROM fin ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_friedman" -> (statFriedman _),
+    "stat_cohens_kappa" -> (statCohensKappa _),
+    "event_forecast_holt" -> (eventForecastHolt _),
     "emb_isotropy" -> (embIsotropy _),
     "text_mattr" -> (textMattr _),
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
@@ -912,6 +1151,9 @@ object Polish {
     "stat_hurst" -> (statHurst _))
 
   val oracle: Map[String, String] = Map(
+    "stat_friedman" -> statFriedmanSql,
+    "stat_cohens_kappa" -> statCohensKappaSql,
+    "event_forecast_holt" -> eventForecastHoltSql,
     "emb_isotropy" -> embIsotropySql,
     "text_mattr" -> textMattrSql,
     "graph_clustering_coeff" -> graphClusteringCoeffSql,

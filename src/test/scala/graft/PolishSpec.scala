@@ -406,6 +406,97 @@ class PolishSpec extends AnyFunSuite {
     }
   }
 
+  test("friedman matches a brute-force within-block midrank computation") {
+    val daily = Q.t(spark, sf, "events")
+      .selectExpr("cast(ts as date) as day", "event_type").collect()
+      .groupBy(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[String]("event_type")))
+      .map { case ((d0, e), v) => (d0, e, v.length.toLong) }.toSeq
+    val k = daily.map(_._2).distinct.length
+    val blocks = daily.groupBy(_._1).filter(_._2.length == k)
+    val n = blocks.size.toDouble
+    // per-block midranks over the k counts
+    val ranks = blocks.toSeq.flatMap { case (_, rows) =>
+      val ys = rows.map(_._3).sorted
+      rows.map { case (_, e, y) =>
+        val rmin = ys.indexOf(y) + 1
+        val teq = ys.count(_ == y)
+        e -> (rmin + (teq - 1.0) / 2.0)
+      }
+    }
+    val rj = ranks.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val s2 = rj.values.toSeq.map(r => BigDecimal(r * r)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val tt = blocks.toSeq.flatMap { case (_, rows) =>
+      rows.map(_._3).groupBy(identity).values.map(_.length.toDouble)
+        .filter(_ > 1).map(m => BigDecimal(m * m * m - m)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }.sum.toDouble
+    val q = 12.0 / (n * k * (k + 1.0)) * s2 - 3.0 * n * (k + 1.0)
+    val corr = 1.0 - tt / (n * k * (k * k - 1.0))
+    val r = Polish.statFriedman(spark, sf).collect().head
+    assert(r.getAs[Long]("n_blocks") == blocks.size)
+    assert(r.getAs[Long]("k_treatments") == k)
+    assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-6)
+    assert(math.abs(r.getAs[Double]("q_tie_corrected") - q / corr) < 1e-6)
+  }
+
+  test("cohens kappa matches a brute-force 2x2 recount") {
+    val docs = Q.t(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0))
+    val rated = docs.map { t0 =>
+      val nTok = t0.trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
+      val chars = t0.replaceAll("\\s", "").length.toLong
+      val sym = t0.replaceAll("[A-Za-z0-9\\s]", "").length.toLong
+      val a = nTok >= 50 && nTok <= 100000 &&
+        chars >= 3 * nTok && chars <= 10 * nTok
+      val b = sym * 10 < t0.length
+      (a, b)
+    }
+    val n11 = rated.count(p => p._1 && p._2).toLong
+    val n10 = rated.count(p => p._1 && !p._2).toLong
+    val n01 = rated.count(p => !p._1 && p._2).toLong
+    val n00 = rated.count(p => !p._1 && !p._2).toLong
+    val n = rated.length.toDouble
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) / n) * ((n11 + n01) / n) +
+      ((n01 + n00) / n) * ((n10 + n00) / n)
+    val r = Polish.statCohensKappa(spark, sf).collect().head
+    assert(r.getAs[Long]("n11") == n11 && r.getAs[Long]("n10") == n10 &&
+      r.getAs[Long]("n01") == n01 && r.getAs[Long]("n00") == n00)
+    assert(math.abs(r.getAs[Double]("po") - po) < 1e-6)
+    assert(math.abs(r.getAs[Double]("pe") - pe) < 1e-6)
+    assert(math.abs(r.getAs[Double]("kappa") - (po - pe) / (1.0 - pe)) < 1e-6)
+    // both raters must discriminate, or kappa is vacuous on this corpus
+    assert(n11 + n10 > 0 && n01 + n00 > 0)
+  }
+
+  test("holt forecast matches a brute-force recursion per event type") {
+    val daily = Q.t(spark, sf, "events")
+      .selectExpr("event_type", "cast(ts as date) as day").collect()
+      .groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString))
+      .map { case ((e, d0), v) => (e, d0, v.length.toLong) }.toSeq
+    val out = Polish.eventForecastHolt(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val byType = daily.groupBy(_._1)
+    assert(out.size == byType.size)
+    byType.foreach { case (e, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      var l = ys.head
+      var b = if (ys.length < 2) 0.0 else ys(1) - ys.head
+      ys.drop(1).foreach { x =>
+        val l2 = 0.3 * x + 0.7 * (l + b)
+        b = 0.2 * (l2 - l) + 0.8 * b
+        l = l2
+      }
+      val r = out(e)
+      assert(r.getAs[Long]("n_days") == ys.length, s"$e days")
+      assert(math.abs(r.getAs[Double]("forecast") - (l + b)) < 1e-6, s"$e fc")
+      assert(math.abs(r.getAs[Double]("trend") - b) < 1e-6, s"$e tr")
+    }
+  }
+
   test("plan audit: new ops join keyed or broadcast, single-row cross joins only") {
     // ops whose only non-equi join is the one single-row scalar broadcast
     // (tot / ties / cnorm) — anything more is a corpus-sized cartesian
