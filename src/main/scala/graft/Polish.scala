@@ -780,30 +780,35 @@ object Polish {
     * mean-cosine near 0; anisotropic ("narrow cone") spaces — common
     * before whitening — sit near 1 and degrade cosine retrieval, which
     * is what this screens for ahead of the sim_/dedup_ stages. Shape:
-    * per-dim centroid is a d-bounded reduce; the per-vector dot rides
-    * one broadcast join back over the exploded dims (the
-    * emb_centroid_drift shape); every float product is quantized to a
-    * decimal lane so the per-vector and corpus sums are
-    * order-independent. try_divide nulls a zero vector's cosine. */
+    * per-dim centroid is a d-bounded reduce, then the centroid is
+    * broadcast as a constant-folded d-length literal (the power-
+    * iteration A-multiply shape, [[Scale.embPowerIteration]]) so each
+    * vector's dot and norm are map-side double left-folds — matching
+    * DuckDB's list_inner_product fold bit-for-bit — and the only
+    * shuffles are the d-bounded centroid reduce and the final global
+    * aggregate. try_divide nulls a zero vector's cosine. */
   def embIsotropy(s: SparkSession, d: String): DataFrame = {
-    val ex = t(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
-      .select(col("vec_id"), col("i0").as("i"),
-        col("xf").cast("double").as("x"))
-    val cent = ex.groupBy("i")
+    val vecs = t(s, d, "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // scanned once for the centroid, once for cosines
+    val cent = vecs
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
       .agg(sum(col("x").cast(DecimalType(30, 12))).cast("double").as("sx"),
         count(lit(1)).as("nd"))
       .select(col("i"), (col("sx") / col("nd")).as("c"))
-    val cn = cent.agg(sqrt(sum((col("c") * col("c"))
-      .cast(DecimalType(38, 12))).cast("double")).as("cnorm"))
-    val pv = ex.join(broadcast(cent), "i")
-      .groupBy("vec_id")
-      .agg(sum((col("x") * col("c")).cast(DecimalType(38, 12)))
-          .cast("double").as("dot"),
-        sqrt(sum((col("x") * col("x")).cast(DecimalType(38, 12)))
-          .cast("double")).as("nrm"))
-    pv.crossJoin(broadcast(cn))
-      .withColumn("cos", try_divide(col("dot"), col("nrm") * col("cnorm")))
+      .collect().sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("c"))
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val cnorm = math.sqrt(cent.map(x => d12(x * x)).sum.toDouble)
+    val cLit = cent.map(x => s"${x}D").mkString("array(", ",", ")")
+    vecs
+      .withColumn("dot", expr(
+        s"""aggregate(zip_with(v, $cLit, (x, c) -> x * c),
+           |  cast(0.0 as double), (a, b) -> a + b)""".stripMargin))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(v, cast(0.0 as double), (a, x) -> a + x * x)")))
+      .withColumn("cos", try_divide(col("dot"), col("nrm") * lit(cnorm)))
       .filter(col("cos").isNotNull)
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("cos").cast(DecimalType(38, 12))).cast("double") /
@@ -817,17 +822,16 @@ object Polish {
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |ex AS (SELECT vec_id, i, e[i] AS x
       |  FROM v, unnest(generate_series(1, len(e))) AS t(i)),
-      |cent AS (SELECT i,
+      |cent AS MATERIALIZED (SELECT i,
       |    CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS c
       |  FROM ex GROUP BY i),
+      |cl AS MATERIALIZED (SELECT list(c ORDER BY i) AS q FROM cent),
       |cn AS (SELECT sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE))
       |    AS cnorm FROM cent),
-      |pv AS (SELECT vec_id,
-      |    CAST(sum(CAST(x * c AS DECIMAL(38,12))) AS DOUBLE) AS dot,
-      |    sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      |  FROM ex JOIN cent USING (i) GROUP BY vec_id),
-      |cs AS (SELECT vec_id, dot / nullif(nrm * cnorm, 0) AS cos
-      |  FROM pv CROSS JOIN cn)
+      |cs AS (SELECT list_inner_product(v.e, cl.q)
+      |      / nullif(sqrt(list_inner_product(v.e, v.e)) * cn.cnorm, 0)
+      |      AS cos
+      |  FROM v, cl, cn)
       |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
       |  round(CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
       |    AS mean_cos,

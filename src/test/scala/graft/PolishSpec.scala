@@ -369,9 +369,11 @@ class PolishSpec extends AnyFunSuite {
     val cent = (0 until dim).map(i =>
       embs.map(v => d12(v(i))).sum.toDouble / embs.length)
     val cnorm = math.sqrt(cent.map(c => d12(c * c)).sum.toDouble)
+    // dot and norm are plain sequential left folds (the literal-centroid
+    // map-side shape); only the keyed/global reduces ride decimal lanes
     val coss = embs.map { v =>
-      val dot = v.zip(cent).map { case (x, c) => d12(x * c) }.sum.toDouble
-      val nrm = math.sqrt(v.map(x => d12(x * x)).sum.toDouble)
+      val dot = v.zip(cent).map { case (x, c) => x * c }.sum
+      val nrm = math.sqrt(v.map(x => x * x).sum)
       dot / (nrm * cnorm)
     }
     val r = Polish.embIsotropy(spark, sf).collect().head
