@@ -642,16 +642,25 @@ object Polish {
     * three member nodes for a node-keyed count; the graph is
     * vocabulary-bounded, so the broadcast triangle join and the final
     * top-20 window both run on bounded tables. */
-  def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
-    val und = t(s, d, "documents")
+  /** Distinct undirected word-adjacency edges (a < b), the shared graph
+    * of [[graphClusteringCoeff]] / [[graphDegreeAssortativity]] — same
+    * construction as Pipeline.graphTriangles. Vocabulary-bounded. */
+  private def undirectedEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
       .select(expr("split(trim(text), '\\\\s+')").as("ws"))
+      // single-word docs have no edges; without the guard sequence(1, 0)
+      // descends and ws[-1]/ws[1] emit null src/dst rows
+      .filter(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
       .where(col("e.src") =!= col("e.dst"))
       .select(least(col("e.src"), col("e.dst")).as("a"),
         greatest(col("e.src"), col("e.dst")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct()
+
+  def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d).localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1136,7 +1145,266 @@ object Polish {
       |  round(tr, 6) AS trend
       |FROM fin ORDER BY event_type""".stripMargin
 
+  // ---------- degree assortativity ----------
+
+  /** Degree assortativity of the word-adjacency graph: the Pearson
+    * correlation of endpoint degrees over all edges (both orientations,
+    * per Newman's definition). Negative values — hubs attaching to
+    * low-degree leaves — are the signature of natural-language word
+    * graphs. Same vocabulary-bounded edge/degree tables as
+    * [[graphClusteringCoeff]]; all moment sums are exact integers in
+    * decimal lanes, the correlation is one fixed double tree on top. */
+  def graphDegreeAssortativity(s: SparkSession, d: String): DataFrame = {
+    val und = undirectedEdges(s, d).localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dir = und.select(explode(array(
+        struct(col("a").as("s0"), col("b").as("d0")),
+        struct(col("b").as("s0"), col("a").as("d0")))).as("e"))
+      .select(col("e.s0").as("src"), col("e.d0").as("dst"))
+    val dx = broadcast(deg.select(col("node").as("src"), col("deg").as("dx")))
+    val dy = broadcast(deg.select(col("node").as("dst"), col("deg").as("dy")))
+    val d38 = DecimalType(38, 0)
+    dir.join(dx, "src").join(dy, "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx").cast(d38)).cast("double").as("sx"),
+        sum((col("dx") * col("dy")).cast(d38)).cast("double").as("sxy"),
+        sum((col("dx") * col("dx")).cast(d38)).cast("double").as("sxx"))
+      .withColumn("md", col("m").cast("double"))
+      .withColumn("den", col("md") * col("sxx") - col("sx") * col("sx"))
+      .select((col("m").cast("double") / 2.0).cast("long").as("n_edges"),
+        round((col("md") * col("sxy") - col("sx") * col("sx")) /
+          when(col("den") > 0, col("den")), 6).as("assortativity"))
+  }
+  val graphDegreeAssortativitySql: String =
+    raw"""WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS w
+         |       FROM documents),
+         |bg AS (SELECT w[i] AS src, w[i+1] AS dst
+         |       FROM ws, UNNEST(range(1, len(w))) AS t(i)),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+         |       greatest(src, dst) AS b FROM bg WHERE src <> dst),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |       SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+         |     u GROUP BY node),
+         |dir AS (SELECT a AS src, b AS dst FROM und
+         |     UNION ALL SELECT b AS src, a AS dst FROM und),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CAST(x.deg AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(x.deg * y.deg AS DECIMAL(38,0))) AS DOUBLE)
+         |      AS sxy,
+         |    CAST(sum(CAST(x.deg * x.deg AS DECIMAL(38,0))) AS DOUBLE)
+         |      AS sxx
+         |  FROM dir JOIN deg x ON x.node = dir.src
+         |  JOIN deg y ON y.node = dir.dst)
+         |SELECT CAST(CAST(m AS DOUBLE) / 2.0 AS BIGINT) AS n_edges,
+         |  round((CAST(m AS DOUBLE) * sxy - sx * sx)
+         |    / nullif(greatest(CAST(m AS DOUBLE) * sxx - sx * sx, 0), 0), 6)
+         |    AS assortativity
+         |FROM mm""".stripMargin
+
+  // ---------- Cronbach's alpha ----------
+
+  /** Cronbach's alpha treating the k event types as "items" and days as
+    * "subjects" (daily counts as scores): internal consistency of daily
+    * activity across event types. Only complete days (all k types
+    * observed) enter, the same complete-design rule as [[statFriedman]].
+    * Item and total variances are sample variances assembled from exact
+    * integer moment sums in decimal lanes; the k-bounded per-item
+    * variance sum rides a DECIMAL(38,6) quantization so group order
+    * cannot matter. */
+  def statCronbachAlpha(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    val kAll = daily.agg(countDistinct("event_type").as("k"))
+    val comp = daily
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("day")))
+      .crossJoin(broadcast(kAll))
+      .filter(col("c") === col("k"))
+    val d38 = DecimalType(38, 0)
+    val item = comp.groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast(d38)).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast(d38)).cast("double").as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("vi", (col("syy") - col("sy") * col("sy") / col("nd")) /
+        (col("nd") - 1.0))
+    val svi = item.groupBy("k", "n")
+      .agg(sum(col("vi").cast(DecimalType(38, 6))).cast("double").as("svi"))
+    val tot = comp.groupBy("day").agg(sum("y").as("td"))
+      .agg(count(lit(1)).as("nt"),
+        sum(col("td").cast(d38)).cast("double").as("st"),
+        sum((col("td") * col("td")).cast(d38)).cast("double").as("stt"))
+      .withColumn("ntd", col("nt").cast("double"))
+      .withColumn("vt", (col("stt") - col("st") * col("st") / col("ntd")) /
+        (col("ntd") - 1.0))
+    svi.crossJoin(broadcast(tot.select("vt")))
+      .withColumn("kd", col("k").cast("double"))
+      .withColumn("alpha", col("kd") / (col("kd") - 1.0) *
+        (lit(1.0) - col("svi") / when(col("vt") > 0, col("vt"))))
+      .select(col("k").as("k_items"), col("n").as("n_subjects"),
+        round(col("svi"), 6).as("sum_item_var"),
+        round(col("vt"), 6).as("total_var"),
+        round(col("alpha"), 6).as("alpha"))
+  }
+  val statCronbachAlphaSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      |  FROM daily),
+      |comp AS (SELECT day, event_type, y, k FROM (
+      |    SELECT day, event_type, y,
+      |      CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS c
+      |    FROM daily) x CROSS JOIN kk WHERE c = k),
+      |item AS (SELECT event_type, k, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM comp GROUP BY 1, 2),
+      |vi AS (SELECT event_type, k, n,
+      |    (syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+      |      AS vi
+      |  FROM item),
+      |svi AS (SELECT k, n,
+      |    CAST(sum(CAST(vi AS DECIMAL(38,6))) AS DOUBLE) AS svi
+      |  FROM vi GROUP BY 1, 2),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+      |    CAST(sum(CAST(td AS DECIMAL(38,0))) AS DOUBLE) AS st,
+      |    CAST(sum(CAST(td * td AS DECIMAL(38,0))) AS DOUBLE) AS stt
+      |  FROM (SELECT day, CAST(sum(y) AS BIGINT) AS td FROM comp
+      |    GROUP BY day)),
+      |vt AS (SELECT (stt - st * st / CAST(nt AS DOUBLE))
+      |    / (CAST(nt AS DOUBLE) - 1.0) AS vt FROM tot)
+      |SELECT k AS k_items, n AS n_subjects, round(svi, 6) AS sum_item_var,
+      |  round(vt, 6) AS total_var,
+      |  round(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+      |    * (1.0 - svi / nullif(greatest(vt, 0), 0)), 6) AS alpha
+      |FROM svi CROSS JOIN vt""".stripMargin
+
+  // ---------- Markov entropy rate ----------
+
+  /** Entropy rate of the event-type Markov chain (the behavioral
+    * complement of [[Stats.eventMarkov]]'s transition matrix): H =
+    * −Σ_ij (n_ij/N)·ln(n_ij/n_i), the average per-step unpredictability
+    * of a user's next event under the empirical source distribution.
+    * Transitions ride the same (ts, event_id)-ordered user window as
+    * event_markov; everything after the transition-keyed count is
+    * |types|²-bounded math with per-term DECIMAL(38,12) quantization. */
+  def eventEntropyRate(s: SparkSession, d: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = t(s, d, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(seq))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("nij"))
+    val ni = tr.groupBy("event_type").agg(sum("nij").as("ni"))
+    val nn = tr.agg(sum("nij").as("nn"), countDistinct("event_type").as("k"))
+    tr.join(broadcast(ni), "event_type")
+      .crossJoin(broadcast(nn))
+      .withColumn("term", (-(col("nij").cast("double") / col("nn")) *
+        log(col("nij").cast("double") / col("ni")))
+        .cast(DecimalType(38, 12)))
+      .groupBy("nn", "k")
+      .agg(sum("term").cast("double").as("h"))
+      .select(col("nn").as("n_transitions"), col("k").as("n_states"),
+        round(col("h"), 6).as("entropy_nats"),
+        round(col("h") / log(lit(2.0)), 6).as("entropy_bits"))
+  }
+  val eventEntropyRateSql: String =
+    """WITH tr0 AS (SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |tr AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS nij
+      |  FROM tr0 WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |ni AS (SELECT event_type, CAST(sum(nij) AS BIGINT) AS ni
+      |  FROM tr GROUP BY 1),
+      |nn AS (SELECT CAST(sum(nij) AS BIGINT) AS nn,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM tr),
+      |terms AS (SELECT nn, k,
+      |    CAST(-(CAST(nij AS DOUBLE) / nn)
+      |      * ln(CAST(nij AS DOUBLE) / ni) AS DECIMAL(38,12)) AS term
+      |  FROM tr JOIN ni USING (event_type) CROSS JOIN nn)
+      |SELECT nn AS n_transitions, k AS n_states,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS entropy_nats,
+      |  round(CAST(sum(term) AS DOUBLE) / ln(2.0), 6) AS entropy_bits
+      |FROM terms GROUP BY nn, k""".stripMargin
+
+  // ---------- Heaps' law fit ----------
+
+  /** Heaps' law fit V = K·n^β across documents: OLS of ln(types) on
+    * ln(tokens) over the per-doc (n, V) points — the vocabulary-growth
+    * counterpart of corpus_zipf's frequency-rank fit, and the standard
+    * sanity check that a corpus's type/token scaling is natural
+    * (β ≈ 0.4–0.6) rather than boilerplate-duplicated (β → 0). Per-doc
+    * log terms are quantized to DECIMAL(38,12) so the corpus-keyed
+    * moment sums are order-independent; the slope/intercept/R² chain is
+    * one fixed double tree. */
+  def textHeapsFit(s: SparkSession, d: String): DataFrame = {
+    val dv = t(s, d, "documents")
+      .select(expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')").as("ws"))
+      .select(size(col("ws")).cast("long").as("n"),
+        size(array_distinct(col("ws"))).cast("long").as("v"))
+      .filter(col("n") >= 2)
+      .select(log(col("n").cast("double")).as("x"),
+        log(col("v").cast("double")).as("y"))
+    val dec = DecimalType(38, 12)
+    dv.agg(count(lit(1)).as("m"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+      .withColumn("md", col("m").cast("double"))
+      .withColumn("dx", col("md") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("md") * col("syy") - col("sy") * col("sy"))
+      .withColumn("nm", col("md") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("beta", col("nm") / when(col("dx") > 0, col("dx")))
+      .select(col("m").as("n_docs"),
+        round(col("beta"), 6).as("beta"),
+        round(exp((col("sy") - col("beta") * col("sx")) / col("md")), 6)
+          .as("k_coef"),
+        round(col("nm") * col("nm") /
+          when(col("dx") * col("dy") > 0, col("dx") * col("dy")), 6)
+          .as("r2"))
+  }
+  val textHeapsFitSql: String =
+    raw"""WITH dv AS (SELECT
+         |    CAST(len(w) AS BIGINT) AS n,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS v
+         |  FROM (SELECT list_filter(string_split_regex(lower(trim(text)),
+         |      '\s+'), x -> x != '') AS w FROM documents)
+         |  WHERE len(w) >= 2),
+         |pts AS (SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+         |  FROM dv),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+         |  FROM pts),
+         |fit AS (SELECT m, sx, sy, CAST(m AS DOUBLE) AS md,
+         |    CAST(m AS DOUBLE) * sxx - sx * sx AS dx,
+         |    CAST(m AS DOUBLE) * syy - sy * sy AS dy,
+         |    CAST(m AS DOUBLE) * sxy - sx * sy AS nm
+         |  FROM mm),
+         |b AS (SELECT m, sx, sy, md, dx, dy, nm,
+         |    nm / nullif(greatest(dx, 0), 0) AS beta FROM fit)
+         |SELECT m AS n_docs, round(beta, 6) AS beta,
+         |  round(exp((sy - beta * sx) / md), 6) AS k_coef,
+         |  round(nm * nm / (CASE WHEN dx * dy > 0 THEN dx * dy END), 6)
+         |    AS r2
+         |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_assortativity" -> (graphDegreeAssortativity _),
+    "stat_cronbach_alpha" -> (statCronbachAlpha _),
+    "event_entropy_rate" -> (eventEntropyRate _),
+    "text_heaps_fit" -> (textHeapsFit _),
     "stat_friedman" -> (statFriedman _),
     "stat_cohens_kappa" -> (statCohensKappa _),
     "event_forecast_holt" -> (eventForecastHolt _),
@@ -1155,6 +1423,10 @@ object Polish {
     "stat_hurst" -> (statHurst _))
 
   val oracle: Map[String, String] = Map(
+    "graph_degree_assortativity" -> graphDegreeAssortativitySql,
+    "stat_cronbach_alpha" -> statCronbachAlphaSql,
+    "event_entropy_rate" -> eventEntropyRateSql,
+    "text_heaps_fit" -> textHeapsFitSql,
     "stat_friedman" -> statFriedmanSql,
     "stat_cohens_kappa" -> statCohensKappaSql,
     "event_forecast_holt" -> eventForecastHoltSql,

@@ -499,20 +499,133 @@ class PolishSpec extends AnyFunSuite {
     }
   }
 
+  test("degree assortativity matches a brute-force edge-degree correlation") {
+    val docs = Q.t(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0))
+    val edges = docs.flatMap { t0 =>
+      val ws = t0.trim.split("\\s+")
+      ws.zip(ws.tail).filter(p => p._1 != p._2)
+        .map(p => (Seq(p._1, p._2).min, Seq(p._1, p._2).max))
+    }.distinct
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (v, o) => v -> o.length.toLong }
+    val pairs = edges.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum.toDouble
+    val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val r0 = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    val r = Polish.graphDegreeAssortativity(spark, sf).collect().head
+    assert(r.getAs[Long]("n_edges") == edges.length)
+    assert(math.abs(r.getAs[Double]("assortativity") - r0) < 1e-6)
+  }
+
+  test("cronbach alpha matches a brute-force item-variance recount") {
+    val daily = Q.t(spark, sf, "events")
+      .selectExpr("cast(ts as date) as day", "event_type").collect()
+      .groupBy(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[String]("event_type")))
+      .map { case ((d0, e), v) => (d0, e, v.length.toLong) }.toSeq
+    val k = daily.map(_._2).distinct.length
+    val blocks = daily.groupBy(_._1).filter(_._2.length == k)
+    val n = blocks.size.toDouble
+    def svar(xs: Seq[Long]) = {
+      val s1 = xs.sum.toDouble; val s2 = xs.map(x => x * x).sum.toDouble
+      (s2 - s1 * s1 / xs.length) / (xs.length - 1.0)
+    }
+    val svi = blocks.values.flatten.toSeq.groupBy(_._2).values
+      .map(rows => BigDecimal(svar(rows.map(_._3)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val vt = svar(blocks.values.map(_.map(_._3).sum).toSeq)
+    val alpha = k / (k - 1.0) * (1.0 - svi / vt)
+    val r = Polish.statCronbachAlpha(spark, sf).collect().head
+    assert(r.getAs[Long]("k_items") == k)
+    assert(r.getAs[Long]("n_subjects") == n.toLong)
+    assert(math.abs(r.getAs[Double]("sum_item_var") - svi) < 1e-6)
+    assert(math.abs(r.getAs[Double]("total_var") - vt) < 1e-6)
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-6)
+  }
+
+  test("entropy rate matches a brute-force transition recount") {
+    val evs = Q.t(spark, sf, "events")
+      .selectExpr("user_id", "cast(ts as double) as tsd", "event_id",
+        "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("tsd"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val trans = evs.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val o = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      o.zip(o.tail)
+    }
+    val nij = trans.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ni = trans.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nn = trans.length.toDouble
+    val h = nij.toSeq.map { case ((a, _), c) =>
+      BigDecimal(-(c / nn) * math.log(c.toDouble / ni(a)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val r = Polish.eventEntropyRate(spark, sf).collect().head
+    assert(r.getAs[Long]("n_transitions") == trans.length)
+    assert(r.getAs[Long]("n_states") == ni.size)
+    assert(math.abs(r.getAs[Double]("entropy_nats") - h) < 1e-6)
+    assert(math.abs(r.getAs[Double]("entropy_bits") - h / math.log(2.0))
+      < 1e-6)
+    assert(r.getAs[Double]("entropy_nats") > 0)
+  }
+
+  test("heaps fit matches a brute-force log-log OLS") {
+    val pts = Q.t(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0).toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .filter(_.length >= 2)
+      .map(ws => (math.log(ws.length.toDouble),
+        math.log(ws.distinct.length.toDouble)))
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val m = pts.length.toDouble
+    val sx = pts.map(p => d12(p._1)).sum.toDouble
+    val sy = pts.map(p => d12(p._2)).sum.toDouble
+    val sxx = pts.map(p => d12(p._1 * p._1)).sum.toDouble
+    val sxy = pts.map(p => d12(p._1 * p._2)).sum.toDouble
+    val syy = pts.map(p => d12(p._2 * p._2)).sum.toDouble
+    val dx = m * sxx - sx * sx; val dy = m * syy - sy * sy
+    val nm = m * sxy - sx * sy
+    val beta = nm / dx
+    val r = Polish.textHeapsFit(spark, sf).collect().head
+    assert(r.getAs[Long]("n_docs") == pts.length)
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-6)
+    assert(math.abs(r.getAs[Double]("k_coef") -
+      math.exp((sy - beta * sx) / m)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - nm * nm / (dx * dy)) < 1e-6)
+    // natural vocabulary growth: beta strictly inside (0, 1)
+    assert(beta > 0.0 && beta < 1.0)
+  }
+
   test("plan audit: new ops join keyed or broadcast, single-row cross joins only") {
     // ops whose only non-equi join is the one single-row scalar broadcast
     // (tot / ties / cnorm) — anything more is a corpus-sized cartesian
     Seq(Polish.privacyTCloseness(spark, sf),
       Polish.statKruskalWallis(spark, sf),
-      Polish.embIsotropy(spark, sf)).foreach { df =>
+      Polish.embIsotropy(spark, sf),
+      Polish.eventEntropyRate(spark, sf)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), plan)
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
       assert(bnlj <= 1, s"expected at most the scalar cross join:\n$plan")
     }
-    // equi-joins only in the graph and window-TTR plans
+    // two bounded scalar crosses (the k census + the tie/total table)
+    Seq(Polish.statFriedman(spark, sf),
+      Polish.statCronbachAlpha(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj <= 2, s"expected at most two scalar cross joins:\n$plan")
+    }
+    // equi-joins only (or none) in the rest
     Seq(Polish.graphClusteringCoeff(spark, sf),
-      Polish.textMattr(spark, sf), Polish.statDickeyFuller(spark, sf))
+      Polish.graphDegreeAssortativity(spark, sf),
+      Polish.textMattr(spark, sf), Polish.statDickeyFuller(spark, sf),
+      Polish.statCohensKappa(spark, sf), Polish.textHeapsFit(spark, sf),
+      Polish.eventForecastHolt(spark, sf))
       .foreach { df =>
         val plan = df.queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct") &&
