@@ -233,21 +233,33 @@ object Refine {
     * |sources|²-bounded regardless of corpus size. */
   def corpusSourceOverlap(s: SparkSession, d: String): DataFrame = {
     // words bound to a lambda variable so the split runs once per row
-    // (inline element_at(split(...), i) re-splits per gram — O(words²))
+    // (inline element_at(split(...), i) re-splits per gram — O(words²));
+    // grams ride as xxhash64 longs, not strings — the distinct and the
+    // pair stage shuffle 8-byte keys, and the string-keyed DuckDB
+    // oracle fails loudly if a 64-bit collision ever merged two grams
+    // (the text_containment argument)
     val grams = t(s, d, "documents").select(col("source"), explode(expr(
       """transform(array(split(trim(text), '\\s+')), w ->
         |  array_distinct(transform(
         |    sequence(1, greatest(size(w) - 2, 1)),
-        |    i -> concat(element_at(w, i), ' ',
-        |                element_at(w, i + 1), ' ',
-        |                element_at(w, i + 2)))))[0]"""
+        |    i -> xxhash64(element_at(w, i), element_at(w, i + 1),
+        |                  element_at(w, i + 2)))))[0]"""
         .stripMargin)).as("g"))
       .distinct()
-      .localCheckpoint() // read for totals and both join sides
+      .localCheckpoint() // read for totals and the per-gram source sets
     val tot = grams.groupBy("source").agg(count(lit(1)).as("n"))
-    val shared = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    // per-gram source set, then the |sources|²-bounded pair explosion —
+    // one gram-keyed shuffle replaces the former gram-keyed self-join
+    // (which scanned and shuffled the gram table twice)
+    val shared = grams.groupBy("g")
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ss) - 1),
+          |  i -> transform(sequence(i + 1, size(ss)),
+          |    j -> struct(ss[i - 1] AS src_a, ss[j - 1] AS src_b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(tot.select(col("source").as("src_a"), col("n").as("na")), "src_a")
