@@ -3067,16 +3067,26 @@ object Pipeline {
     * RE2 regex semantics for this simple class). The quality-filter
     * complement to [[textQuality]]: readability bands are a common
     * pretraining-mix stratification key. Pure map-side — scales
-    * embarrassingly. */
+    * embarrassingly. Every count is a LENGTH DIFFERENCE — runs of a
+    * class = len(collapse-runs-to-one-char) − len(delete-class-chars)
+    * — so no regexp_extract_all match array (and no split array) is
+    * ever materialized; words = runs(\s)+1 reproduces split semantics
+    * exactly, including the empty-string→1 edge. */
   def textReadability(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
+      .withColumn("tt", trim(col("text")))
+      .withColumn("lt", lower(col("text")))
       .select(col("doc_id"),
-        expr(s"size($wordsExpr)").cast("long").as("n_words"),
+        (length(regexp_replace(col("tt"), "\\s+", " ")) -
+          length(translate(col("tt"), " \t\n\u000B\f\r", "")) + 1)
+          .cast("long").as("n_words"),
         greatest(lit(1L),
-          expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"))
+          (length(regexp_replace(col("text"), "[.!?]+", "S")) -
+            length(translate(col("text"), ".!?", ""))).cast("long"))
           .as("n_sentences"),
-        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
-          .cast("long").as("n_syllables"))
+        (length(regexp_replace(col("lt"), "[aeiouy]+", "V")) -
+          length(translate(col("lt"), "aeiouy", ""))).cast("long")
+          .as("n_syllables"))
       .filter(col("n_words") > 0)
       .withColumn("wps", col("n_words").cast("double") / col("n_sentences"))
       .withColumn("spw", col("n_syllables").cast("double") / col("n_words"))
