@@ -22,13 +22,13 @@ object Polish {
     * chunks at the test corpus (production tunes the mask up for KB/MB
     * chunks with the identical plan). Powers precomputed so the hash is
     * one 8-term linear expression — no per-position fold. */
-  private val CdcWin = 8
-  private val CdcP = 1000000007L
-  private val CdcMask = 64L
-  private val CdcPow: IndexedSeq[Long] = {
-    val b = 257L
-    (0 until CdcWin).scanLeft(1L)((acc, _) => acc * b % CdcP).take(CdcWin)
-  }
+  // single-sourced from the codegen'd scanner so the oracle SQL and the
+  // generated JVM loop can never drift
+  private val CdcWin = graft.functions.CdcBoundaries.Win
+  private val CdcP = graft.functions.CdcBoundaries.P
+  private val CdcMask = graft.functions.CdcBoundaries.Mask
+  private val CdcPow: IndexedSeq[Long] =
+    graft.functions.CdcBoundaries.Pow.toIndexedSeq
 
   /** Content-defined-chunking dedup (the LBFS/rsync/backup-storage
     * recipe, here over text): chunk boundaries are set by CONTENT (the
@@ -45,28 +45,14 @@ object Polish {
     * two REDUCED tables (first-doc table is digest-bounded), one
     * doc-keyed reduce. No corpus-scale join-back. */
   def dedupCdcChunks(s: SparkSession, d: String): DataFrame = {
-    val hTerms = (0 until CdcWin)
-      .map(j => s"element_at(cs, i + $j) * ${CdcPow(CdcWin - 1 - j)}L")
-      .mkString(" + ")
+    graft.functions.CdcBoundaries.register(s)
     val chunks = t(s, d, "documents")
       .filter(length(col("text")) > 0)
+      // boundary END positions from the codegen'd scanner
+      // ([[graft.functions.CdcBoundaries]]): one tight generated loop
+      // per document instead of ~8·len interpreted lambda evaluations
       .select(col("doc_id"), col("text"),
-        // split('', -1) keeps a trailing "" element (Java split
-        // semantics) whose ascii() is 0 — filter it so cs is exactly
-        // the document's characters
-        expr("transform(filter(split(text, ''), c -> c != ''), " +
-          "c -> cast(ascii(c) as bigint))").as("cs"))
-      // boundary END positions: window [i, i+7] (1-based) closes a chunk
-      // at e = i+7 when its hash ≡ 0 mod 64. The filter-before-transform
-      // keeps the sequence ascending for docs shorter than the window.
-      .select(col("doc_id"), col("text"), expr(
-        s"""transform(filter(
-           |    transform(filter(sequence(1, greatest(size(cs) - ${CdcWin - 1}, 1)),
-           |               i -> i <= size(cs) - ${CdcWin - 1}),
-           |      i -> named_struct('e', cast(i + ${CdcWin - 1} as bigint),
-           |                        'h', ($hTerms) % ${CdcP}L)),
-           |    w -> w.h % ${CdcMask}L = 0),
-           |  w -> w.e)""".stripMargin).as("bs"))
+        graft.functions.CdcBoundaries.cdc_boundaries(col("text")).as("bs"))
       // spans: consecutive boundary pairs (0 and len added); a trailing
       // boundary at len yields an empty span, dropped by the filter
       .select(col("doc_id"), col("text"), expr(

@@ -499,6 +499,32 @@ class PolishSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc boundary scanner agrees between codegen, interpreted, and scala") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.CdcBoundaries.register(spark)
+    val docs = Q.t(spark, sf, "documents").select("doc_id", "text")
+    def run(): Map[Long, Seq[Long]] = docs
+      .select(col("doc_id"),
+        graft.functions.CdcBoundaries.cdc_boundaries(col("text")).as("bs"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(withCodegen == interpreted)
+    // and both equal the direct scala kernel on the raw strings
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    texts.foreach { case (id, t0) =>
+      assert(withCodegen(id) ==
+        graft.functions.CdcBoundaries.scan(t0).toSeq, s"doc $id")
+    }
+  }
+
   test("degree assortativity matches a brute-force edge-degree correlation") {
     val docs = Q.t(spark, sf, "documents").select("text").collect()
       .map(_.getString(0))
