@@ -415,8 +415,10 @@ object Pipeline {
          |    / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.2
          |ORDER BY doc1, doc2""".stripMargin
 
-  private[graft] val NumHashes = 16
-  private[graft] val BandSize = 4
+  // single-sourced from the native kernel so the band keys, the oracle
+  // SQL generation, and the generated JVM loop can never drift
+  private[graft] val NumHashes = graft.functions.MinHashSignature.NumHashes
+  private[graft] val BandSize = graft.functions.MinHashSignature.BandSize
 
   /** 60-bit hash lane from the first 15 hex chars of md5 — deliberately
     * expressible in BOTH engines (Spark `conv(substr(md5,…),16,10)`,
@@ -456,7 +458,7 @@ object Pipeline {
   /** Modulus for the MinHash lane family: 2^31-1 (Mersenne prime). Lane
     * values stay < 2^31 so `j * b + a` (j < [[NumHashes]]) can never
     * overflow a 64-bit long under ANSI arithmetic. */
-  private val LaneP = 2147483647L
+  private val LaneP = graft.functions.MinHashSignature.LaneP
 
   /** MinHash signatures: per doc, character-8-gram shingles; ONE md5 per
     * shingle split into two 60-bit halves reduced mod [[LaneP]], with lane
@@ -466,7 +468,19 @@ object Pipeline {
     * ~16× the hashing work and dominated the whole dedup family's runtime
     * at the 10× corpus. The fold keeps one md5 evaluation per shingle:
     * each (a,b) struct updates all [[NumHashes]] running minima. */
-  private[graft] def minhashSignature: Column = {
+  /** Round-11: the signature now evaluates through the native codegen'd
+    * kernel ([[graft.functions.MinHashSignature]]) — one generated loop
+    * per document instead of per-shingle interpreter re-entry for the
+    * substring/md5/conv/array_min chain. Same md5 halves, same
+    * universal-hash lanes, same minima; [[minhashSignatureHof]] keeps
+    * the pure-SQL formulation alive for the equivalence spec (and as
+    * executable documentation of what the kernel computes). */
+  private[graft] def minhashSignature: Column =
+    org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(col("text"))))
+
+  private[graft] def minhashSignatureHof: Column = {
     val shingles =
       """array_distinct(transform(
         |  sequence(1, greatest(length(text) - 7, 1)),
@@ -476,9 +490,9 @@ object Pipeline {
     // so md5(s) written inside both struct fields evaluated twice), and
     // lane-major minima (16 array_min passes over the shingle lanes)
     // instead of the shingle-major fold whose accumulator allocated a
-    // fresh 16-long array per shingle — together ~2× the signature
-    // stage at the 10× corpus. Values are identical: same md5 halves,
-    // same universal-hash lanes, same minima.
+    // fresh 16-long array per shingle. Values are identical to the
+    // native kernel: same md5 halves, same universal-hash lanes, same
+    // minima.
     expr(
       s"""transform(array(
          |    transform(transform($shingles, s -> md5(s)), h -> named_struct(

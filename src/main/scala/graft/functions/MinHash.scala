@@ -1,0 +1,107 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature kernel as a native codegen'd Catalyst expression.
+  *
+  * `minhash_sig(text)` = the [[MinHashSignature.NumHashes]]-lane MinHash
+  * signature over the document's distinct character-8-gram shingles:
+  * ONE md5 per shingle split into two 60-bit halves reduced mod
+  * [[MinHashSignature.LaneP]], lane j the universal hash `(a + j·b) mod P`
+  * (Broder's seeded-permutation family). Bit-identical to the HOF
+  * formulation it replaces (Pipeline.minhashSignatureHof, kept for the
+  * equivalence spec) and to the DuckDB oracle's CTE chain — the halves
+  * are read straight from the digest bytes exactly as
+  * `conv(substring(hex, 1, 15), 16, 10)` / `substring(hex, 17, 15)`
+  * parse them. The HOF path re-entered the interpreter per shingle for
+  * the substring, the md5 wrapper, two hex-string conv parses, and 16
+  * array_min passes; this kernel is one generated loop per document —
+  * the [[VectorKernel]] argument applied to the dedup family's single
+  * hottest stage. */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashSignature.signature(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashSignature.signature($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Lanes per signature; bands of [[BandSize]] consume them. */
+  val NumHashes = 16
+  /** Lanes per LSH band (4 bands of 4 at 16 lanes). */
+  val BandSize = 4
+  /** Mersenne prime 2³¹−1: lane values stay < 2³¹ so `a + j·b` can never
+    * overflow a long. */
+  val LaneP = 2147483647L
+  private val ShingleLen = 8
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** The scan kernel. Shingle positions are 1-based `i ∈ [1, max(len−7, 1)]`
+    * with `substring(text, i, 8)` truncation semantics (a doc shorter than
+    * the window yields itself as its only shingle, the empty string
+    * included); distinctness via a per-call HashSet reproduces
+    * array_distinct. The two digest halves are folded from the raw bytes:
+    * hex nibbles 0–14 (bytes 0–6 plus the high nibble of byte 7) and hex
+    * nibbles 16–30 (bytes 8–14 plus the high nibble of byte 15) — exactly
+    * the 15-hex-digit substrings the SQL formulation parses, ≤ 60 bits so
+    * always nonnegative. */
+  def signature(text: String): Array[Long] = {
+    val digest = md.get()
+    val n = text.length
+    val last = math.max(n - (ShingleLen - 1), 1)
+    val seen = new java.util.HashSet[String]()
+    val mins = new Array[Long](NumHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 1
+    while (i <= last) {
+      val sh = text.substring(i - 1, math.min(i - 1 + ShingleLen, n))
+      if (seen.add(sh)) {
+        digest.reset()
+        val dg = digest.digest(sh.getBytes(StandardCharsets.UTF_8))
+        var a = 0L
+        var k = 0
+        while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+        a = ((a << 4) | ((dg(7) & 0xffL) >>> 4)) % LaneP
+        var b = 0L
+        k = 8
+        while (k < 15) { b = (b << 8) | (dg(k) & 0xffL); k += 1 }
+        b = ((b << 4) | ((dg(15) & 0xffL) >>> 4)) % LaneP
+        var j = 0
+        while (j < NumHashes) {
+          val v = (a + j * b) % LaneP
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+}

@@ -525,6 +525,25 @@ class PolishSpec extends AnyFunSuite {
     }
   }
 
+  test("native minhash signature equals the HOF formulation, any codegen mode") {
+    import org.apache.spark.sql.functions.col
+    val docs = Q.t(spark, sf, "documents").select("doc_id", "text")
+    def run(c: org.apache.spark.sql.Column): Map[Long, Seq[Long]] = docs
+      .select(col("doc_id"), c.as("m")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val native = run(Pipeline.minhashSignature)
+    val hof = run(Pipeline.minhashSignatureHof)
+    assert(native == hof)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run(Pipeline.minhashSignature) finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(native == interpreted)
+    assert(native.valuesIterator.forall(_.length == 16))
+  }
+
   test("degree assortativity matches a brute-force edge-degree correlation") {
     val docs = Q.t(spark, sf, "documents").select("text").collect()
       .map(_.getString(0))
