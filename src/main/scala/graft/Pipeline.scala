@@ -775,15 +775,30 @@ object Pipeline {
     * Hamming across groups — then the full pair set is reconstructed
     * exactly. Candidate rep pairs are verified once (not once per
     * colliding half). Output is unchanged, oracle unchanged. */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sigFromLanes = expr(
+  /** The pure-SQL SimHash signature over a `text` column — 32 bit-vote
+    * folds over the word md5-lane array. Kept as executable
+    * documentation of what [[graft.functions.SimHashSignature]]'s
+    * generated loop computes; the equivalence spec holds them equal. */
+  private[graft] def simhashSignatureHof: Column = {
+    val sigFromLanes =
       s"""aggregate(
          |  transform(sequence(0, 31),
          |    b -> case when aggregate(hs, 0L,
          |        (acc, h) -> acc + (case when (shiftright(h, b) & 1) = 1
          |                           then 1L else -1L end)) > 0
          |      then shiftleft(1L, b) else 0L end),
-         |  0L, (acc, x) -> acc + x)""".stripMargin)
+         |  0L, (acc, x) -> acc + x)""".stripMargin
+    expr(
+      s"""transform(array(transform($wordsExpr, w -> ${md5Lane("w")})),
+         |  hs -> $sigFromLanes)[0]""".stripMargin)
+  }
+
+  private[graft] def simhashSignature: Column =
+    org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.SimHashSignature(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(col("text"))))
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val byText = t(s, d, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("th"))
       .localCheckpoint() // read twice: members + rep election
@@ -791,9 +806,10 @@ object Pipeline {
     val reps = byText.groupBy("th").agg(min("doc_id").as("rep"))
       .join(t(s, d, "documents").select(col("doc_id").as("rep"), col("text")),
         "rep")
-      .select(col("rep"), col("th"),
-        expr(s"transform($wordsExpr, w -> ${md5Lane("w")})").as("hs"))
-      .select(col("rep"), col("th"), sigFromLanes.as("sh"))
+      // round-11: the signature evaluates through the native codegen'd
+      // kernel — one generated loop per rep instead of 32 interpreted
+      // bit-vote folds over the lane array
+      .select(col("rep"), col("th"), simhashSignature.as("sh"))
       .localCheckpoint() // signatures computed once, read by both join sides
     val keyed = reps.select(col("rep"), col("th"), col("sh"),
       explode(array(

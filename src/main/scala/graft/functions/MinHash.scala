@@ -49,6 +49,78 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SimHash signature kernel as a native codegen'd Catalyst expression.
+  *
+  * `simhash_sig(text)` = the 32-bit SimHash of the document's
+  * whitespace-split words: each word's md5-lane hash (first 15 hex
+  * digits as a 60-bit long, the repo-wide md5Lane) votes ±1 per bit,
+  * and bit b of the signature is set when the vote is positive.
+  * Bit-identical to the HOF formulation it replaces
+  * (Pipeline.simhashSignatureHof, kept for the equivalence spec): the
+  * word list reproduces `split(trim(text), '\s+')` exactly — Spark's
+  * trim strips SPACES only, and split keeps Java's limit=-1 semantics
+  * (an empty/all-space document yields the single empty word, which is
+  * hashed like any other). The HOF form ran 32 interpreted fold lambdas
+  * over the lane array per document; this is one generated loop. */
+case class SimHashSignature(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash_sig"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashSignature.signature(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHashSignature.signature($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSignature {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Spark's `trim` strips 0x20 spaces only — not general whitespace. */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var until = s.length
+    while (from < until && s.charAt(from) == ' ') from += 1
+    while (until > from && s.charAt(until - 1) == ' ') until -= 1
+    s.substring(from, until)
+  }
+
+  def signature(text: String): Long = {
+    val digest = MinHashSignature.md5Digest()
+    val votes = new Array[Int](32)
+    val words = Ws.split(trimSpaces(text), -1)
+    var w = 0
+    while (w < words.length) {
+      val dg = digest.digest(
+        words(w).getBytes(StandardCharsets.UTF_8))
+      val h = MinHashSignature.hexPrefix15(dg)
+      var b = 0
+      while (b < 32) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
 object MinHashSignature {
   /** Lanes per signature; bands of [[BandSize]] consume them. */
   val NumHashes = 16
@@ -61,6 +133,19 @@ object MinHashSignature {
 
   private val md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private[functions] def md5Digest(): MessageDigest = md.get()
+
+  /** Hex nibbles 0–14 of a digest as a 60-bit long — exactly what
+    * `cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)` (the
+    * repo-wide md5Lane) parses: bytes 0–6 plus the high nibble of
+    * byte 7. Always nonnegative. */
+  private[functions] def hexPrefix15(dg: Array[Byte]): Long = {
+    var a = 0L
+    var k = 0
+    while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+    (a << 4) | ((dg(7) & 0xffL) >>> 4)
   }
 
   /** The scan kernel. Shingle positions are 1-based `i ∈ [1, max(len−7, 1)]`
@@ -83,14 +168,10 @@ object MinHashSignature {
     while (i <= last) {
       val sh = text.substring(i - 1, math.min(i - 1 + ShingleLen, n))
       if (seen.add(sh)) {
-        digest.reset()
         val dg = digest.digest(sh.getBytes(StandardCharsets.UTF_8))
-        var a = 0L
-        var k = 0
-        while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
-        a = ((a << 4) | ((dg(7) & 0xffL) >>> 4)) % LaneP
+        val a = hexPrefix15(dg) % LaneP
         var b = 0L
-        k = 8
+        var k = 8
         while (k < 15) { b = (b << 8) | (dg(k) & 0xffL); k += 1 }
         b = ((b << 4) | ((dg(15) & 0xffL) >>> 4)) % LaneP
         var j = 0

@@ -544,6 +544,25 @@ class PolishSpec extends AnyFunSuite {
     assert(native.valuesIterator.forall(_.length == 16))
   }
 
+  test("native simhash signature equals the HOF formulation, any codegen mode") {
+    import org.apache.spark.sql.functions.col
+    val docs = Q.t(spark, sf, "documents").select("doc_id", "text")
+    def run(c: org.apache.spark.sql.Column): Map[Long, Long] = docs
+      .select(col("doc_id"), c.as("m")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("m")).toMap
+    val native = run(Pipeline.simhashSignature)
+    assert(native == run(Pipeline.simhashSignatureHof))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run(Pipeline.simhashSignature) finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(native == interpreted)
+    // 32-bit signatures: the top 32 bits are always clear
+    assert(native.valuesIterator.forall(v => v >= 0 && (v >> 32) == 0))
+  }
+
   test("degree assortativity matches a brute-force edge-degree correlation") {
     val docs = Q.t(spark, sf, "documents").select("text").collect()
       .map(_.getString(0))
