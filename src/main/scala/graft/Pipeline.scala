@@ -347,12 +347,15 @@ object Pipeline {
       .join(docs.select(col("doc_id").as("rep"), col("g")), "rep")
       .withColumn("hs", expr("transform(g, x -> xxhash64(x))"))
       .localCheckpoint() // distinct-content subset: banding input
-    val banded = reps.select(col("rep"), explode(expr(
-        s"""transform(sequence(0, ${nSeeds - 1}), j -> named_struct(
-           |  'band', j,
-           |  'bh', array_min(transform(g, x -> xxhash64(concat(x, '#', j))))))"""
-          .stripMargin)).as("k"))
-      .select(col("rep"), col("k.band").as("band"), col("k.bh").as("bh"))
+    // round-11: the seeded min-gram-hash bands evaluate through the
+    // native kernel — one generated loop per rep instead of
+    // nSeeds·|grams| interpreted xxhash64(concat(...)) lambdas; the
+    // posexplode position IS the band index the struct used to carry
+    val banded = reps.select(col("rep"), posexplode(
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.BandedMinHashes(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("g")),
+            nSeeds))).as(Seq("band", "bh")))
     // candidate rep pairs, deduped BEFORE the exact verify
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

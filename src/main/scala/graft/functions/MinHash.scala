@@ -6,7 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,6 +47,71 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Seeded min-gram-hash bands as a native codegen'd Catalyst expression.
+  *
+  * `banded_min_hashes(g, nSeeds)` = for each seed j ∈ [0, nSeeds), the
+  * minimum over the gram array of `xxhash64(concat(x, '#', j))` — the
+  * single-hash-per-band LSH keys of the n-gram Jaccard dedup family.
+  * Bit-identical to the HOF formulation it replaces
+  * (`transform(sequence(...), j -> array_min(transform(g, x ->
+  * xxhash64(concat(x, '#', j)))))`): the hash is Spark's own XXH64 over
+  * the concatenated UTF8 bytes at seed 42 (`XxHash64Function`), a null
+  * gram contributes the seed itself (xxhash64-of-null semantics), and an
+  * empty gram array yields all-null minima (array_min-of-empty). The HOF
+  * form re-entered the interpreter nSeeds·|grams| times per document. */
+case class BandedMinHashes(child: Expression, seeds: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "banded_min_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BandedMinHashes.compute(input.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BandedMinHashes.compute($c, $seeds)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BandedMinHashes {
+  private val XxSeed = 42L
+  private val suffixes =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[UTF8String]]()
+
+  def compute(g: ArrayData, seeds: Int): GenericArrayData = {
+    val n = g.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array.fill[Any](seeds)(null))
+    val suf = suffixes.computeIfAbsent(seeds,
+      k => Array.tabulate(k)(j => UTF8String.fromString("#" + j)))
+    val mins = new Array[Long](seeds)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = g.getUTF8String(i)
+      var j = 0
+      while (j < seeds) {
+        val h =
+          if (x == null) XxSeed
+          else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(UTF8String.concat(x, suf(j)), StringType, XxSeed)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
 }
 
 /** SimHash signature kernel as a native codegen'd Catalyst expression.

@@ -563,6 +563,32 @@ class PolishSpec extends AnyFunSuite {
     assert(native.valuesIterator.forall(v => v >= 0 && (v >> 32) == 0))
   }
 
+  test("native banded min-hashes equal the HOF formulation, any codegen mode") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Q.t(spark, sf, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("g"))
+    def native(): Map[Long, Seq[Any]] = docs
+      .select(col("doc_id"), org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.BandedMinHashes(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("g")), 16))
+        .as("m"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Any](1)).toMap
+    val hof = docs.select(col("doc_id"), expr(
+        """transform(sequence(0, 15),
+          |  j -> array_min(transform(g, x -> xxhash64(concat(x, '#', j)))))"""
+          .stripMargin).as("m"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Any](1)).toMap
+    val n0 = native()
+    assert(n0 == hof)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try native() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(n0 == interpreted)
+  }
+
   test("degree assortativity matches a brute-force edge-degree correlation") {
     val docs = Q.t(spark, sf, "documents").select("text").collect()
       .map(_.getString(0))
