@@ -1386,7 +1386,150 @@ object Polish {
          |    AS r2
          |FROM b""".stripMargin
 
+  // ---------- daily-trend OLS residual diagnostics ----------
+
+  /** Residuals of the OLS of daily event counts on the day index — the
+    * shared first stage of the Durbin-Watson and Breusch-Pagan
+    * diagnostics: five exact integer moment sums in decimal lanes, the
+    * slope/intercept as one fixed double tree broadcast back over the
+    * calendar-bounded daily table. */
+  private def dailyTrendResiduals(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val idx = daily.withColumn("t0",
+      row_number().over(Window.orderBy("day")).cast("long"))
+    val d38 = DecimalType(38, 0)
+    val m = idx.agg(count(lit(1)).as("n"),
+      sum(col("t0").cast(d38)).cast("double").as("st"),
+      sum(col("y").cast(d38)).cast("double").as("sy"),
+      sum((col("t0") * col("t0")).cast(d38)).cast("double").as("stt"),
+      sum((col("t0") * col("y")).cast(d38)).cast("double").as("sty"))
+    idx.crossJoin(broadcast(m))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("beta",
+        (col("nd") * col("sty") - col("st") * col("sy")) /
+          (col("nd") * col("stt") - col("st") * col("st")))
+      .withColumn("alpha", (col("sy") - col("beta") * col("st")) / col("nd"))
+      .withColumn("e", col("y").cast("double") - col("alpha") -
+        col("beta") * col("t0").cast("double"))
+      .select(col("day"), col("t0"), col("n"), col("e"))
+  }
+  /** The SQL twin of [[dailyTrendResiduals]], shared by both oracles. */
+  private val dailyResidCtes: String =
+    """daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY date_trunc('day', ts)),
+      |idx AS (SELECT day, y,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t0
+      |  FROM daily),
+      |m0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(t0 AS DECIMAL(38,0))) AS DOUBLE) AS st,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(t0 * t0 AS DECIMAL(38,0))) AS DOUBLE) AS stt,
+      |    CAST(sum(CAST(t0 * y AS DECIMAL(38,0))) AS DOUBLE) AS sty
+      |  FROM idx),
+      |fit AS (SELECT n, CAST(n AS DOUBLE) AS nd, st, sy,
+      |    (CAST(n AS DOUBLE) * sty - st * sy)
+      |      / (CAST(n AS DOUBLE) * stt - st * st) AS beta
+      |  FROM m0),
+      |resid AS (SELECT idx.day, idx.t0, fit.n,
+      |    CAST(idx.y AS DOUBLE) - ((sy - beta * st) / nd)
+      |      - beta * CAST(idx.t0 AS DOUBLE) AS e
+      |  FROM idx CROSS JOIN fit)""".stripMargin
+
+  /** Durbin-Watson autocorrelation diagnostic on the daily-trend OLS
+    * residuals: DW = Σ(e_t − e_{t−1})² / Σe_t², the standard "are the
+    * detrended daily counts serially correlated" screen next to
+    * [[statDickeyFuller]] and Refine's Ljung-Box. Per-row terms are
+    * quantized to DECIMAL(38,12) so the calendar-bounded sums are
+    * order-independent; DW < 1.5 flags positive autocorrelation. */
+  def statDurbinWatson(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    dailyTrendResiduals(s, d)
+      .withColumn("ep", lag("e", 1).over(Window.orderBy("t0")))
+      .agg(max("n").as("n0"),
+        sum(when(col("ep").isNotNull,
+          ((col("e") - col("ep")) * (col("e") - col("ep"))).cast(dec)))
+          .cast("double").as("num"),
+        sum((col("e") * col("e")).cast(dec)).cast("double").as("den"))
+      .withColumn("dw", col("num") / when(col("den") > 0, col("den")))
+      .select(col("n0").as("n_days"), round(col("dw"), 6).as("dw"),
+        round(lit(1.0) - col("dw") / 2.0, 6).as("rho_approx"),
+        (col("dw") < 1.5).as("positive_autocorr"))
+  }
+  val statDurbinWatsonSql: String =
+    s"""WITH $dailyResidCtes,
+       |lagged AS (SELECT n, e,
+       |    lag(e) OVER (ORDER BY t0) AS ep
+       |  FROM resid),
+       |agg AS (SELECT max(n) AS n0,
+       |    CAST(sum(CASE WHEN ep IS NOT NULL THEN
+       |        CAST((e - ep) * (e - ep) AS DECIMAL(38,12)) END)
+       |      AS DOUBLE) AS num,
+       |    CAST(sum(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) AS den
+       |  FROM lagged)
+       |SELECT n0 AS n_days,
+       |  round(num / nullif(greatest(den, 0), 0), 6) AS dw,
+       |  round(1.0 - (num / nullif(greatest(den, 0), 0)) / 2.0, 6)
+       |    AS rho_approx,
+       |  num / nullif(greatest(den, 0), 0) < 1.5 AS positive_autocorr
+       |FROM agg""".stripMargin
+
+  /** Breusch-Pagan heteroskedasticity diagnostic on the same residuals:
+    * the LM statistic n·R² of the auxiliary regression of e² on the day
+    * index, against the χ²(1) 5% critical value 3.841 — "does the
+    * detrended daily-count variance drift over time". Auxiliary moment
+    * terms involving e² are per-row quantized to DECIMAL(38,12); the R²
+    * chain is one fixed double tree. */
+  def statBreuschPagan(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    dailyTrendResiduals(s, d)
+      .withColumn("u", col("e") * col("e"))
+      .agg(max("n").as("n0"),
+        sum(col("t0").cast(DecimalType(38, 0))).cast("double").as("st"),
+        sum(col("u").cast(dec)).cast("double").as("su"),
+        sum((col("t0") * col("t0")).cast(DecimalType(38, 0)))
+          .cast("double").as("stt"),
+        sum((col("t0").cast("double") * col("u")).cast(dec))
+          .cast("double").as("stu"),
+        sum((col("u") * col("u")).cast(dec)).cast("double").as("suu"))
+      .withColumn("nd", col("n0").cast("double"))
+      .withColumn("dx", col("nd") * col("stt") - col("st") * col("st"))
+      .withColumn("dy", col("nd") * col("suu") - col("su") * col("su"))
+      .withColumn("nm", col("nd") * col("stu") - col("st") * col("su"))
+      .withColumn("r2", col("nm") * col("nm") /
+        when(col("dx") * col("dy") > 0, col("dx") * col("dy")))
+      .select(col("n0").as("n_days"),
+        round(col("nd") * col("r2"), 6).as("lm_stat"),
+        (col("nd") * col("r2") > 3.841).as("heteroskedastic"))
+  }
+  val statBreuschPaganSql: String =
+    s"""WITH $dailyResidCtes,
+       |aux AS (SELECT t0, n, e * e AS u FROM resid),
+       |agg AS (SELECT max(n) AS n0,
+       |    CAST(sum(CAST(t0 AS DECIMAL(38,0))) AS DOUBLE) AS st,
+       |    CAST(sum(CAST(u AS DECIMAL(38,12))) AS DOUBLE) AS su,
+       |    CAST(sum(CAST(t0 * t0 AS DECIMAL(38,0))) AS DOUBLE) AS stt,
+       |    CAST(sum(CAST(CAST(t0 AS DOUBLE) * u AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS stu,
+       |    CAST(sum(CAST(u * u AS DECIMAL(38,12))) AS DOUBLE) AS suu
+       |  FROM aux),
+       |fin AS (SELECT n0, CAST(n0 AS DOUBLE) AS nd,
+       |    CAST(n0 AS DOUBLE) * stt - st * st AS dx,
+       |    CAST(n0 AS DOUBLE) * suu - su * su AS dy,
+       |    CAST(n0 AS DOUBLE) * stu - st * su AS nm
+       |  FROM agg)
+       |SELECT n0 AS n_days,
+       |  round(nd * (nm * nm / (CASE WHEN dx * dy > 0 THEN dx * dy END)), 6)
+       |    AS lm_stat,
+       |  nd * (nm * nm / (CASE WHEN dx * dy > 0 THEN dx * dy END)) > 3.841
+       |    AS heteroskedastic
+       |FROM fin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_durbin_watson" -> (statDurbinWatson _),
+    "stat_breusch_pagan" -> (statBreuschPagan _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "stat_cronbach_alpha" -> (statCronbachAlpha _),
     "event_entropy_rate" -> (eventEntropyRate _),
@@ -1409,6 +1552,8 @@ object Polish {
     "stat_hurst" -> (statHurst _))
 
   val oracle: Map[String, String] = Map(
+    "stat_durbin_watson" -> statDurbinWatsonSql,
+    "stat_breusch_pagan" -> statBreuschPaganSql,
     "graph_degree_assortativity" -> graphDegreeAssortativitySql,
     "stat_cronbach_alpha" -> statCronbachAlphaSql,
     "event_entropy_rate" -> eventEntropyRateSql,

@@ -591,7 +591,13 @@ object Refine {
     * first aggregation are vocabulary-bounded — the per-iteration work
     * is one keyed join + one argmax window on the edge table, the LPA
     * shape that survives any corpus size with a bounded vocabulary. */
-  def graphLabelProp(s: SparkSession, d: String): DataFrame = {
+  /** The weighted word-adjacency graph and its [[LpaIters]]-round
+    * label-propagation communities — shared by [[graphLabelProp]] (which
+    * emits the labels) and [[graphModularity]] (which scores them).
+    * Returns (labels (w, lbl), weighted directed-both-ways edges
+    * (src, dst, wt)). */
+  private def lpaCommunities(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val pairs = t(s, d, "documents")
       .select(expr("split(trim(text), '\\\\s+')").as("ws"))
       // single-word docs have no edges; without the guard sequence(1, 0)
@@ -621,10 +627,48 @@ object Refine {
       lab = nodes.join(lab, "w").join(next, Seq("w"), "left")
         .select(col("w"), coalesce(col("nl"), col("lbl")).as("lbl"))
     }
+    (lab, und)
+  }
+
+  def graphLabelProp(s: SparkSession, d: String): DataFrame = {
+    val (lab, _) = lpaCommunities(s, d)
     lab.select(col("w").as("word"), col("lbl").as("community"))
       .orderBy("word")
   }
-  val graphLabelPropSql: String = {
+
+  /** Newman modularity of the label-propagation communities over the
+    * weighted word graph: Q = Σ_c (in_c/W − (tot_c/W)²) with W the total
+    * directed-both-ways weight (2m), in_c the weight inside community c,
+    * tot_c the strength of c's nodes — the standard "did the community
+    * detector beat the random-graph null" score, closing the loop on
+    * [[graphLabelProp]]. Everything after the two label joins is
+    * community-bounded math; integer weight sums stay exact and the
+    * per-community terms ride a decimal lane. */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val (lab, und) = lpaCommunities(s, d)
+    val e = und
+      .join(lab.select(col("w").as("src"), col("lbl").as("cs")), "src")
+      .join(lab.select(col("w").as("dst"), col("lbl").as("cd")), "dst")
+      .localCheckpoint() // labeled edges: read for W, in_c, and tot_c
+    val tot = e.agg(sum("wt").as("w2"))
+    val inc = e.filter(col("cs") === col("cd"))
+      .groupBy("cs").agg(sum("wt").as("win"))
+    e.groupBy("cs").agg(sum("wt").as("ktot"))
+      .join(inc, Seq("cs"), "left")
+      .withColumn("win", coalesce(col("win"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        (col("win").cast("double") / col("w2") -
+          (col("ktot").cast("double") / col("w2")) *
+            (col("ktot").cast("double") / col("w2")))
+          .cast(DecimalType(38, 12)))
+      .agg(count(lit(1)).as("n_communities"),
+        round(sum("term").cast("double"), 6).as("modularity"))
+  }
+  /** Shared WITH-body building the weighted edge table `und` and the
+    * 3-round LPA label table `l3` — the SQL twin of [[lpaCommunities]],
+    * consumed by both oracle strings below. */
+  private val lpaCtes: String = {
     def round(n: Int, prev: String): String =
       s"""vt$n AS (SELECT e.src, l.lbl, CAST(sum(e.wt) AS BIGINT) AS v
          |  FROM und e JOIN $prev l ON l.w = e.dst GROUP BY e.src, l.lbl),
@@ -633,21 +677,44 @@ object Refine {
          |  FROM vt$n) WHERE rn = 1),
          |l$n AS (SELECT p.w, coalesce(nx$n.lbl, p.lbl) AS lbl
          |  FROM $prev p LEFT JOIN nx$n USING (w))""".stripMargin
-    raw"""WITH ws AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+    raw"""ws AS (SELECT string_split_regex(trim(text), '\s+') AS ws
          |  FROM documents),
          |pairs AS (SELECT ws[i] AS src, ws[i + 1] AS dst
          |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
          |        FROM ws)),
-         |und AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt FROM (
+         |und AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt
+         |  FROM (
          |    SELECT src, dst FROM pairs
          |    UNION ALL SELECT dst, src FROM pairs)
          |  GROUP BY src, dst),
          |l0 AS (SELECT DISTINCT src AS w, src AS lbl FROM und),
          |${round(1, "l0")},
          |${round(2, "l1")},
-         |${round(3, "l2")}
-         |SELECT w AS word, lbl AS community FROM l3 ORDER BY word""".stripMargin
+         |${round(3, "l2")}""".stripMargin
   }
+
+  val graphLabelPropSql: String =
+    s"""WITH $lpaCtes
+       |SELECT w AS word, lbl AS community FROM l3 ORDER BY word"""
+      .stripMargin
+
+  val graphModularitySql: String =
+    s"""WITH $lpaCtes,
+       |le AS MATERIALIZED (SELECT e.wt, ls.lbl AS cs, ld.lbl AS cd
+       |  FROM und e JOIN l3 ls ON ls.w = e.src JOIN l3 ld ON ld.w = e.dst),
+       |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w2 FROM le),
+       |inc AS (SELECT cs, CAST(sum(wt) AS BIGINT) AS win FROM le
+       |  WHERE cs = cd GROUP BY cs),
+       |str AS (SELECT cs, CAST(sum(wt) AS BIGINT) AS ktot FROM le
+       |  GROUP BY cs),
+       |terms AS (SELECT CAST(
+       |    CAST(coalesce(inc.win, 0) AS DOUBLE) / w2
+       |      - (CAST(str.ktot AS DOUBLE) / w2)
+       |        * (CAST(str.ktot AS DOUBLE) / w2) AS DECIMAL(38,12)) AS term
+       |  FROM str LEFT JOIN inc USING (cs) CROSS JOIN tot)
+       |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |  round(CAST(sum(term) AS DOUBLE), 6) AS modularity
+       |FROM terms""".stripMargin
 
   // ---------- label-conditional OOD scores (diagonal Mahalanobis) ----------
 
@@ -1481,6 +1548,7 @@ object Refine {
     "emb_matryoshka_recall" -> (embMatryoshkaRecall _),
     "text_distinctive_terms" -> (textDistinctiveTerms _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_modularity" -> (graphModularity _),
     "emb_ood_mahalanobis" -> (embOodMahalanobis _),
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "event_forecast_ses" -> (eventForecastSes _),
@@ -1508,6 +1576,7 @@ object Refine {
     "emb_matryoshka_recall" -> embMatryoshkaRecallSql,
     "text_distinctive_terms" -> textDistinctiveTermsSql,
     "graph_label_prop" -> graphLabelPropSql,
+    "graph_modularity" -> graphModularitySql,
     "emb_ood_mahalanobis" -> embOodMahalanobisSql,
     "privacy_k_anonymity" -> privacyKAnonymitySql,
     "event_forecast_ses" -> eventForecastSesSql,

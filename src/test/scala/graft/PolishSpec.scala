@@ -690,6 +690,80 @@ class PolishSpec extends AnyFunSuite {
     assert(beta > 0.0 && beta < 1.0)
   }
 
+  test("durbin-watson and breusch-pagan match a brute-force OLS-residual recount") {
+    val daily = Q.t(spark, sf, "events")
+      .selectExpr("date_trunc('day', ts) as day").collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("day"))
+      .map { case (d0, v) => (d0, v.length.toLong) }.toSeq.sortBy(_._1)
+    val n = daily.length.toDouble
+    val ys = daily.map(_._2)
+    val ts = (1 to daily.length).map(_.toLong)
+    val st = ts.sum.toDouble; val sy = ys.sum.toDouble
+    val stt = ts.map(t => t * t).sum.toDouble
+    val sty = ts.zip(ys).map { case (t, y) => t * y }.sum.toDouble
+    val beta = (n * sty - st * sy) / (n * stt - st * st)
+    val alpha = (sy - beta * st) / n
+    val e = ts.zip(ys).map { case (t, y) => y.toDouble - alpha - beta * t }
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val num = e.zip(e.tail).map { case (a, b) => d12((b - a) * (b - a)) }
+      .sum.toDouble
+    val den = e.map(x => d12(x * x)).sum.toDouble
+    val dw = num / den
+    val rdw = Polish.statDurbinWatson(spark, sf).collect().head
+    assert(rdw.getAs[Long]("n_days") == daily.length)
+    assert(math.abs(rdw.getAs[Double]("dw") - dw) < 1e-6)
+    assert(math.abs(rdw.getAs[Double]("rho_approx") - (1.0 - dw / 2.0)) < 1e-6)
+    assert(rdw.getAs[Boolean]("positive_autocorr") == (dw < 1.5))
+    // breusch-pagan over the same residuals
+    val u = e.map(x => x * x)
+    val su = u.map(d12).sum.toDouble
+    val stu = ts.zip(u).map { case (t, x) => d12(t.toDouble * x) }.sum.toDouble
+    val suu = u.map(x => d12(x * x)).sum.toDouble
+    val dx = n * stt - st * st; val dy = n * suu - su * su
+    val nm = n * stu - st * su
+    val lm = n * (nm * nm / (dx * dy))
+    val rbp = Polish.statBreuschPagan(spark, sf).collect().head
+    assert(rbp.getAs[Long]("n_days") == daily.length)
+    assert(math.abs(rbp.getAs[Double]("lm_stat") - lm) < 1e-6)
+    assert(rbp.getAs[Boolean]("heteroskedastic") == (lm > 3.841))
+  }
+
+  test("modularity matches a brute-force recount over the LPA communities") {
+    // communities from the shipped operator; modularity recomputed locally
+    val lab = Refine.graphLabelProp(spark, sf).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[String]("community")).toMap
+    val docs = Q.t(spark, sf, "documents").select("text").collect()
+      .map(_.getString(0))
+    val wt = new scala.collection.mutable.HashMap[(String, String), Long]()
+    docs.foreach { t0 =>
+      val ws = t0.trim.split("\\s+")
+      if (ws.length >= 2) ws.zip(ws.tail).foreach { case (a, b) =>
+        wt((a, b)) = wt.getOrElse((a, b), 0L) + 1L
+        wt((b, a)) = wt.getOrElse((b, a), 0L) + 1L
+      }
+    }
+    val w2 = wt.values.sum.toDouble
+    val byC = wt.toSeq.groupBy(e => lab(e._1._1))
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val q = byC.values.map { es =>
+      val ktot = es.map(_._2).sum.toDouble
+      val win = es.filter(e => lab(e._1._1) == lab(e._1._2)).map(_._2)
+        .sum.toDouble
+      d12(win / w2 - (ktot / w2) * (ktot / w2))
+    }.sum.toDouble
+    val r = Refine.graphModularity(spark, sf).collect().head
+    assert(r.getAs[Long]("n_communities") == byC.size)
+    assert(math.abs(r.getAs[Double]("modularity") - q) < 1e-6)
+    // Q ∈ [−0.5, 1]; on this densely-connected word-soup corpus LPA
+    // collapses to one community and Q is exactly 0 — the correct value
+    // (one community ⇒ in/W = 1 and (tot/W)² = 1), not a failure
+    assert(r.getAs[Double]("modularity") >= -0.5 &&
+      r.getAs[Double]("modularity") <= 1.0)
+    if (byC.size == 1) assert(math.abs(r.getAs[Double]("modularity")) < 1e-9)
+  }
+
   test("plan audit: new ops join keyed or broadcast, single-row cross joins only") {
     // ops whose only non-equi join is the one single-row scalar broadcast
     // (tot / ties / cnorm) — anything more is a corpus-sized cartesian
