@@ -56,7 +56,8 @@ object PipeBench {
     "text_mattr", "stat_friedman", "stat_cohens_kappa",
     "event_forecast_holt", "graph_degree_assortativity",
     "stat_cronbach_alpha", "event_entropy_rate", "text_heaps_fit",
-    "stat_durbin_watson", "stat_breusch_pagan", "graph_modularity")
+    "stat_durbin_watson", "stat_breusch_pagan", "graph_modularity",
+    "stat_wilcoxon_signed_rank", "event_poisson_dispersion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

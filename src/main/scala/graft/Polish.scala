@@ -1527,7 +1527,140 @@ object Polish {
        |    AS heteroskedastic
        |FROM fin""".stripMargin
 
+  // ---------- Wilcoxon signed-rank (paired halves) ----------
+
+  /** Wilcoxon signed-rank test of per-user activity drift: each user's
+    * event count in the second half of the observation window paired
+    * against their first half (the calendar midpoint splits the
+    * window), zero differences dropped per the classical treatment.
+    * Completes the nonparametric family — Mann-Whitney (independent),
+    * Kruskal-Wallis (k groups), Friedman (blocked), and now the paired
+    * one-sample case. |d| is integer-valued, so midranks come from the
+    * cumulative window over the BOUNDED distinct-|d| table (the
+    * Kruskal-Wallis trick) — never a corpus-length ranking; W⁺ sums
+    * exact half-integers; the normal approximation with tie correction
+    * is one fixed double tree. */
+  def statWilcoxonSignedRank(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), expr("unix_seconds(ts)").as("es"))
+    val mid = ev.agg(expr("(min(es) + max(es)) div 2").as("m"))
+    val diffs = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg((sum(when(col("es") > col("m"), 1L).otherwise(0L)) * 2 -
+        count(lit(1))).as("d0"))
+      .filter(col("d0") =!= 0)
+      .select(col("user_id"), col("d0"), abs(col("d0")).as("ad"))
+    val vals = diffs.groupBy("ad").agg(count(lit(1)).as("m2"))
+    val w = Window.orderBy("ad") // bounded: distinct |d| values
+    val midr = vals
+      .withColumn("cum_excl", coalesce(
+        sum("m2").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("midrank",
+        col("cum_excl").cast("double") + (col("m2").cast("double") + 1.0) / 2.0)
+    val agg0 = diffs.join(broadcast(midr.select("ad", "midrank")), "ad")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d0") > 0, col("midrank")).otherwise(0.0)).as("wplus"))
+    val ties = midr.agg(sum(
+      (col("m2").cast("double") * col("m2") * col("m2") -
+        col("m2").cast("double")).cast(DecimalType(38, 6)))
+      .cast("double").as("t3"))
+    agg0.crossJoin(broadcast(ties))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mu", col("nd") * (col("nd") + 1.0) / 4.0)
+      .withColumn("sig", sqrt(
+        col("nd") * (col("nd") + 1.0) * (col("nd") * 2.0 + 1.0) / 24.0 -
+          col("t3") / 48.0))
+      .withColumn("z", (col("wplus") - col("mu")) /
+        when(col("sig") > 0, col("sig")))
+      .select(col("n").as("n_nonzero"), round(col("wplus"), 1).as("w_plus"),
+        round(col("z"), 6).as("z"),
+        (abs(col("z")) > 1.959964).as("significant"))
+  }
+  val statWilcoxonSignedRankSql: String =
+    """WITH ev AS (SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |mid AS (SELECT (min(es) + max(es)) // 2 AS m FROM ev),
+      |diffs AS (SELECT user_id, d0, abs(d0) AS ad FROM (
+      |    SELECT user_id,
+      |      CAST(sum(CASE WHEN es > m THEN 1 ELSE 0 END) * 2 - count(*)
+      |        AS BIGINT) AS d0
+      |    FROM ev CROSS JOIN mid GROUP BY user_id)
+      |  WHERE d0 <> 0),
+      |vals AS (SELECT ad, CAST(count(*) AS BIGINT) AS m2
+      |  FROM diffs GROUP BY ad),
+      |midr AS (SELECT ad, m2,
+      |    CAST(coalesce(sum(m2) OVER (ORDER BY ad
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      |      + (CAST(m2 AS DOUBLE) + 1.0) / 2.0 AS midrank
+      |  FROM vals),
+      |agg0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CASE WHEN d0 > 0 THEN midrank ELSE 0.0 END) AS wplus
+      |  FROM diffs JOIN midr USING (ad)),
+      |ties AS (SELECT CAST(sum(CAST(CAST(m2 AS DOUBLE) * m2 * m2
+      |      - CAST(m2 AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS t3
+      |  FROM vals),
+      |fin AS (SELECT n, wplus, CAST(n AS DOUBLE) AS nd, t3 FROM agg0
+      |  CROSS JOIN ties)
+      |SELECT n AS n_nonzero, round(wplus, 1) AS w_plus,
+      |  round((wplus - nd * (nd + 1.0) / 4.0)
+      |    / nullif(greatest(sqrt(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+      |      - t3 / 48.0), 0), 0), 6) AS z,
+      |  abs((wplus - nd * (nd + 1.0) / 4.0)
+      |    / nullif(greatest(sqrt(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+      |      - t3 / 48.0), 0), 0)) > 1.959964 AS significant
+      |FROM fin""".stripMargin
+
+  // ---------- Poisson overdispersion audit ----------
+
+  /** Index-of-dispersion audit of the daily event counts: D = (n−1)s²/ȳ
+    * against its χ²(n−1) null — the quick "is daily traffic Poisson or
+    * bursty" screen that motivates the negative-binomial treatment
+    * downstream (and pairs with [[Refine.eventAnomalyEsd]]'s outlier
+    * view). Exact integer moment sums; one fixed double tree. */
+  def eventPoissonDispersion(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    t(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast(d38)).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast(d38)).cast("double").as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mean", col("sy") / col("nd"))
+      .withColumn("s2", (col("syy") - col("sy") * col("sy") / col("nd")) /
+        (col("nd") - 1.0))
+      .withColumn("ratio", col("s2") / when(col("mean") > 0, col("mean")))
+      .select(col("n").as("n_days"),
+        round(col("mean"), 6).as("mean_daily"),
+        round(col("s2"), 6).as("var_daily"),
+        round(col("ratio"), 6).as("dispersion"),
+        round((col("nd") - 1.0) * col("ratio"), 6).as("chi2_stat"),
+        (col("ratio") > 1.5).as("overdispersed"))
+  }
+  val eventPoissonDispersionSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY date_trunc('day', ts)),
+      |m0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM daily),
+      |fin AS (SELECT n, CAST(n AS DOUBLE) AS nd, sy / CAST(n AS DOUBLE)
+      |      AS mean,
+      |    (syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+      |      AS s2
+      |  FROM m0)
+      |SELECT n AS n_days, round(mean, 6) AS mean_daily,
+      |  round(s2, 6) AS var_daily,
+      |  round(s2 / nullif(greatest(mean, 0), 0), 6) AS dispersion,
+      |  round((nd - 1.0) * (s2 / nullif(greatest(mean, 0), 0)), 6)
+      |    AS chi2_stat,
+      |  s2 / nullif(greatest(mean, 0), 0) > 1.5 AS overdispersed
+      |FROM fin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_wilcoxon_signed_rank" -> (statWilcoxonSignedRank _),
+    "event_poisson_dispersion" -> (eventPoissonDispersion _),
     "stat_durbin_watson" -> (statDurbinWatson _),
     "stat_breusch_pagan" -> (statBreuschPagan _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
@@ -1552,6 +1685,8 @@ object Polish {
     "stat_hurst" -> (statHurst _))
 
   val oracle: Map[String, String] = Map(
+    "stat_wilcoxon_signed_rank" -> statWilcoxonSignedRankSql,
+    "event_poisson_dispersion" -> eventPoissonDispersionSql,
     "stat_durbin_watson" -> statDurbinWatsonSql,
     "stat_breusch_pagan" -> statBreuschPaganSql,
     "graph_degree_assortativity" -> graphDegreeAssortativitySql,

@@ -764,6 +764,51 @@ class PolishSpec extends AnyFunSuite {
     if (byC.size == 1) assert(math.abs(r.getAs[Double]("modularity")) < 1e-9)
   }
 
+  test("wilcoxon signed-rank matches a brute-force paired-halves recount") {
+    val evs = Q.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_seconds(ts) as es").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("es")))
+    val m = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    val diffs = evs.groupBy(_._1).values
+      .map(rows => 2L * rows.count(_._2 > m) - rows.length)
+      .filter(_ != 0L).toSeq
+    val n = diffs.length.toDouble
+    val byVal = diffs.map(math.abs).groupBy(identity)
+      .map { case (v, o) => v -> o.length.toLong }
+    val sorted = byVal.toSeq.sortBy(_._1)
+    val midrank = sorted.scanLeft((0L, 0.0)) { case ((cum, _), (_, m2)) =>
+      (cum + m2, cum + (m2 + 1.0) / 2.0)
+    }.tail.map(_._2).zip(sorted).map { case (mr, (v, _)) => v -> mr }.toMap
+    val wplus = diffs.filter(_ > 0).map(d0 => midrank(math.abs(d0))).sum
+    val t3 = byVal.values.map(m2 =>
+      m2.toDouble * m2 * m2 - m2.toDouble).sum
+    val mu = n * (n + 1.0) / 4.0
+    val sig = math.sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - t3 / 48.0)
+    val z = (wplus - mu) / sig
+    val r = Polish.statWilcoxonSignedRank(spark, sf).collect().head
+    assert(r.getAs[Long]("n_nonzero") == diffs.length)
+    assert(math.abs(r.getAs[Double]("w_plus") - wplus) < 0.05)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+    assert(r.getAs[Boolean]("significant") == (math.abs(z) > 1.959964))
+  }
+
+  test("poisson dispersion matches a brute-force daily recount") {
+    val daily = Q.t(spark, sf, "events")
+      .selectExpr("date_trunc('day', ts) as day").collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("day"))
+      .map(_._2.length.toLong).toSeq
+    val n = daily.length.toDouble
+    val mean = daily.sum / n
+    val s2 = (daily.map(y => y.toDouble * y).sum - daily.sum.toDouble *
+      daily.sum / n) / (n - 1.0)
+    val r = Polish.eventPoissonDispersion(spark, sf).collect().head
+    assert(r.getAs[Long]("n_days") == daily.length)
+    assert(math.abs(r.getAs[Double]("mean_daily") - mean) < 1e-6)
+    assert(math.abs(r.getAs[Double]("var_daily") - s2) < 1e-6)
+    assert(math.abs(r.getAs[Double]("dispersion") - s2 / mean) < 1e-6)
+    assert(r.getAs[Boolean]("overdispersed") == (s2 / mean > 1.5))
+  }
+
   test("plan audit: new ops join keyed or broadcast, single-row cross joins only") {
     // ops whose only non-equi join is the one single-row scalar broadcast
     // (tot / ties / cnorm) — anything more is a corpus-sized cartesian
