@@ -331,30 +331,33 @@ object Pipeline {
     * silent wrong answer, and the fix is raising the seed count. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val nSeeds = 16
-    val docs = t(s, d, "documents").select(col("doc_id"), gramsExpr.as("g"))
-      .withColumn("gh", md5(concat_ws("\n", col("g")).cast("binary")))
+    // round-11: the gram STRINGS never leave the generated loop —
+    // word_ngram_hashes emits each doc's distinct grams as xxhash64
+    // longs, so the content-group key (xxhash64 of the hash array),
+    // the banding, AND the verification intersection all shuffle
+    // 8-byte integers. |intersect| / |union| equal the string-set
+    // versions absent an xxhash64 collision among a pair's ≤2·|grams|
+    // values (P ≈ 2⁻⁴⁸ per pair) — the per-corpus determinism argument
+    // the banding hash already rests on; the exact string-set oracle
+    // and the banded==brute spec would fail loudly.
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.NgramHashes(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(
+              expr(wordsExpr)), 3)).as("hs"))
+      .withColumn("gh", xxhash64(col("hs")))
       .localCheckpoint() // read thrice: reps, members, within-group pairs
     val members = docs.select("doc_id", "gh")
-    // hs: one 64-bit hash per distinct gram — the verification join
-    // intersects these instead of the gram STRINGS (≈3× less shuffle
-    // volume and integer equality instead of string compares; measured
-    // ~2× on the 10× corpus). |intersect| and the union size
-    // |h1|+|h2|−|intersect| equal the string-set versions absent an
-    // xxhash64 collision among a pair's ≤2·|grams| values (P ≈ 2⁻⁴⁸ per
-    // pair) — the same per-corpus determinism argument the BANDING hash
-    // already rests on, and the exact-oracle gate would fail loudly.
     val reps = docs.groupBy("gh").agg(min("doc_id").as("rep"))
-      .join(docs.select(col("doc_id").as("rep"), col("g")), "rep")
-      .withColumn("hs", expr("transform(g, x -> xxhash64(x))"))
+      .join(docs.select(col("doc_id").as("rep"), col("hs")), "rep")
       .localCheckpoint() // distinct-content subset: banding input
-    // round-11: the seeded min-gram-hash bands evaluate through the
-    // native kernel — one generated loop per rep instead of
-    // nSeeds·|grams| interpreted xxhash64(concat(...)) lambdas; the
-    // posexplode position IS the band index the struct used to carry
+    // seeded min-gram-hash bands over the hashed grams — one generated
+    // loop per rep; the posexplode position IS the band index
     val banded = reps.select(col("rep"), posexplode(
         org.apache.spark.sql.graftcol.NativeColumn.column(
-          graft.functions.BandedMinHashes(
-            org.apache.spark.sql.graftcol.NativeColumn.expression(col("g")),
+          graft.functions.BandedMinLongHashes(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("hs")),
             nSeeds))).as(Seq("band", "bh")))
     // candidate rep pairs, deduped BEFORE the exact verify
     val cands = banded.as("x").join(banded.as("y"),

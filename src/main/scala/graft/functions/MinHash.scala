@@ -114,6 +114,131 @@ object BandedMinHashes {
   }
 }
 
+/** Distinct hashed word n-grams as a native codegen'd Catalyst
+  * expression.
+  *
+  * `word_ngram_hashes(ws, n)` = xxhash64 (seed 42, over the UTF8 bytes
+  * of the space-joined gram, exactly like `xxhash64(concat(...))`) of
+  * each DISTINCT word n-gram of the word array, first-occurrence order
+  * (array_distinct semantics). Mirrors the HOF gram builder including
+  * its short-document edge: a doc with fewer than n words yields the
+  * single null gram (concat-with-null), which hashes to the xxhash64
+  * seed, matching `xxhash64(null)`. The gram STRINGS never leave this
+  * loop — the dedup pipeline's distinct/election/banding/verify stages
+  * all ride 8-byte hashes, and the exact string-set DuckDB oracle (plus
+  * the banded==brute spec) fails loudly on any 64-bit collision. */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "word_ngram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NgramHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramHashes {
+  private val XxSeed = 42L
+
+  def compute(ws: ArrayData, n: Int): GenericArrayData = {
+    val nw = ws.numElements()
+    val seen = new java.util.LinkedHashSet[String]()
+    val last = math.max(nw - (n - 1), 1)
+    var i = 0
+    while (i < last) {
+      if (i + n <= nw) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws.getUTF8String(i + j).toString)
+          j += 1
+        }
+        seen.add(sb.toString)
+      } else {
+        seen.add(null) // concat with a missing word is the null gram
+      }
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val g = it.next()
+      out(k) =
+        if (g == null) XxSeed
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(UTF8String.fromString(g), StringType, XxSeed)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Seeded minima over an already-hashed gram array: for each seed
+  * j ∈ [0, nSeeds), min over the longs of xxhash64-at-seed-(42+j) — the
+  * long-input twin of [[BandedMinHashes]] for pipelines whose grams
+  * already ride as hashes. The per-band hash family is internal to the
+  * LSH candidate generator (recall-only; the oracle is exact
+  * all-pairs), so its exact form is free — re-seeding xxhash64 per band
+  * is the standard seeded family. Empty input yields all-null minima
+  * (array_min-of-empty semantics). */
+case class BandedMinLongHashes(child: Expression, seeds: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "banded_min_long_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BandedMinLongHashes.compute(input.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BandedMinLongHashes.compute($c, $seeds)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BandedMinLongHashes {
+  def compute(g: ArrayData, seeds: Int): GenericArrayData = {
+    val n = g.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array.fill[Any](seeds)(null))
+    val mins = new Array[Long](seeds)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = g.getLong(i)
+      var j = 0
+      while (j < seeds) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(x, LongType, 42L + j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
 /** SimHash signature kernel as a native codegen'd Catalyst expression.
   *
   * `simhash_sig(text)` = the 32-bit SimHash of the document's
