@@ -20,9 +20,9 @@ import Q._
   *    propagation to a driver-checked fixpoint; every iteration is one
   *    keyed shuffle, never a global structure.
   *  - `emb_kmeans` is the canonical distributed training loop: centroids
-  *    are a broadcast k×d table, assignment is a map-side expansion +
-  *    keyed reduce, the update is one aggregation — the corpus is
-  *    scanned, never collected.
+  *    are k×d driver state constant-folded into each assignment's plan,
+  *    per-vector distances are map-side folds, the update is one keyed
+  *    reduce — the corpus is scanned, never collected.
   *  - `mix_importance_resample` is a distributed prefix sum (range
   *    shuffle → per-partition running sum → partition-count-sized offset
   *    broadcast), the same exact topology as [[Q.distPos]].
@@ -144,93 +144,115 @@ object Learn {
 
   private val K = 8
 
-  /** Two Lloyd iterations of k-means over the embedding table, k=8,
+  /** Two Lloyd half-iterations of k-means over the embedding table, k=8,
     * initialized from the k lowest vec_ids actually present (a bounded
-    * TakeOrdered, not a `vec_id < K` predicate — so sparse, sampled, or
-    * 1-based id spaces still seed exactly K centroids; an assertion
-    * fails loudly if the table has fewer than K vectors). The distributed
-    * shape:
-    * centroids live as a k×d broadcast table; assignment expands each
-    * (vec, dim) row against the k centroid rows of that dim and reduces
-    * per (vec, centroid) — one keyed shuffle per half-iteration, corpus
-    * never collected. Distances accumulate as DECIMAL(38,12) so the
-    * argmin compares exact decimals (order- and engine-independent);
-    * centroid updates are exact decimal means. Emits per-cluster size,
-    * inertia, and centroid norm after the second assignment. */
+    * TakeOrdered; an assertion fails loudly if the table has fewer than
+    * K vectors). Round-11 shape — the [[Pipeline.simAnnIvf]] training
+    * topology: the k×d centroid table is DRIVER state (the table you'd
+    * broadcast at 100 TB), constant-folded into each assignment's plan,
+    * so per-vector distances are map-side double folds and the argmin is
+    * an expression (ties fall to the lowest cluster id because
+    * array_position returns the FIRST minimum) — no corpus×k join and no
+    * per-vector window sort anywhere. The single update is ONE keyed
+    * (cid, dim) reduce collected as k×d driver state. Cluster ids are
+    * centroid POSITIONS 1..k (ordered by seed vec_id). Final assignment
+    * runs against the 6-decimal-quantized trained centroids so the
+    * runtime-generated DuckDB oracle replays bit-identical arithmetic
+    * from the same literals (the IVF mechanism); per-vector inertia
+    * terms ride a DECIMAL(38,12) lane into the cluster reduce. */
   def embKmeans(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"),
-        col("xf").cast("double").as("x"))
-      .localCheckpoint()
-    val seeds = t(s, d, "embeddings").select("vec_id")
-      .orderBy("vec_id").limit(K) // TakeOrdered: k rows, never a full sort
-    require(seeds.count() == K.toLong,
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // scanned once per assignment + update
+    val seeds = vecs.orderBy("vec_id").limit(K).collect() // bounded TakeOrdered
+    require(seeds.length == K,
       s"embedding table has fewer than $K vectors to seed k-means")
-    val c0 = e.join(broadcast(seeds), "vec_id")
-      .select(col("vec_id").as("cid"), col("i"), col("x").as("cx"))
-
-    // assignment: map-side k-way expansion, keyed reduce, decimal argmin
-    def assign(cent: DataFrame): DataFrame = {
-      val dist = e.join(broadcast(cent), "i")
-        .groupBy("vec_id", "cid")
-        .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
-          .cast(DecimalType(38, 12))).as("dist"))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+    var cents: Array[(Long, Array[Double])] = seeds.zipWithIndex.map {
+      case (r, i) => ((i + 1).toLong, r.getSeq[Double](1).toArray)
     }
-    // update: exact decimal mean per (cluster, dim)
-    def update(asg: DataFrame): DataFrame =
-      e.join(asg.select("vec_id", "cid"), "vec_id")
-        .groupBy("cid", "i")
-        .agg((sum(col("x").cast(DecimalType(30, 12))).cast(DoubleType) /
-          count(lit(1))).as("cx"))
-
-    val a1 = assign(c0).localCheckpoint()
-    val c1 = update(a1).localCheckpoint()
-    val a2 = assign(c1).localCheckpoint()
-    val stats = a2.groupBy("cid")
+    def centArr(cs: Array[(Long, Array[Double])]): String =
+      cs.map(_._2.map(x => s"${x}D").mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+    // struct('cid', 'dist'): first-minimum argmin + its distance, all
+    // map-side over the constant-folded centroid literal
+    def asgExpr(cs: Array[(Long, Array[Double])]): Column = expr(
+      s"""transform(array(transform(${centArr(cs)},
+         |    c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+         |           cast(0.0 as double), (acc, z) -> acc + z))),
+         |  ds -> named_struct(
+         |    'cid', cast(array_position(ds, array_min(ds)) as bigint),
+         |    'dist', array_min(ds)))[0]""".stripMargin)
+    // the single Lloyd update: keyed (cid, dim) reduce → k×d driver state
+    val upd = vecs.withColumn("cid", asgExpr(cents).getField("cid"))
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg("x").as("m"))
+      .collect()
+    val dim = cents.head._2.length
+    val next = upd.groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
+      val cv = Array.fill(dim)(0.0)
+      rows.foreach(r => cv(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+      (cid, cv)
+    }.toArray.sortBy(_._1)
+    // relabel to consecutive positions (an emptied cluster would desync
+    // positional assignment from stored ids — the IVF argument)
+    cents = next.zipWithIndex.map { case ((_, cv), i) => ((i + 1).toLong, cv) }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val centRows: Array[(Long, Seq[Double])] =
+      cents.map { case (cid, cv) => (cid, cv.map(r6).toSeq) }
+    embKmeansOracle = Some(embKmeansSqlGen(centRows))
+    import s.implicits._
+    val norms = broadcast(centRows.toSeq.map { case (cid, cv) =>
+      (cid, math.sqrt(cv.map(x => x * x).sum))
+    }.toDF("cid", "nrm"))
+    vecs.withColumn("st",
+        asgExpr(centRows.map { case (c, cv) => (c, cv.toArray) }))
+      .select(col("st").getField("cid").as("cid"),
+        col("st").getField("dist").as("dist"))
+      .groupBy("cid")
       .agg(count(lit(1)).as("n"),
-        sum("dist").cast(DoubleType).as("inertia"))
-    val norms = c1.groupBy("cid")
-      .agg(sqrt(sum((col("cx") * col("cx")).cast(DecimalType(38, 12)))
-        .cast(DoubleType)).as("nrm"))
-    stats.join(norms, "cid")
+        sum(col("dist").cast(DecimalType(38, 12))).cast(DoubleType)
+          .as("inertia"))
+      .join(norms, "cid")
       .select(col("cid"), col("n"),
         round(col("inertia"), 6).as("inertia"),
         round(col("nrm"), 6).as("centroid_norm"))
       .orderBy("cid")
   }
-  val embKmeansSql: String =
-    s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      |  FROM embeddings,
-      |    unnest(generate_series(1, len(embedding))) AS t(i)),
-      |c0 AS (SELECT vec_id AS cid, i, x AS cx FROM e WHERE vec_id IN
-      |  (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)),
-      |d1 AS (SELECT e.vec_id, c.cid,
-      |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(38,12))) AS dist
-      |  FROM e JOIN c0 c USING (i) GROUP BY e.vec_id, c.cid),
-      |a1 AS (SELECT vec_id, cid, dist FROM (SELECT *,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |  FROM d1) WHERE rn = 1),
-      |c1 AS (SELECT cid, i,
-      |    CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS cx
-      |  FROM e JOIN a1 USING (vec_id) GROUP BY cid, i),
-      |d2 AS (SELECT e.vec_id, c.cid,
-      |    sum(CAST((e.x - c.cx) * (e.x - c.cx) AS DECIMAL(38,12))) AS dist
-      |  FROM e JOIN c1 c USING (i) GROUP BY e.vec_id, c.cid),
-      |a2 AS (SELECT vec_id, cid, dist FROM (SELECT *,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |  FROM d2) WHERE rn = 1),
-      |st AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(dist) AS DOUBLE) AS inertia FROM a2 GROUP BY cid),
-      |nm AS (SELECT cid,
-      |    sqrt(CAST(sum(CAST(cx * cx AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      |  FROM c1 GROUP BY cid)
-      |SELECT cid, n, round(inertia, 6) AS inertia,
-      |  round(nrm, 6) AS centroid_norm
-      |FROM st JOIN nm USING (cid) ORDER BY cid""".stripMargin
+
+  /** Set by [[embKmeans]] after training; read by [[oracle]] — the
+    * trained quantized centroids embed as literals (the
+    * [[Pipeline.simAnnIvf]] runtime-oracle mechanism). */
+  @volatile private var embKmeansOracle: Option[String] = None
+
+  private def embKmeansSqlGen(cents: Array[(Long, Seq[Double])]): String = {
+    val values = cents.map { case (cid, cv) =>
+      val norm = math.sqrt(cv.map(x => x * x).sum)
+      cv.map(x => s"'$x'").mkString(s"($cid, [", ", ", s"], '$norm')")
+    }.mkString(",\n    ")
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT cid, list_transform(cs, s -> CAST(s AS DOUBLE)) AS cv,
+       |    CAST(ns AS DOUBLE) AS nrm
+       |  FROM (VALUES
+       |    $values) t(cid, cs, ns)),
+       |vecs AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT a.vec_id, c.cid,
+       |      ${Pipeline.duckDist(Pipeline.IvfDim, "a.v", "c.cv")} AS dist,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${Pipeline.duckDist(Pipeline.IvfDim, "a.v", "c.cv")}
+       |          ASC, c.cid ASC) AS rn
+       |    FROM vecs a CROSS JOIN cents c) WHERE rn = 1)
+       |SELECT asg.cid, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(dist AS DECIMAL(38,12))) AS DOUBLE), 6)
+       |    AS inertia,
+       |  round(max(c.nrm), 6) AS centroid_norm
+       |FROM asg JOIN cents c ON c.cid = asg.cid
+       |GROUP BY asg.cid ORDER BY asg.cid""".stripMargin
+  }
 
   // ---------- systematic importance resampling ----------
 
@@ -594,14 +616,17 @@ object Learn {
     "emb_covariance" -> (embCovariance _),
     "text_hapax" -> (textHapax _))
 
-  val oracle: Map[String, String] = Map(
+  /** `oracle` is a def: emb_kmeans' oracle SQL embeds the Spark-trained
+    * quantized centroids, so it exists only after the query has run
+    * (the [[Pipeline.oracle]] sim_ann_ivf mechanism). */
+  def oracle: Map[String, String] = Map(
     "graph_components" -> graphComponentsSql,
-    "emb_kmeans" -> embKmeansSql,
     "mix_importance_resample" -> mixImportanceResampleSql,
     "stat_calibration" -> statCalibrationSql,
     "stat_partial_corr" -> statPartialCorrSql,
     "stat_qq" -> statQqSql,
     "event_user_entropy" -> eventUserEntropySql,
     "emb_covariance" -> embCovarianceSql,
-    "text_hapax" -> textHapaxSql)
+    "text_hapax" -> textHapaxSql) ++
+    embKmeansOracle.map("emb_kmeans" -> _)
 }

@@ -1112,13 +1112,13 @@ object Pipeline {
     * 1-based element access per engine (`element_at(v,i)` / `v[i]`). */
   private def unrolled(dim: Int, term: Int => String): String =
     (1 to dim).map(term).mkString(" + ")
-  private def IvfDist(dim: Int, a: String, b: String): String =
+  private[graft] def IvfDist(dim: Int, a: String, b: String): String =
     unrolled(dim, i => s"(element_at($a,$i)-element_at($b,$i))*(element_at($a,$i)-element_at($b,$i))")
-  private def IvfDot(dim: Int, a: String, b: String): String =
+  private[graft] def IvfDot(dim: Int, a: String, b: String): String =
     unrolled(dim, i => s"element_at($a,$i)*element_at($b,$i)")
-  private def duckDist(dim: Int, a: String, b: String): String =
+  private[graft] def duckDist(dim: Int, a: String, b: String): String =
     unrolled(dim, i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])")
-  private def duckDot(dim: Int, a: String, b: String): String =
+  private[graft] def duckDot(dim: Int, a: String, b: String): String =
     unrolled(dim, i => s"$a[$i]*$b[$i]")
 
   /** Set by [[simAnnIvf]] after training; read by [[oracle]]. */

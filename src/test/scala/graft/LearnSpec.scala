@@ -47,10 +47,9 @@ class LearnSpec extends AnyFunSuite {
     val out = Learn.embKmeans(spark, sf).collect()
     assert(out.map(_.getAs[Long]("n")).sum == embs.length)
     assert(out.forall(_.getAs[Double]("inertia") >= 0))
-    assert(out.map(_.getAs[Long]("cid")).toSet.subsetOf((0L until 8L).toSet))
-    // hand-run iteration 1 assignment for vec 0: itself is its centroid
-    // (distance 0), so cluster 0 must contain at least vector 0
-    assert(out.exists(r => r.getAs[Long]("cid") == 0L && r.getAs[Long]("n") >= 1))
+    // cluster ids are centroid POSITIONS 1..k (ordered by seed vec_id)
+    assert(out.map(_.getAs[Long]("cid")).toSet.subsetOf((1L to 8L).toSet))
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("n") >= 1))
   }
 
   test("mix_importance_resample: one doc per crossed threshold, cumsum exact") {
