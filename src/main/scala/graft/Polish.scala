@@ -1658,7 +1658,231 @@ object Polish {
       |  s2 / nullif(greatest(mean, 0), 0) > 1.5 AS overdispersed
       |FROM fin""".stripMargin
 
+  // ---------- Bartlett's test (variance homogeneity) ----------
+
+  /** Bartlett's test of equal variances across the three l_returnflag
+    * groups over l_quantity — the parametric counterpart of the
+    * registry's Levene test (Bartlett is more powerful under normality,
+    * Levene robust to its absence; a pipeline runs both). Group moment
+    * sums are exact integers in decimal lanes; the pooled/per-group
+    * log-variance combination is one fixed double tree with per-group
+    * terms quantized to DECIMAL(38,12) for the k-bounded reduce. */
+  def statBartlett(s: SparkSession, d: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("ni"),
+        sum(col("q").cast(d38)).cast("double").as("sy"),
+        sum((col("q") * col("q")).cast(d38)).cast("double").as("syy"))
+      .withColumn("nid", col("ni").cast("double"))
+      .withColumn("s2", (col("syy") - col("sy") * col("sy") / col("nid")) /
+        (col("nid") - 1.0))
+    val agg0 = g.agg(count(lit(1)).as("k"), sum("ni").as("nn"),
+      sum(((col("nid") - 1.0) * col("s2")).cast(DecimalType(38, 12)))
+        .cast("double").as("sp_num"),
+      sum(((col("nid") - 1.0) * log(col("s2"))).cast(DecimalType(38, 12)))
+        .cast("double").as("sln"),
+      sum((lit(1.0) / (col("nid") - 1.0)).cast(DecimalType(38, 12)))
+        .cast("double").as("sinv"))
+    agg0
+      .withColumn("kd", col("k").cast("double"))
+      .withColumn("nd", col("nn").cast("double"))
+      .withColumn("sp2", col("sp_num") / (col("nd") - col("kd")))
+      .withColumn("num",
+        (col("nd") - col("kd")) * log(col("sp2")) - col("sln"))
+      .withColumn("cc", lit(1.0) +
+        (col("sinv") - lit(1.0) / (col("nd") - col("kd"))) /
+          (lit(3.0) * (col("kd") - 1.0)))
+      .select(col("nn").as("n_total"), col("k").as("k_groups"),
+        round(col("sp2"), 6).as("pooled_var"),
+        round(col("num") / col("cc"), 6).as("chi2_stat"),
+        (col("num") / col("cc") > 5.991).as("unequal_var"))
+  }
+  val statBartlettSql: String =
+    """WITH g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS ni,
+      |    CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+      |      AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS
+      |      BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |v AS (SELECT ni, CAST(ni AS DOUBLE) AS nid,
+      |    (syy - sy * sy / CAST(ni AS DOUBLE)) / (CAST(ni AS DOUBLE) - 1.0)
+      |      AS s2
+      |  FROM g),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT)
+      |      AS nn,
+      |    CAST(sum(CAST((nid - 1.0) * s2 AS DECIMAL(38,12))) AS DOUBLE)
+      |      AS sp_num,
+      |    CAST(sum(CAST((nid - 1.0) * ln(s2) AS DECIMAL(38,12))) AS DOUBLE)
+      |      AS sln,
+      |    CAST(sum(CAST(1.0 / (nid - 1.0) AS DECIMAL(38,12))) AS DOUBLE)
+      |      AS sinv
+      |  FROM v),
+      |f AS (SELECT k, nn, CAST(k AS DOUBLE) AS kd, CAST(nn AS DOUBLE) AS nd,
+      |    sp_num / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) AS sp2, sln, sinv
+      |  FROM a)
+      |SELECT nn AS n_total, k AS k_groups, round(sp2, 6) AS pooled_var,
+      |  round(((nd - kd) * ln(sp2) - sln)
+      |    / (1.0 + (sinv - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0))), 6)
+      |    AS chi2_stat,
+      |  ((nd - kd) * ln(sp2) - sln)
+      |    / (1.0 + (sinv - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0))) > 5.991
+      |    AS unequal_var
+      |FROM f""".stripMargin
+
+  // ---------- Granger causality (daily event-type series) ----------
+
+  /** Granger causality (one lag) between the two alphabetically-first
+    * event types' daily series: does yesterday's X count improve the
+    * prediction of today's Y count beyond Y's own lag? F-statistic of
+    * the restricted (y on lag-y) vs unrestricted (y on lag-y, lag-x)
+    * OLS, both solved in closed form — Cramer's rule on the 3×3 normal
+    * equations over exact integer moment sums (daily counts and their
+    * lags are integers, so every moment is exact in a decimal lane);
+    * the determinant/coefficient/SSE chain is one fixed double tree
+    * replayed identically by the oracle. Only days where both series
+    * observe (the joined calendar) enter. F compared to the 5%
+    * F(1, ∞) = 3.841 critical value (n−3 ≫ 40 here). */
+  def statGrangerCausality(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val two = daily.select("event_type").distinct()
+      .orderBy("event_type").limit(2)
+      .withColumn("role",
+        when(col("event_type") === min("event_type").over(Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+          lit("x")).otherwise(lit("y")))
+    val wide = daily.join(broadcast(two), "event_type")
+      .groupBy("day")
+      .agg(max(when(col("role") === "x", col("y"))).as("xv"),
+        max(when(col("role") === "y", col("y"))).as("yv"))
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
+    val lagW = Window.orderBy("day")
+    val rows = wide
+      .withColumn("u", lag("yv", 1).over(lagW))
+      .withColumn("v", lag("xv", 1).over(lagW))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .select(col("u"), col("v"), col("yv").as("w"))
+    val d38 = DecimalType(38, 0)
+    rows.agg(count(lit(1)).as("n"),
+        sum(col("u").cast(d38)).cast("double").as("su"),
+        sum(col("v").cast(d38)).cast("double").as("sv"),
+        sum(col("w").cast(d38)).cast("double").as("sw"),
+        sum((col("u") * col("u")).cast(d38)).cast("double").as("suu"),
+        sum((col("v") * col("v")).cast(d38)).cast("double").as("svv"),
+        sum((col("u") * col("v")).cast(d38)).cast("double").as("suv"),
+        sum((col("u") * col("w")).cast(d38)).cast("double").as("suw"),
+        sum((col("v") * col("w")).cast(d38)).cast("double").as("svw"),
+        sum((col("w") * col("w")).cast(d38)).cast("double").as("sww"))
+      .withColumn("nd", col("n").cast("double"))
+      // unrestricted: Cramer's rule on [nd su sv; su suu suv; sv suv svv]
+      .withColumn("det", col("nd") * (col("suu") * col("svv") -
+          col("suv") * col("suv")) -
+        col("su") * (col("su") * col("svv") - col("suv") * col("sv")) +
+        col("sv") * (col("su") * col("suv") - col("suu") * col("sv")))
+      .withColumn("da", col("sw") * (col("suu") * col("svv") -
+          col("suv") * col("suv")) -
+        col("su") * (col("suw") * col("svv") - col("suv") * col("svw")) +
+        col("sv") * (col("suw") * col("suv") - col("suu") * col("svw")))
+      .withColumn("db", col("nd") * (col("suw") * col("svv") -
+          col("suv") * col("svw")) -
+        col("sw") * (col("su") * col("svv") - col("suv") * col("sv")) +
+        col("sv") * (col("su") * col("svw") - col("suw") * col("sv")))
+      .withColumn("dc", col("nd") * (col("suu") * col("svw") -
+          col("suw") * col("suv")) -
+        col("su") * (col("su") * col("svw") - col("suw") * col("sv")) +
+        col("sw") * (col("su") * col("suv") - col("suu") * col("sv")))
+      .withColumn("a", col("da") / when(abs(col("det")) > 0, col("det")))
+      .withColumn("b", col("db") / when(abs(col("det")) > 0, col("det")))
+      .withColumn("c", col("dc") / when(abs(col("det")) > 0, col("det")))
+      .withColumn("sse_u", col("sww") - col("a") * col("sw") -
+        col("b") * col("suw") - col("c") * col("svw"))
+      // restricted: y on lag-y only
+      .withColumn("den_r",
+        col("nd") * col("suu") - col("su") * col("su"))
+      .withColumn("br", (col("nd") * col("suw") - col("su") * col("sw")) /
+        when(abs(col("den_r")) > 0, col("den_r")))
+      .withColumn("ar", (col("sw") - col("br") * col("su")) / col("nd"))
+      .withColumn("sse_r", col("sww") - col("ar") * col("sw") -
+        col("br") * col("suw"))
+      .withColumn("f", (col("sse_r") - col("sse_u")) /
+        when(col("sse_u") > 0, col("sse_u") / (col("nd") - 3.0)))
+      .select(col("n").as("n_obs"),
+        round(col("b"), 6).as("coef_lag_y"),
+        round(col("c"), 6).as("coef_lag_x"),
+        round(col("f"), 6).as("f_stat"),
+        (col("f") > 3.841).as("granger_causes"))
+  }
+  val statGrangerCausalitySql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |two AS (SELECT event_type,
+      |    CASE WHEN event_type = min(event_type) OVER () THEN 'x'
+      |      ELSE 'y' END AS role
+      |  FROM (SELECT DISTINCT event_type FROM daily
+      |    ORDER BY event_type LIMIT 2)),
+      |wide AS (SELECT day,
+      |    max(CASE WHEN role = 'x' THEN y END) AS xv,
+      |    max(CASE WHEN role = 'y' THEN y END) AS yv
+      |  FROM daily JOIN two USING (event_type) GROUP BY day),
+      |ok AS (SELECT day, xv, yv FROM wide
+      |  WHERE xv IS NOT NULL AND yv IS NOT NULL),
+      |lagged AS (SELECT yv AS w,
+      |    lag(yv) OVER (ORDER BY day) AS u,
+      |    lag(xv) OVER (ORDER BY day) AS v
+      |  FROM ok),
+      |r AS (SELECT u, v, w FROM lagged
+      |  WHERE u IS NOT NULL AND v IS NOT NULL),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(u AS DECIMAL(38,0))) AS DOUBLE) AS su,
+      |    CAST(sum(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS sw,
+      |    CAST(sum(CAST(u * u AS DECIMAL(38,0))) AS DOUBLE) AS suu,
+      |    CAST(sum(CAST(v * v AS DECIMAL(38,0))) AS DOUBLE) AS svv,
+      |    CAST(sum(CAST(u * v AS DECIMAL(38,0))) AS DOUBLE) AS suv,
+      |    CAST(sum(CAST(u * w AS DECIMAL(38,0))) AS DOUBLE) AS suw,
+      |    CAST(sum(CAST(v * w AS DECIMAL(38,0))) AS DOUBLE) AS svw,
+      |    CAST(sum(CAST(w * w AS DECIMAL(38,0))) AS DOUBLE) AS sww
+      |  FROM r),
+      |s1 AS (SELECT m.*, CAST(n AS DOUBLE) AS nd,
+      |    CAST(n AS DOUBLE) * (suu * svv - suv * suv)
+      |      - su * (su * svv - suv * sv)
+      |      + sv * (su * suv - suu * sv) AS det,
+      |    sw * (suu * svv - suv * suv)
+      |      - su * (suw * svv - suv * svw)
+      |      + sv * (suw * suv - suu * svw) AS da,
+      |    CAST(n AS DOUBLE) * (suw * svv - suv * svw)
+      |      - sw * (su * svv - suv * sv)
+      |      + sv * (su * svw - suw * sv) AS db,
+      |    CAST(n AS DOUBLE) * (suu * svw - suw * suv)
+      |      - su * (su * svw - suw * sv)
+      |      + sw * (su * suv - suu * sv) AS dc
+      |  FROM m),
+      |s2 AS (SELECT s1.*,
+      |    da / nullif(det, 0) AS a, db / nullif(det, 0) AS b,
+      |    dc / nullif(det, 0) AS c,
+      |    (CAST(n AS DOUBLE) * suw - su * sw)
+      |      / nullif(CAST(n AS DOUBLE) * suu - su * su, 0) AS br
+      |  FROM s1),
+      |s3 AS (SELECT s2.*,
+      |    sww - a * sw - b * suw - c * svw AS sse_u,
+      |    sww - ((sw - br * su) / nd) * sw - br * suw AS sse_r
+      |  FROM s2),
+      |s4 AS (SELECT s3.*,
+      |    (sse_r - sse_u)
+      |      / (CASE WHEN sse_u > 0 THEN sse_u / (nd - 3.0) END) AS f
+      |  FROM s3)
+      |SELECT n AS n_obs, round(b, 6) AS coef_lag_y,
+      |  round(c, 6) AS coef_lag_x, round(f, 6) AS f_stat,
+      |  f > 3.841 AS granger_causes
+      |FROM s4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_bartlett" -> (statBartlett _),
+    "stat_granger_causality" -> (statGrangerCausality _),
     "stat_wilcoxon_signed_rank" -> (statWilcoxonSignedRank _),
     "event_poisson_dispersion" -> (eventPoissonDispersion _),
     "stat_durbin_watson" -> (statDurbinWatson _),
@@ -1685,6 +1909,8 @@ object Polish {
     "stat_hurst" -> (statHurst _))
 
   val oracle: Map[String, String] = Map(
+    "stat_bartlett" -> statBartlettSql,
+    "stat_granger_causality" -> statGrangerCausalitySql,
     "stat_wilcoxon_signed_rank" -> statWilcoxonSignedRankSql,
     "event_poisson_dispersion" -> eventPoissonDispersionSql,
     "stat_durbin_watson" -> statDurbinWatsonSql,

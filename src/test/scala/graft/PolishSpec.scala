@@ -809,6 +809,76 @@ class PolishSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("overdispersed") == (s2 / mean > 1.5))
   }
 
+  test("bartlett matches a brute-force group-variance recount") {
+    val rows = Q.t(spark, sf, "lineitem")
+      .selectExpr("l_returnflag", "cast(l_quantity as long) as q").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("q")))
+    val groups = rows.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val k = groups.length.toDouble
+    val nn = rows.length.toDouble
+    def svar(xs: Seq[Long]) = {
+      val s1 = xs.sum.toDouble; val s2 = xs.map(x => x * x).sum.toDouble
+      (s2 - s1 * s1 / xs.length) / (xs.length - 1.0)
+    }
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val spNum = groups.map(g => d12((g.length - 1.0) * svar(g))).sum.toDouble
+    val sln = groups.map(g =>
+      d12((g.length - 1.0) * math.log(svar(g)))).sum.toDouble
+    val sinv = groups.map(g => d12(1.0 / (g.length - 1.0))).sum.toDouble
+    val sp2 = spNum / (nn - k)
+    val num = (nn - k) * math.log(sp2) - sln
+    val cc = 1.0 + (sinv - 1.0 / (nn - k)) / (3.0 * (k - 1.0))
+    val r = Polish.statBartlett(spark, sf).collect().head
+    assert(r.getAs[Long]("n_total") == rows.length)
+    assert(r.getAs[Long]("k_groups") == groups.length)
+    assert(math.abs(r.getAs[Double]("pooled_var") - sp2) < 1e-6)
+    assert(math.abs(r.getAs[Double]("chi2_stat") - num / cc) < 1e-6)
+    assert(r.getAs[Boolean]("unequal_var") == (num / cc > 5.991))
+  }
+
+  test("granger causality matches a brute-force two-lag OLS") {
+    val daily = Q.t(spark, sf, "events")
+      .selectExpr("event_type", "cast(ts as date) as day").collect()
+      .groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString))
+      .map { case ((e, d0), v) => (e, d0, v.length.toLong) }.toSeq
+    val types = daily.map(_._1).distinct.sorted.take(2)
+    val xs = daily.filter(_._1 == types(0)).map(r => r._2 -> r._3).toMap
+    val ys = daily.filter(_._1 == types(1)).map(r => r._2 -> r._3).toMap
+    val days = (xs.keySet & ys.keySet).toSeq.sorted
+    val pts = days.zip(days.tail).map { case (p, c) =>
+      (ys(p), xs(p), ys(c)) // (u = lag-y, v = lag-x, w = y)
+    }
+    val n = pts.length.toDouble
+    val su = pts.map(_._1).sum.toDouble; val sv = pts.map(_._2).sum.toDouble
+    val sw = pts.map(_._3).sum.toDouble
+    val suu = pts.map(p => p._1 * p._1).sum.toDouble
+    val svv = pts.map(p => p._2 * p._2).sum.toDouble
+    val suv = pts.map(p => p._1 * p._2).sum.toDouble
+    val suw = pts.map(p => p._1 * p._3).sum.toDouble
+    val svw = pts.map(p => p._2 * p._3).sum.toDouble
+    val sww = pts.map(p => p._3 * p._3).sum.toDouble
+    val det = n * (suu * svv - suv * suv) - su * (su * svv - suv * sv) +
+      sv * (su * suv - suu * sv)
+    val a = (sw * (suu * svv - suv * suv) -
+      su * (suw * svv - suv * svw) + sv * (suw * suv - suu * svw)) / det
+    val b = (n * (suw * svv - suv * svw) - sw * (su * svv - suv * sv) +
+      sv * (su * svw - suw * sv)) / det
+    val c = (n * (suu * svw - suw * suv) - su * (su * svw - suw * sv) +
+      sw * (su * suv - suu * sv)) / det
+    val sseU = sww - a * sw - b * suw - c * svw
+    val br = (n * suw - su * sw) / (n * suu - su * su)
+    val sseR = sww - ((sw - br * su) / n) * sw - br * suw
+    val f = (sseR - sseU) / (sseU / (n - 3.0))
+    val r = Polish.statGrangerCausality(spark, sf).collect().head
+    assert(r.getAs[Long]("n_obs") == pts.length)
+    assert(math.abs(r.getAs[Double]("coef_lag_y") - b) < 1e-6)
+    assert(math.abs(r.getAs[Double]("coef_lag_x") - c) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-6)
+    assert(r.getAs[Boolean]("granger_causes") == (f > 3.841))
+  }
+
   test("plan audit: new ops join keyed or broadcast, single-row cross joins only") {
     // ops whose only non-equi join is the one single-row scalar broadcast
     // (tot / ties / cnorm) — anything more is a corpus-sized cartesian
