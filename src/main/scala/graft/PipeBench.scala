@@ -58,7 +58,7 @@ object PipeBench {
     "stat_cronbach_alpha", "event_entropy_rate", "text_heaps_fit",
     "stat_durbin_watson", "stat_breusch_pagan", "graph_modularity",
     "stat_wilcoxon_signed_rank", "event_poisson_dispersion",
-    "stat_bartlett", "stat_granger_causality")
+    "stat_bartlett", "stat_granger_causality", "emb_ivf_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3919,6 +3919,7 @@ object Pipeline {
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
+    "emb_ivf_recall" -> (embIvfRecall _),
     "mm_binary_features" -> (mmBinaryFeatures _),
     "event_sessionize" -> (eventSessionize _),
     "event_window_agg" -> (eventWindowAgg _),
@@ -4043,5 +4044,68 @@ object Pipeline {
     * itself stays spec-validated; the oracle hash-checks everything
     * downstream of it: assignment, probe selection, and exact re-rank. */
   def oracle: Map[String, String] =
-    oracleBase ++ simAnnIvfOracle.map("sim_ann_ivf" -> _)
+    oracleBase ++ simAnnIvfOracle.map("sim_ann_ivf" -> _) ++
+      embIvfRecallOracle.map("emb_ivf_recall" -> _)
+
+  /** Set by [[embIvfRecall]]; same runtime mechanism as
+    * [[simAnnIvfOracle]]. */
+  @volatile private var embIvfRecallOracle: Option[String] = None
+
+  /** IVF recall audit — the [[Scale.embAnnRecall]] twin for the IVF
+    * index: recall@5 of [[simAnnIvf]]'s nProbe=6 search against the
+    * exact brute-force top-5 for the same 10 query vectors, scoring the
+    * scaladoc's "6 probes clear the 60% floor" claim as a registry-
+    * verified number. Deliberately runs BOTH arms (an audit op, not a
+    * production path); the brute arm is a 10×n bounded broadcast cross
+    * using the same unrolled bit-exact cosine arithmetic as the IVF
+    * re-rank, so both engines rank identically. The oracle composes the
+    * runtime-generated IVF SQL (trained-centroid literals) with the
+    * same brute CTE. */
+  def embIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val ivf = simAnnIvf(s, d) // side effect: sets simAnnIvfOracle
+      .select(col("q_id"), col("cand_id"))
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val rankW = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+    val brute = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(broadcast(vecs.select(col("vec_id").as("cand_id"),
+        col("v").as("cv2"))), col("q_id") =!= col("cand_id"))
+      .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
+        (sqrt(expr(IvfDot(IvfDim, "qv", "qv"))) *
+          sqrt(expr(IvfDot(IvfDim, "cv2", "cv2")))))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("cand_id"))
+    val ivfSql = simAnnIvfOracle.get
+    embIvfRecallOracle = Some(
+      s"""WITH ivf AS ($ivfSql),
+         |vecs2 AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |brute AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckDot(IvfDim, "q.v", "c.v")}
+         |          / (sqrt(${duckDot(IvfDim, "q.v", "q.v")})
+         |             * sqrt(${duckDot(IvfDim, "c.v", "c.v")})) DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM vecs2 q JOIN vecs2 c ON q.vec_id < 10
+         |      AND c.vec_id <> q.vec_id) WHERE rank <= 5),
+         |hits AS (SELECT b.q_id, CAST(count(i.cand_id) AS BIGINT) AS n_hits
+         |  FROM brute b LEFT JOIN ivf i
+         |    ON i.q_id = b.q_id AND i.cand_id = b.cand_id
+         |  GROUP BY b.q_id)
+         |SELECT q_id, n_hits, round(CAST(n_hits AS DOUBLE) / 5.0, 6)
+         |    AS recall_at_5
+         |FROM hits ORDER BY q_id""".stripMargin)
+    val ivfR = ivf.select(col("q_id").as("iq"), col("cand_id").as("ic"))
+    brute.join(ivfR,
+        col("q_id") === col("iq") && col("cand_id") === col("ic"), "left")
+      .groupBy("q_id")
+      .agg(count(col("ic")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / 5.0, 6).as("recall_at_5"))
+      .orderBy("q_id")
+  }
 }

@@ -879,6 +879,20 @@ class PolishSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("granger_causes") == (f > 3.841))
   }
 
+  test("ivf recall audit: one row per query, recall@5 clears the 60% floor") {
+    val out = Pipeline.embIvfRecall(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("q_id")).toSet == (0L until 10L).toSet)
+    out.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 5)
+      assert(math.abs(r.getAs[Double]("recall_at_5") - h / 5.0) < 1e-9)
+    }
+    // the scaladoc claim the op exists to verify: nProbe=6 mean recall ≥ 0.6
+    val mean = out.map(_.getAs[Long]("n_hits")).sum / 50.0
+    assert(mean >= 0.6, s"mean recall@5 $mean below the 60% floor")
+  }
+
   test("plan audit: new ops join keyed or broadcast, single-row cross joins only") {
     // ops whose only non-equi join is the one single-row scalar broadcast
     // (tot / ties / cnorm) — anything more is a corpus-sized cartesian
