@@ -61,6 +61,7 @@ object PipeBench {
     "stat_bartlett", "stat_granger_causality", "emb_ivf_recall")
 
   def main(args: Array[String]): Unit = {
+    val loadBefore = Bench.loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -86,7 +87,8 @@ object PipeBench {
     val timed = ops.map { n => run(n); n -> run(n) }
     val qs = timed.map { case (k, s) => "\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"pipeline","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val load = s"""{"before":$loadBefore,"after":${Bench.loadAvg()}}"""
+    println(s"""{"metric":"pipeline","unit":"sec","queries":$qs,"load":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
