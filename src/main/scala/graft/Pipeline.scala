@@ -1848,12 +1848,20 @@ object Pipeline {
     * this same plan with the argmax widened to a top-m. */
   def textBpeMerges(s: SparkSession, d: String): DataFrame = {
     val Steps = 5
+    // Top-K collected per pass; merges whose sequential-equivalence is
+    // PROVABLE from the top-K alone (see selection rule below) are
+    // batched into one fuse pass, so the 5 merge steps usually take 1-2
+    // corpus passes instead of 5 — the production batching real BPE
+    // trainers use, but restricted to the provably-identical subset so
+    // the sequential oracle stays hash-exact.
+    val TopK = 64
     var seqs = t(s, d, "documents")
       .select(concat(lit("|"), concat_ws("|", expr(wordsExpr)), lit("|")).as("seq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, Long)]
-    for (step <- 1 to Steps) {
-      val best = seqs
+    var done = 0
+    while (done < Steps) {
+      val top = seqs
         .select(expr("filter(split(seq, '\\\\|'), x -> x <> '')").as("tl"))
         .filter(size(col("tl")) >= 2)
         .select(explode(expr(
@@ -1861,14 +1869,50 @@ object Pipeline {
             |  j -> concat(element_at(tl, j), '|', element_at(tl, j + 1)))"""
             .stripMargin)).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("pair")).limit(1).collect()
-      val (pair, c) = (best.head.getString(0), best.head.getLong(1))
-      merges += ((step.toLong, pair, c))
-      val Array(a, b) = pair.split("\\|", 2)
-      val old = seqs
-      seqs = seqs.select(expr(s"replace(seq, '|$a|$b|', '|$a~$b|')").as("seq"))
-        .localCheckpoint()
-      old.unpersist()
+        .orderBy(col("c").desc, col("pair")).limit(TopK).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // Safe-prefix selection: walk the (count desc, pair asc) order and
+      // select pairs while their symbol sets stay pairwise DISJOINT.
+      // Merging a selected pair (a,b) can only (i) change counts of pairs
+      // sharing a or b and (ii) create new pairs (x,a~b)/(a~b,y) whose
+      // counts are bounded by some existing sharer's count. So every
+      // selected pair that sorts STRICTLY above the first symbol-sharing
+      // candidate (the barrier) is exactly what sequential BPE would pick
+      // next, in the same order. Pairs at or below the barrier count are
+      // dropped (a spawned pair with an equal count could win the string
+      // tiebreak). If the collected list was truncated at TopK, the K-th
+      // count is a second barrier (unseen sharers can hide below it).
+      val seen = scala.collection.mutable.Set[String]()
+      val prefix = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      var barrier = if (top.length == TopK) top.last._2 else -1L
+      var i = 0
+      var open = true
+      while (open && i < top.length) {
+        val (pair, c) = top(i)
+        val syms = pair.split("\\|", 2)
+        if (syms.exists(seen)) { barrier = math.max(barrier, c); open = false }
+        else { seen ++= syms; prefix += ((pair, c)) }
+        i += 1
+      }
+      if (top.isEmpty) done = Steps // corpus fused to single symbols; cannot happen at real sizes
+      val safe = prefix.takeWhile(_._2 > barrier).take(Steps - done)
+      val batch = if (safe.nonEmpty) safe else prefix.take(1) // argmax always safe alone
+      batch.foreach { case (pair, c) =>
+        done += 1
+        merges += ((done.toLong, pair, c))
+      }
+      if (done < Steps) {
+        // One fused map pass applies the whole batch: the replaces nest
+        // left-to-right in merge order, and disjointness makes that
+        // identical to running them as separate sequential passes.
+        val fusedSeq = batch.foldLeft("seq") { case (inner, (pair, _)) =>
+          val Array(a, b) = pair.split("\\|", 2)
+          s"replace($inner, '|$a|$b|', '|$a~$b|')"
+        }
+        val old = seqs
+        seqs = seqs.select(expr(fusedSeq).as("seq")).localCheckpoint()
+        old.unpersist()
+      }
     }
     import s.implicits._
     merges.result().toDF("step", "pair", "pair_count").orderBy("step")
@@ -2289,13 +2333,26 @@ object Pipeline {
   private def dedupSubstringOn(gramCol: String)(
       s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
+    // Aggregate-once topology (round 13; previously grams ⋈ spread): the
+    // exploded span stream is reduced to one (g, doc_id, c) row per
+    // distinct gram-per-doc in a single map-side-combined shuffle, the
+    // per-gram document spread is a window over that REDUCED stream, and
+    // the per-doc rollup sums the span multiplicities back. The old shape
+    // evaluated the gram explode twice (both sides of the self-join) and
+    // re-shuffled every raw span row through the join; this one hashes
+    // each span once and every later stage moves only distinct
+    // (gram, doc) pairs — at 100 TB that is the difference between
+    // shuffling the corpus twice and shuffling its distinct-span summary.
     val grams = docs.filter(size(col("ws")) >= 8)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(ws) - 7), i -> $gramCol)")).as("g"))
-    val spread = grams.groupBy("g").agg(countDistinct("doc_id").as("nd"))
-    val per = grams.join(spread, "g").groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+    val perDocGram = grams.groupBy("g", "doc_id").agg(count(lit(1)).as("c"))
+    val spreadWin = Window.partitionBy("g")
+    val per = perDocGram
+      .withColumn("nd", count(lit(1)).over(spreadWin))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_spans"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("dup_spans"))
     docs.select("doc_id").join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -3535,20 +3592,26 @@ object Pipeline {
     val inc = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("inc_id"), col("ts").as("i_start"),
         (col("ts") + expr("INTERVAL 1 HOUR")).as("i_end"))
+    // Incidents are exactly 1 hour, so bucket each incident ONCE by its
+    // start hour and widen the session side by one bucket to the left
+    // (i_start > s_start - 1h ⟺ floor(i_start/3600) ≥ floor(s_start/3600)-1).
+    // A qualifying (session, incident) pair then meets in exactly ONE
+    // bucket — the incident's — which removes both the incident-side
+    // explode and the distinct() that previously re-shuffled the whole
+    // join output to collapse multi-bucket duplicates. One bucket join +
+    // one keyed count; the widened session explode adds one row per
+    // session. The bucket is a pre-filter only — the exact overlap
+    // predicate below is unchanged.
     val sb = sess.select(col("user_id"), col("sess"), col("s_start"),
       col("s_end"), explode(expr(
-        "sequence(floor(unix_seconds(s_start) / 3600), " +
+        "sequence(floor(unix_seconds(s_start) / 3600) - 1, " +
           "floor(unix_seconds(s_end) / 3600))")).as("hb"))
     val ib = inc.select(col("inc_id"), col("i_start"), col("i_end"),
-      explode(expr(
-        "sequence(floor(unix_seconds(i_start) / 3600), " +
-          "floor(unix_seconds(i_end) / 3600))")).as("hb"))
+      expr("floor(unix_seconds(i_start) / 3600)").as("hb"))
     sb.join(ib, "hb")
       .filter(col("s_start") < col("i_end") && col("i_start") <= col("s_end"))
-      .select(col("user_id"), col("sess").as("session_no"), col("s_start"),
-        col("s_end"), col("inc_id"))
-      .distinct()
-      .groupBy("user_id", "session_no", "s_start", "s_end")
+      .groupBy(col("user_id"), col("sess").as("session_no"),
+        col("s_start"), col("s_end"))
       .agg(count(lit(1)).as("n_incidents"))
       .orderBy("user_id", "session_no")
   }
