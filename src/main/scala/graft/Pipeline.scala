@@ -1018,7 +1018,6 @@ object Pipeline {
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .localCheckpoint() // scanned once per Lloyd iteration + search
-    val byInit = Window.orderBy("r")
     // Training (round-10 shape, shared with the power-iteration family):
     // the k×d centroid table is DRIVER state (the table you'd broadcast
     // at 100 TB), constant-folded into each iteration's plan, so
@@ -1028,39 +1027,7 @@ object Pipeline {
     // same (dist, cid) order the previous window argmin used) and the
     // update is ONE keyed reduce — no per-iteration corpus×k join and
     // no per-vector window sort.
-    var cents: Array[(Long, Array[Double])] = vecs
-      .withColumn("r", expr(md5Lane("cast(vec_id as string)")))
-      .orderBy("r").limit(k)
-      .select(row_number().over(byInit).cast("long").as("cid"), col("v").as("cv"))
-      .collect()
-      .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    def cidExpr(cs: Array[(Long, Array[Double])]): Column = {
-      val centArr = cs.map(_._2.map(x => s"${x}D")
-        .mkString("array(", ",", ")")).mkString("array(", ",", ")")
-      expr(
-        s"""transform(array(transform($centArr,
-           |    c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
-           |           cast(0.0 as double), (acc, z) -> acc + z))),
-           |  ds -> array_position(ds, array_min(ds)))[0]""".stripMargin)
-    }
-    for (_ <- 1 to iters) {
-      val upd = vecs.withColumn("cid", cidExpr(cents))
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
-        .collect()
-      val next = upd.groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
-        val cv = Array.fill(cents.head._2.length)(0.0)
-        rows.foreach(r => cv(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
-        (cid, cv)
-      }.toArray.sortBy(_._1)
-      // Relabel to consecutive 1..k' after every update: cidExpr assigns
-      // by array POSITION, so stored cids must equal positions. If a
-      // Lloyd iteration empties a cluster the raw cid set goes
-      // non-consecutive and positional assignment would desync from the
-      // stored keys the probe join and the oracle use.
-      cents = next.zipWithIndex.map { case ((_, cv), i) => ((i + 1).toLong, cv) }
-    }
+    val cents = trainIvfCentroids(vecs, k, iters)
     // Quantize the trained centroids to 6 decimals so the values survive
     // a text round-trip into the oracle SQL (16 rows × 64 doubles —
     // centroid tables are driver-sized by construction).
@@ -1082,7 +1049,7 @@ object Pipeline {
     // window replays. No corpus×k join, no per-vector window sort.
     val lists = vecs
       .withColumn("cid",
-        cidExpr(centRows.map { case (c, cv) => (c, cv.toArray) }))
+        ivfCidExpr(centRows.map { case (c, cv) => (c, cv.toArray) }))
       .select(col("vec_id"), col("v"), col("cid"))
     val probeW = Window.partitionBy("q_id").orderBy(asc("pdist"), asc("pcid"))
     val probes = vecs.filter(col("vec_id") < 10)
@@ -1104,6 +1071,57 @@ object Pipeline {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Map-side argmin cluster assignment over a constant-folded centroid
+    * table (expects the vector column named `v`): distances computed once
+    * via the one-element-transform let binding; ties fall to the lowest
+    * cid because array_position returns the FIRST minimum. The k×d
+    * centroid table is driver state — the table you'd broadcast at
+    * 100 TB — so assignment never joins the corpus against k rows. */
+  private[graft] def ivfCidExpr(cs: Array[(Long, Array[Double])]): Column = {
+    val centArr = cs.map(_._2.map(x => s"${x}D")
+      .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    expr(
+      s"""transform(array(transform($centArr,
+         |    c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+         |           cast(0.0 as double), (acc, z) -> acc + z))),
+         |  ds -> array_position(ds, array_min(ds)))[0]""".stripMargin)
+  }
+
+  /** Lloyd's k-means over a (vec_id, v) frame: deterministic md5-seeded
+    * init, [[ivfCidExpr]] map-side assignment, one keyed reduce per
+    * update. Factored from [[simAnnIvf]] so the streaming IVF maintenance
+    * ([[graft.streaming.IvfStream]]) trains on the already-ingested half
+    * with the identical procedure. */
+  private[graft] def trainIvfCentroids(
+      vecs: DataFrame, k: Int, iters: Int): Array[(Long, Array[Double])] = {
+    val byInit = Window.orderBy("r")
+    var cents: Array[(Long, Array[Double])] = vecs
+      .withColumn("r", expr(md5Lane("cast(vec_id as string)")))
+      .orderBy("r").limit(k)
+      .select(row_number().over(byInit).cast("long").as("cid"), col("v").as("cv"))
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    for (_ <- 1 to iters) {
+      val upd = vecs.withColumn("cid", ivfCidExpr(cents))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = upd.groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
+        val cv = Array.fill(cents.head._2.length)(0.0)
+        rows.foreach(r => cv(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+        (cid, cv)
+      }.toArray.sortBy(_._1)
+      // Relabel to consecutive 1..k' after every update: ivfCidExpr
+      // assigns by array POSITION, so stored cids must equal positions.
+      // If a Lloyd iteration empties a cluster the raw cid set goes
+      // non-consecutive and positional assignment would desync from the
+      // stored keys the probe join and the oracle use.
+      cents = next.zipWithIndex.map { case ((_, cv), i) => ((i + 1).toLong, cv) }
+    }
+    cents
   }
 
   /** Embedding dimensionality of the corpus (TESTDATA.md). */
@@ -2113,28 +2131,40 @@ object Pipeline {
     * bigram MLE, p = (c(w₁,w₂)+1)/(c(w₁)+|V|). Low scores flag
     * token-order gibberish that unigram scoring cannot see.
     *
-    * Topology: bigram explode → bigram/unigram hash aggregations →
-    * bigram⋈count equi-joins → per-doc mean of decimal-quantized ln
-    * terms (the chi-square recipe). All keyed shuffles, linear in corpus
-    * size; |V| is one broadcast scalar. */
+    * Topology (round 13; previously the raw string-pair occurrence
+    * stream shuffled through two equi-joins): the bigram stream is
+    * reduced ONCE to (doc_id, h1, h12, k) — per-doc bigram
+    * multiplicities keyed by xxhash64 of the unigram/bigram — in a
+    * single map-side-combined shuffle; the corpus-wide bigram and
+    * unigram tables aggregate from that reduced stream, join back on
+    * the 8-byte hash keys, and each doc's sum weights the
+    * decimal-quantized ln term by its multiplicity (decimal × integer
+    * is exact at these widths, so the weighted sum is bit-identical to
+    * the oracle's per-occurrence sum). Raw bigram strings never reach a
+    * shuffle — the same hashed-verification argument as the dedup
+    * family (collisions ~n²/2⁶⁴; the exact-string oracle gate fails
+    * loudly). |V| is one broadcast scalar. */
   def textBigramLogprob(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
     val bg = docs.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val uc = bc.groupBy("w1").agg(sum("c2").as("c1"))
+          "i -> struct(xxhash64(ws[i-1]) as h1, xxhash64(ws[i-1], ws[i]) as h12))")).as("b"))
+      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h12").as("h12"))
+    val perDoc = bg.groupBy("doc_id", "h1", "h12").agg(count(lit(1)).as("k"))
+    val bc = perDoc.groupBy("h1", "h12").agg(sum("k").as("c2"))
+    val uc = bc.groupBy("h1").agg(sum("c2").as("c1"))
     val v = docs.select(explode(col("ws")).as("u"))
       .agg(countDistinct("u").as("v"))
-    bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1")).crossJoin(broadcast(v))
-      .select(col("doc_id"),
-        log((col("c2").cast("double") + 1) / (col("c1") + col("v")))
-          .cast(DecimalType(38, 12)).as("lp"))
+    perDoc.join(bc, Seq("h1", "h12")).join(uc, Seq("h1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("k"),
+        (log((col("c2").cast("double") + 1) / (col("c1") + col("v")))
+          .cast(DecimalType(26, 12)) * col("k").cast(DecimalType(10, 0)))
+          .as("klp"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum("lp").cast("double") / count(lit(1)), 6).as("mean_logprob"))
+      .agg(sum("k").as("n_bigrams"),
+        round(sum("klp").cast("double") / sum("k"), 6).as("mean_logprob"))
       .orderBy("doc_id")
   }
   val textBigramLogprobSql: String =

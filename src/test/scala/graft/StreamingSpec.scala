@@ -161,6 +161,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming-maintained IVF index matches the batch-built index") {
+    // the ANN ingest posture: centroids frozen after training on the
+    // ingested half, appends assigned map-side per micro-batch into the
+    // cluster-partitioned lists — the maintained index must equal a batch
+    // assignment of the full corpus over the same centroids, so a probe
+    // search sees identical inverted lists either way
+    val (index, cents) = streaming.IvfStream
+      .ivfAppendStream(spark, sf, files = 3)
+    val streamed = index.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val batch = Q.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("cid", Pipeline.ivfCidExpr(cents))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(streamed.size == batch.size && streamed.nonEmpty)
+    assert(streamed == batch)
+    // every cluster id is a live inverted list within 1..k
+    assert(streamed.values.toSet.subsetOf((1L to 16L).toSet))
+    // and the arrivals actually landed across several micro-batches:
+    // the new half (vec_id > cut) is present in full
+    val cut = batch.keys.max / 2
+    assert(streamed.keys.count(_ > cut) > 0)
+  }
+
   test("stateful streaming: mapGroupsWithState per-user counts match batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_state_stream")
