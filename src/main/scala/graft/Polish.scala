@@ -295,8 +295,7 @@ object Polish {
 
   // ---------- RAKE keyword extraction ----------
 
-  private val RakeStops: Seq[String] =
-    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val RakeStops: Seq[String] = graft.functions.RakeTop3.Stops.toSeq
 
   /** RAKE (Rapid Automatic Keyword Extraction) top-3 keyphrases per
     * document: candidate phrases are maximal stopword-free word runs;
@@ -304,10 +303,34 @@ object Polish {
     * phrase instances containing it), and a phrase scores the sum of its
     * words' scores. Per-word ratios are decimal-quantized before the
     * phrase sum so the aggregation is order-independent and the DuckDB
-    * oracle matches bit-for-bit. Topology: one per-doc window for phrase
-    * ids, then (doc, phrase)- and (doc, word)-keyed reduces and joins —
-    * everything doc-partitioned, top-3 via a ranked window. */
+    * oracle matches bit-for-bit.
+    *
+    * Round 13: RAKE is a pure per-document function, so the whole
+    * computation now runs in the native codegen'd
+    * [[graft.functions.RakeTop3]] kernel — one generated loop per
+    * document, no shuffle before the final ordering (the 100 TB
+    * scan-shaped plan). The previous DataFrame formulation (a per-doc
+    * window plus three doc-keyed shuffles and two joins over the word
+    * occurrence stream) is retained as [[textRakeKeywordsShuffle]] for
+    * the equivalence spec. */
   def textRakeKeywords(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents")
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.RakeTop3(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(
+              col("text"))))).as(Seq("idx", "kp")))
+      .select(col("doc_id"), (col("idx") + 1).cast("long").as("rank"),
+        col("kp.phrase").as("phrase"),
+        round(col("kp.score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Pre-kernel DataFrame formulation of [[textRakeKeywords]] — spec
+    * ground truth only (not registered): identical semantics through
+    * windows, keyed reduces, and joins. */
+  private[graft] def textRakeKeywordsShuffle(
+      s: SparkSession, d: String): DataFrame = {
     val stopList = RakeStops.map(w => s"'$w'").mkString(", ")
     val occ = t(s, d, "documents")
       .select(col("doc_id"),

@@ -937,4 +937,89 @@ class PolishSpec extends AnyFunSuite {
     // and the registered aggregate runs
     assert(Polish.scanOrcRoundtrip(spark, sf).collect().nonEmpty)
   }
+
+  test("native RAKE kernel equals the shuffle formulation, any codegen mode") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String, Double)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("phrase"), r.getAs[Double]("score"))).toSeq
+    val native = rows(Polish.textRakeKeywords(spark, sf))
+    val shuffle = rows(Polish.textRakeKeywordsShuffle(spark, sf))
+    assert(native.nonEmpty && native == shuffle)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try rows(Polish.textRakeKeywords(spark, sf)) finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(native == interpreted)
+  }
+
+  test("native ngram hashes equal the HOF formulation, any codegen mode") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Q.t(spark, sf, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("ws"))
+    def native(): Map[Long, Seq[Long]] = docs
+      .select(col("doc_id"), org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.NgramHashes(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("ws")), 3))
+        .as("hs"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    // the pre-kernel builder: distinct word 3-grams in first-occurrence
+    // order (short docs yield the single null gram, which xxhash64 maps
+    // to the seed), each hashed at seed 42
+    val hof = docs.select(col("doc_id"), expr(
+        """transform(array_distinct(transform(
+          |    sequence(1, greatest(size(ws) - 2, 1)),
+          |    i -> concat(element_at(ws, i), ' ',
+          |                element_at(ws, i + 1), ' ',
+          |                element_at(ws, i + 2)))),
+          |  g -> xxhash64(g))""".stripMargin).as("hs"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val n0 = native()
+    assert(n0 == hof)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try native() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(n0 == interpreted)
+  }
+
+  test("native banded min long hashes equal the HOF formulation, any codegen mode") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val nSeeds = 16
+    val docs = Q.t(spark, sf, "documents")
+      .select(col("doc_id"), org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.NgramHashes(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(
+            expr("split(trim(text), '\\\\s+')")), 3)).as("hs"))
+    def native(): Map[Long, Seq[Any]] = docs
+      .select(col("doc_id"), org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.BandedMinLongHashes(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("hs")),
+          nSeeds)).as("m"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Any](1)).toMap
+    // SQL xxhash64 exposes no seed argument, so the twin is a Scala
+    // brute force: per seed j, the min over the longs of xxhash64 at
+    // seed 42 + j (independent loop and min logic, same hash primitive)
+    val brute = docs.select(col("doc_id"), col("hs")).collect().map { r =>
+      val hs = r.getSeq[Long](1)
+      r.getAs[Long]("doc_id") -> (0 until nSeeds).map { j =>
+        if (hs.isEmpty) null
+        else hs.map(x => org.apache.spark.sql.catalyst.expressions
+          .XxHash64Function.hash(x,
+            org.apache.spark.sql.types.LongType, 42L + j)).min
+      }
+    }.toMap
+    val n0 = native()
+    assert(n0 == brute)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try native() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(n0 == interpreted)
+  }
 }
