@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -414,33 +414,79 @@ object Scale {
     * the corpus is scanned, never collected. Distances and means
     * accumulate as exact decimals (bit-identical argmin cross-engine). */
   def embPq(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(38, 12)
-    val sub = s"(cast((i0 div ${64 / PqSub}) as bigint))"
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
-      .select(col("vec_id"), expr(sub).as("g"),
-        (col("i0") % (64 / PqSub)).as("j"), col("xf").cast("double").as("x"))
-      .localCheckpoint()
-    val seeds = t(s, d, "embeddings").select("vec_id")
-      .orderBy("vec_id").limit(PqK)
-    val c0 = e.join(broadcast(seeds), "vec_id")
-      .select(col("vec_id").as("cid"), col("g"), col("j"), col("x").as("cx"))
-    def assign(cent: DataFrame): DataFrame = {
-      val dist = e.join(broadcast(cent), Seq("g", "j"))
-        .groupBy("vec_id", "g", "cid")
-        .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
-          .cast(dec)).as("dist"))
-      val w = Window.partitionBy("vec_id", "g").orderBy(col("dist"), col("cid"))
-      dist.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+    // Round 13: the codebook is DRIVER state (S·K·(d/S) = 256 doubles),
+    // so both assignment rounds are constant-folded map-side argmins over
+    // the embedding ARRAY — no positional explode feeding a ×K centroid
+    // join, no per-(vector, subspace) window sort. Per (vector, subspace,
+    // centroid) the distance is the unrolled 8-term sum of
+    // DECIMAL(20,12)-quantized squares: scale stays 12 through the
+    // addition chain (precision grows 20→23), so each term and the total
+    // equal the previous formulation's per-term cast + decimal SUM — and
+    // the DuckDB oracle — bit for bit; the argmin rides an
+    // array_min(struct(dist, cid)) with the same (dist, cid) tie order.
+    // The only corpus shuffles left are the centroid-update reduce and
+    // the final per-subspace rollup; seeds and the 256-row update
+    // collect to the driver and fold back as literals (Double.toString
+    // round-trips exactly).
+    val w = 64 / PqSub
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .localCheckpoint() // scanned for seeds, update, and both argmins
+    // codebook as driver arrays: cents(g)(c) = (cid, subvector)
+    def fmt(x: Double): String = s"${x}D"
+    // struct-literal argmin per subspace: array over cid of
+    // (dist DECIMAL, cid), min = (smallest dist, lowest cid)
+    def assignCol(cents: IndexedSeq[IndexedSeq[(Long, Array[Double])]]): Column = {
+      val perG = (0 until PqSub).map { g =>
+        val structs = cents(g).map { case (cid, cv) =>
+          val dist = (0 until w).map { j =>
+            val x = s"element_at(v, ${g * w + j + 1})"
+            s"cast((($x - ${fmt(cv(j))}) * ($x - ${fmt(cv(j))})) as decimal(20,12))"
+          }.mkString(" + ")
+          s"named_struct('dist', $dist, 'cid', ${cid}L)"
+        }.mkString("array(", ", ", ")")
+        s"array_min($structs)"
+      }.mkString("array(", ", ", ")")
+      expr(perG) // array over g of struct(dist, cid)
     }
-    val a1 = assign(c0).localCheckpoint()
-    val c1 = a1.select("vec_id", "g", "cid").join(e, Seq("vec_id", "g"))
+    val seedRows = vecs.orderBy("vec_id").limit(PqK).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+    val c0: IndexedSeq[IndexedSeq[(Long, Array[Double])]] =
+      (0 until PqSub).map { g =>
+        seedRows.toIndexedSeq.map { case (cid, full) =>
+          (cid, full.slice(g * w, g * w + w))
+        }
+      }
+    // one Lloyd update: per (g, cid, j) mean over the assigned vectors —
+    // ONE map-side-combined reduce over the exploded subvectors, with
+    // the assigned cid attached map-side from the argmin array
+    val a1 = vecs.withColumn("ac", assignCol(c0))
+    val updRows = a1
+      .select(posexplode(col("v")).as(Seq("i0", "x")), col("ac"))
+      .select((col("i0") / w).cast("long").as("g"),
+        (col("i0") % w).cast("long").as("j"), col("x"),
+        expr(s"element_at(ac, cast(i0 div $w as int) + 1).cid").as("cid"))
       .groupBy("g", "cid", "j")
       .agg((sum(col("x").cast(DecimalType(30, 12))).cast("double") /
         count(lit(1))).as("cx"))
-    val a2 = assign(c1)
-    a2.groupBy("g")
+      .collect()
+    val c1: IndexedSeq[IndexedSeq[(Long, Array[Double])]] =
+      (0 until PqSub).map { g =>
+        updRows.filter(_.getAs[Long]("g") == g)
+          .groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
+            val cv = Array.fill(w)(0.0)
+            rows.foreach(r => cv(r.getAs[Long]("j").toInt) =
+              r.getAs[Double]("cx"))
+            (cid, cv)
+          }.toIndexedSeq.sortBy(_._1)
+      }
+    // second assignment + per-subspace rollup
+    vecs.withColumn("ac", assignCol(c1))
+      .select(posexplode(col("ac")).as(Seq("g0", "a")))
+      .select(col("g0").cast("long").as("g"), col("a.cid").as("cid"),
+        col("a.dist").as("dist"))
+      .groupBy("g")
       .agg(count(lit(1)).as("n"),
         countDistinct("cid").as("codes_used"),
         (sum("dist").cast("double") / count(lit(1))).as("msed"))
