@@ -952,6 +952,15 @@ class PolishSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
     assert(native == interpreted)
+    // CODEGEN_ONLY + fallback off: a codegen COMPILE failure in the
+    // kernel would otherwise fall back to interpreted silently
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val forced = try rows(Polish.textRakeKeywords(spark, sf)) finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    assert(native == forced)
   }
 
   test("native ngram hashes equal the HOF formulation, any codegen mode") {
