@@ -499,6 +499,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13 reworked plans keep their single-explode, no-distinct shape") {
+    // join_interval_overlap: ONE Generate (the widened session explode —
+    // the incident side buckets without exploding) and no distinct
+    // aggregate over the join output (the single-bucket meet made it
+    // redundant)
+    val jio = Pipeline.joinIntervalOverlap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(jio.split("Generate").length - 1 == 1,
+      s"interval overlap should explode exactly once:\n$jio")
+    assert(!jio.contains("CartesianProduct") &&
+      !jio.contains("BroadcastNestedLoopJoin"), "interval overlap NLJ")
+    // dedup_substring: ONE Generate (the gram explode evaluates once —
+    // the old self-join planned it on both sides) and no join of the
+    // span stream at all
+    val ds = Pipeline.dedupSubstring(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ds.split("Generate").length - 1 == 1,
+      s"dedup_substring should explode exactly once:\n$ds")
+    // text_rake_keywords: scan-shaped — no join, no Window, the only
+    // aggregation-free shuffle is the final ordering
+    val rk = Polish.textRakeKeywords(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!rk.contains("Join") && !rk.contains("Window"),
+      s"rake should be scan-shaped:\n$rk")
+  }
+
   test("date-filtered queries push predicates into the parquet scan") {
     for (q <- Seq("q1", "q6", "q14")) {
       val plan = Tpch.queries(q)(spark, sf).queryExecution
