@@ -235,6 +235,34 @@ object Scale {
     * only through the fingerprint-keyed equi-join — the same
     * bucket-confined quadratic as the MinHash/SimHash family. */
   def textWinnow(s: SparkSession, d: String): DataFrame = {
+    // Round 13: fingerprint SELECTION is a pure per-document function,
+    // so it runs in the native codegen'd WinnowFingerprints kernel (one
+    // generated loop per doc, already-distinct output) — the per-doc
+    // gram explode, the doc-keyed window sort, and the distinct shuffle
+    // all disappear; the operator is scan-shaped until the honest
+    // fingerprint-equality pair stage below. The pre-kernel formulation
+    // is retained as [[textWinnowFpsShuffle]] for the equivalence spec.
+    val fp = t(s, d, "documents")
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.WinnowFingerprints(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(
+              expr(wordsExpr)), WinK, WinW))).as("h"))
+      .localCheckpoint() // self-joined below
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinMinShared)
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  /** Pre-kernel fingerprint selection of [[textWinnow]] — spec ground
+    * truth only (not registered): gram explode + doc-keyed rolling-min
+    * window + distinct. */
+  private[graft] def textWinnowFpsShuffle(
+      s: SparkSession, d: String): DataFrame = {
     val g = t(s, d, "documents")
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= WinK)
@@ -244,17 +272,9 @@ object Scale {
         expr(lane(s"concat_ws(' ', slice(ws, p, $WinK))")).as("h"))
     val win = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(-(WinW - 1), 0)
-    val fp = g.withColumn("mh", min("h").over(win))
+    g.withColumn("mh", min("h").over(win))
       .filter(col("p") >= WinW && col("h") === col("mh"))
       .select("doc_id", "h").distinct()
-      .localCheckpoint() // self-joined below
-    fp.as("a").join(fp.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= WinMinShared)
-      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
-      .limit(50)
   }
   val textWinnowSql: String =
     raw"""WITH d AS (SELECT doc_id,

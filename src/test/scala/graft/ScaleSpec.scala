@@ -121,6 +121,28 @@ class ScaleSpec extends AnyFunSuite {
       s"winnow pairs: got ${got.size}, expected ${expectPairs.size}")
   }
 
+  test("native winnow kernel equals the shuffle fingerprint selection, any codegen mode") {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    def kernel(): Set[(Long, Long)] = Q.t(spark, sf, "documents")
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.WinnowFingerprints(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(
+              expr("split(trim(text), '\\\\s+')")), 4, 4))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shuffle = Scale.textWinnowFpsShuffle(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h"))).toSet
+    val n0 = kernel()
+    assert(n0.nonEmpty && n0 == shuffle)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try kernel() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(n0 == interpreted)
+  }
+
   test("forward as-of join matches the brute-force earliest-match scan") {
     val evs = Q.t(spark, sf, "events")
       .select("event_id", "user_id", "ts", "event_type", "value").collect()
