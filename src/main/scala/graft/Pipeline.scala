@@ -1847,6 +1847,41 @@ object Pipeline {
       |  md5(substr(text, CAST(frame_idx * 256 AS INT) + 1, 64)) AS frame_sig
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Safe-prefix selection for batched BPE ([[textBpeMerges]]): walk the
+    * (count desc, pair asc) order and select pairs while their symbol
+    * sets stay pairwise DISJOINT. Merging a selected pair (a,b) can only
+    * (i) change counts of pairs sharing a or b and (ii) create new pairs
+    * (x,a~b)/(a~b,y) whose counts are bounded by some existing sharer's
+    * count. So every selected pair that sorts STRICTLY above the first
+    * symbol-sharing candidate (the barrier) is exactly what sequential
+    * BPE would pick next, in the same order. Pairs at or below the
+    * barrier count are dropped (a spawned pair with an equal count could
+    * win the string tiebreak). If the collected list was truncated at
+    * `topK`, the K-th count is a second barrier (unseen sharers can hide
+    * below it). The empty case never selects; a non-empty `top` always
+    * yields at least the argmax (safe alone by definition). Pure —
+    * property-tested against a sequential BPE reference over random
+    * corpora in PipelineSpec. */
+  private[graft] def bpeSafePrefix(
+      top: IndexedSeq[(String, Long)], topK: Int, remaining: Int)
+      : IndexedSeq[(String, Long)] = {
+    if (top.isEmpty) return IndexedSeq.empty
+    val seen = scala.collection.mutable.Set[String]()
+    val prefix = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var barrier = if (top.length == topK) top.last._2 else -1L
+    var i = 0
+    var open = true
+    while (open && i < top.length) {
+      val (pair, c) = top(i)
+      val syms = pair.split("\\|", 2)
+      if (syms.exists(seen)) { barrier = math.max(barrier, c); open = false }
+      else { seen ++= syms; prefix += ((pair, c)) }
+      i += 1
+    }
+    val safe = prefix.takeWhile(_._2 > barrier).take(remaining)
+    (if (safe.nonEmpty) safe else prefix.take(1)).toIndexedSeq
+  }
+
   /** Distributed BPE-style tokenizer training — 5 merge steps of the
     * byte-pair-encoding loop (Sennrich et al. 2016) over word symbols
     * (character-level is the same algorithm with a different base
@@ -1889,32 +1924,8 @@ object Pipeline {
         .groupBy(col("pair")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pair")).limit(TopK).collect()
         .map(r => (r.getString(0), r.getLong(1)))
-      // Safe-prefix selection: walk the (count desc, pair asc) order and
-      // select pairs while their symbol sets stay pairwise DISJOINT.
-      // Merging a selected pair (a,b) can only (i) change counts of pairs
-      // sharing a or b and (ii) create new pairs (x,a~b)/(a~b,y) whose
-      // counts are bounded by some existing sharer's count. So every
-      // selected pair that sorts STRICTLY above the first symbol-sharing
-      // candidate (the barrier) is exactly what sequential BPE would pick
-      // next, in the same order. Pairs at or below the barrier count are
-      // dropped (a spawned pair with an equal count could win the string
-      // tiebreak). If the collected list was truncated at TopK, the K-th
-      // count is a second barrier (unseen sharers can hide below it).
-      val seen = scala.collection.mutable.Set[String]()
-      val prefix = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-      var barrier = if (top.length == TopK) top.last._2 else -1L
-      var i = 0
-      var open = true
-      while (open && i < top.length) {
-        val (pair, c) = top(i)
-        val syms = pair.split("\\|", 2)
-        if (syms.exists(seen)) { barrier = math.max(barrier, c); open = false }
-        else { seen ++= syms; prefix += ((pair, c)) }
-        i += 1
-      }
       if (top.isEmpty) done = Steps // corpus fused to single symbols; cannot happen at real sizes
-      val safe = prefix.takeWhile(_._2 > barrier).take(Steps - done)
-      val batch = if (safe.nonEmpty) safe else prefix.take(1) // argmax always safe alone
+      val batch = bpeSafePrefix(top.toIndexedSeq, TopK, Steps - done)
       batch.foreach { case (pair, c) =>
         done += 1
         merges += ((done.toLong, pair, c))

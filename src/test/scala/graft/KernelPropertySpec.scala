@@ -1,0 +1,126 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based validation (ScalaCheck) of the round-13 pure logic
+  * over RANDOM inputs — the corpus-driven specs exercise real text;
+  * these drive the same code through thousands of adversarial small
+  * cases (heavy ties, tiny vocabularies, empty and repeated words)
+  * where the proofs actually bite. */
+object KernelPropertySpec extends Properties("graft.kernels") {
+
+  // ---------- batched-BPE safe prefix vs a sequential reference ----------
+
+  private def tokens(seq: String): Array[String] =
+    seq.split("\\|").filter(_.nonEmpty)
+
+  private def pairCounts(docs: Seq[String]): Map[String, Long] =
+    docs.flatMap { d =>
+      val t = tokens(d)
+      if (t.length < 2) Nil
+      else t.zip(t.tail).map(p => p._1 + "|" + p._2).toSeq
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  /** Greedy left-to-right non-overlapping fuse — Java String.replace,
+    * the same semantics as Spark's `replace` and DuckDB's `replace`. */
+  private def fuse(d: String, pair: String): String = {
+    val Array(a, b) = pair.split("\\|", 2)
+    d.replace(s"|$a|$b|", s"|$a~$b|")
+  }
+
+  /** Sequential BPE reference: argmax (count desc, pair asc) per step. */
+  private def sequential(docs0: Seq[String], steps: Int): Seq[(String, Long)] = {
+    var docs = docs0
+    val out = Seq.newBuilder[(String, Long)]
+    var k = 0
+    while (k < steps) {
+      val pc = pairCounts(docs)
+      if (pc.isEmpty) return out.result()
+      val (pair, c) = pc.toSeq.minBy { case (p, n) => (-n, p) }
+      out += ((pair, c))
+      docs = docs.map(fuse(_, pair))
+      k += 1
+    }
+    out.result()
+  }
+
+  private val genCorpus: Gen[List[List[String]]] = {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val doc = Gen.choose(0, 16).flatMap(n => Gen.listOfN(n, word))
+    Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, doc))
+  }
+
+  property("bpeSafePrefix == the sequential BPE merge prefix") =
+    Prop.forAll(genCorpus) { ws =>
+      val docs = ws.map(w => "|" + w.mkString("|") + "|")
+      val pc = pairCounts(docs)
+      val topK = 8 // small so the truncation barrier is exercised
+      val top = pc.toSeq.sortBy { case (p, n) => (-n, p) }
+        .take(topK).toIndexedSeq
+      val batch = Pipeline.bpeSafePrefix(top, topK, remaining = 5)
+      if (pc.isEmpty) Prop(batch.isEmpty)
+      else {
+        val ref = sequential(docs, batch.length).toIndexedSeq
+        Prop(batch.nonEmpty && batch == ref) :| s"batch=$batch ref=$ref"
+      }
+    }
+
+  // repeated batching drains to the same full merge table as sequential
+  property("iterated bpeSafePrefix batches replay sequential BPE end-to-end") =
+    Prop.forAll(genCorpus) { ws =>
+      val steps = 5
+      var docs = ws.map(w => "|" + w.mkString("|") + "|")
+      val got = Seq.newBuilder[(String, Long)]
+      var done = 0
+      var dry = false
+      while (done < steps && !dry) {
+        val pc = pairCounts(docs)
+        if (pc.isEmpty) dry = true
+        else {
+          val top = pc.toSeq.sortBy { case (p, n) => (-n, p) }
+            .take(8).toIndexedSeq
+          val batch = Pipeline.bpeSafePrefix(top, 8, steps - done)
+          got ++= batch
+          done += batch.length
+          batch.foreach { case (pair, _) => docs = docs.map(fuse(_, pair)) }
+        }
+      }
+      val expect = sequential(ws.map(w => "|" + w.mkString("|") + "|"), done)
+      Prop(got.result() == expect) :| s"got=${got.result()} expect=$expect"
+    }
+
+  // ---------- winnow kernel vs a plain-Scala reference ----------
+
+  private def md5Lane(s: String): Long = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var a = 0L
+    var k = 0
+    while (k < 7) { a = (a << 8) | (dg(k) & 0xffL); k += 1 }
+    (a << 4) | ((dg(7) & 0xffL) >>> 4)
+  }
+
+  private def winnowRef(ws: Seq[String], k: Int, w: Int): Seq[Long] = {
+    if (ws.length < k) return Seq.empty
+    val hs = (0 to ws.length - k).map(p => md5Lane(ws.slice(p, p + k).mkString(" ")))
+    val seen = scala.collection.mutable.LinkedHashSet[Long]()
+    for (p <- (w - 1) until hs.length)
+      if (hs(p) == (p - w + 1 to p).map(hs).min) seen += hs(p)
+    seen.toSeq
+  }
+
+  private val genWords: Gen[List[String]] = {
+    val word = Gen.oneOf("x", "y", "z", "xy", "", "Ω", "a b".trim)
+    Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, word))
+  }
+
+  property("WinnowFingerprints.select == the reference window minima") =
+    Prop.forAll(genWords) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.WinnowFingerprints.select(in, 4, 4)
+        .toLongArray().toSeq
+      val expect = winnowRef(ws, 4, 4)
+      Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
+    }
+}
