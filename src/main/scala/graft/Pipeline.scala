@@ -1858,10 +1858,15 @@ object Pipeline {
     * barrier count are dropped (a spawned pair with an equal count could
     * win the string tiebreak). If the collected list was truncated at
     * `topK`, the K-th count is a second barrier (unseen sharers can hide
-    * below it). The empty case never selects; a non-empty `top` always
-    * yields at least the argmax (safe alone by definition). Pure —
-    * property-tested against a sequential BPE reference over random
-    * corpora in PipelineSpec. */
+    * below it). A SELF-pair (a,a) is special: its merge spawns
+    * (a~a, a)/(a, a~a) whose counts are bounded by count(a,a) ITSELF —
+    * not by any sharer — so a self-pair may only ever END a batch
+    * (selected alone when it is the argmax, a barrier otherwise; the
+    * ScalaCheck corpus "a a a b c b c a a a" falsified the earlier rule
+    * that treated it like any disjoint pair). The empty case never
+    * selects; a non-empty `top` always yields at least the argmax (safe
+    * alone by definition). Pure — property-tested against a sequential
+    * BPE reference over random corpora in KernelPropertySpec. */
   private[graft] def bpeSafePrefix(
       top: IndexedSeq[(String, Long)], topK: Int, remaining: Int)
       : IndexedSeq[(String, Long)] = {
@@ -1869,15 +1874,22 @@ object Pipeline {
     val seen = scala.collection.mutable.Set[String]()
     val prefix = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     var barrier = if (top.length == topK) top.last._2 else -1L
+    var selfEnd = false // batch ends in a self-pair: nothing may follow it
     var i = 0
     var open = true
     while (open && i < top.length) {
       val (pair, c) = top(i)
       val syms = pair.split("\\|", 2)
       if (syms.exists(seen)) { barrier = math.max(barrier, c); open = false }
+      else if (syms(0) == syms(1)) {
+        if (prefix.isEmpty) { prefix += ((pair, c)); selfEnd = true }
+        else barrier = math.max(barrier, c)
+        open = false
+      }
       else { seen ++= syms; prefix += ((pair, c)) }
       i += 1
     }
+    if (selfEnd) return prefix.take(1).toIndexedSeq // argmax, alone
     val safe = prefix.takeWhile(_._2 > barrier).take(remaining)
     (if (safe.nonEmpty) safe else prefix.take(1)).toIndexedSeq
   }
