@@ -205,4 +205,25 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       val expect = ngramRef(ws, 3)
       Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
     }
+
+  // ---------- CDC boundary scanner invariants on random strings ----------
+
+  private val genDoc: Gen[String] = for {
+    n <- Gen.choose(0, 200)
+    cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+      Gen.const('Ω'), Gen.const('\n')))
+  } yield cs.mkString
+
+  property("CdcBoundaries.scan: sorted interior cuts whose chunks reassemble") =
+    Prop.forAll(genDoc) { text =>
+      val bs = graft.functions.CdcBoundaries.scan(text).toSeq
+      val sorted = bs == bs.sorted && bs.distinct == bs
+      val inRange = bs.forall(b => b > 0 && b <= text.length)
+      val cuts = (0L +: bs :+ text.length.toLong).map(_.toInt)
+      val chunks = cuts.zip(cuts.tail).collect { case (a, b) if b > a =>
+        text.substring(a, b)
+      }
+      Prop(sorted && inRange && chunks.mkString == text) :|
+        s"bs=$bs len=${text.length}"
+    }
 }
