@@ -1047,25 +1047,33 @@ object Pipeline {
     // left-associative sum (squares are never −0.0), and array_position
     // picks the first minimum — the (dist, cid) order the oracle's
     // window replays. No corpus×k join, no per-vector window sort.
+    // Norms precompute ONCE PER SIDE before the pair join (round 13):
+    // sqrt(Σv²) was previously re-evaluated inside the per-pair cosine —
+    // a 64-term unrolled expression per pair per side, i.e. 3× the
+    // arithmetic actually needed. Pure common-subexpression hoisting:
+    // the same IEEE sqrt on the same array gives the same double, so
+    // every cosine (and the oracle hash) is unchanged bit for bit.
     val lists = vecs
       .withColumn("cid",
         ivfCidExpr(centRows.map { case (c, cv) => (c, cv.toArray) }))
-      .select(col("vec_id"), col("v"), col("cid"))
+      .withColumn("cn", sqrt(expr(IvfDot(IvfDim, "v", "v"))))
+      .select(col("vec_id"), col("v"), col("cid"), col("cn"))
     val probeW = Window.partitionBy("q_id").orderBy(asc("pdist"), asc("pcid"))
     val probes = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qn", sqrt(expr(IvfDot(IvfDim, "qv", "qv"))))
       .join(centLit.select(col("cid").as("pcid"), col("cv")))
       .withColumn("pdist", expr(IvfDist(IvfDim, "qv", "cv")))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("pcid"))
+      .select(col("q_id"), col("qv"), col("qn"), col("pcid"))
     val rankW = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
     probes
       .join(lists.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
-        col("cid").as("ccid")), col("pcid") === col("ccid") &&
+        col("cid").as("ccid"), col("cn")), col("pcid") === col("ccid") &&
           col("q_id") =!= col("cand_id"))
       .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
-        (sqrt(expr(IvfDot(IvfDim, "qv", "qv"))) * sqrt(expr(IvfDot(IvfDim, "cv2", "cv2")))))
+        (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),
@@ -4183,13 +4191,17 @@ object Pipeline {
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     val rankW = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
+    // norms hoisted once per side (same CSE as simAnnIvf's search —
+    // identical IEEE doubles, so the ranking and the oracle are unchanged)
     val brute = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qn", sqrt(expr(IvfDot(IvfDim, "qv", "qv"))))
       .join(broadcast(vecs.select(col("vec_id").as("cand_id"),
-        col("v").as("cv2"))), col("q_id") =!= col("cand_id"))
+        col("v").as("cv2"))
+        .withColumn("cn", sqrt(expr(IvfDot(IvfDim, "cv2", "cv2"))))),
+        col("q_id") =!= col("cand_id"))
       .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
-        (sqrt(expr(IvfDot(IvfDim, "qv", "qv"))) *
-          sqrt(expr(IvfDot(IvfDim, "cv2", "cv2")))))
+        (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("cand_id"))
