@@ -30,7 +30,7 @@ object Bench {
       val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
         .trim.split("\\s+").take(3)
       parts.mkString("[", ",", "]")
-    } catch { case _: Throwable => "[]" }
+    } catch { case scala.util.control.NonFatal(_) => "[]" }
   }
 
   def main(args: Array[String]): Unit = {

@@ -2168,26 +2168,36 @@ object Pipeline {
     * multiplicities keyed by xxhash64 of the unigram/bigram — in a
     * single map-side-combined shuffle; the corpus-wide bigram and
     * unigram tables aggregate from that reduced stream, join back on
-    * the 8-byte hash keys, and each doc's sum weights the
-    * decimal-quantized ln term by its multiplicity (decimal × integer
-    * is exact at these widths, so the weighted sum is bit-identical to
-    * the oracle's per-occurrence sum). Raw bigram strings never reach a
-    * shuffle — the same hashed-verification argument as the dedup
-    * family (collisions ~n²/2⁶⁴; the exact-string oracle gate fails
-    * loudly). |V| is one broadcast scalar. */
+    * the hash keys, and each doc's sum weights the decimal-quantized ln
+    * term by its multiplicity (decimal × integer is exact at these
+    * widths, so the weighted sum is bit-identical to the oracle's
+    * per-occurrence sum). Raw bigram strings never reach a shuffle.
+    *
+    * Key width (round 14): each unigram/bigram key is a PAIR of
+    * xxhash64 lanes — the plain hash plus a salt-distinguished second
+    * lane — i.e. an effectively 128-bit key. A single 64-bit lane's
+    * birthday bound (~n²/2⁶⁵ over distinct bigrams) stops being
+    * negligible around n ≈ 10⁸ distinct bigrams (collision odds ~0.3%),
+    * well inside a 100 TB corpus's vocabulary; at 128 bits the bound is
+    * ~n²/2¹²⁹, vanishing past any realistic n. Rows are 32-byte keys +
+    * count — still far below raw string pairs. |V| is one broadcast
+    * scalar counted on exact strings. */
   def textBigramLogprob(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
     val bg = docs.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(xxhash64(ws[i-1]) as h1, xxhash64(ws[i-1], ws[i]) as h12))")).as("b"))
-      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h12").as("h12"))
-    val perDoc = bg.groupBy("doc_id", "h1", "h12").agg(count(lit(1)).as("k"))
-    val bc = perDoc.groupBy("h1", "h12").agg(sum("k").as("c2"))
-    val uc = bc.groupBy("h1").agg(sum("c2").as("c1"))
+          "i -> struct(xxhash64(ws[i-1]) as h1, xxhash64('g2', ws[i-1]) as h1b, " +
+          "xxhash64(ws[i-1], ws[i]) as h12, xxhash64('g2', ws[i-1], ws[i]) as h12b))")).as("b"))
+      .select(col("doc_id"), col("b.h1").as("h1"), col("b.h1b").as("h1b"),
+        col("b.h12").as("h12"), col("b.h12b").as("h12b"))
+    val perDoc = bg.groupBy("doc_id", "h1", "h1b", "h12", "h12b")
+      .agg(count(lit(1)).as("k"))
+    val bc = perDoc.groupBy("h1", "h1b", "h12", "h12b").agg(sum("k").as("c2"))
+    val uc = bc.groupBy("h1", "h1b").agg(sum("c2").as("c1"))
     val v = docs.select(explode(col("ws")).as("u"))
       .agg(countDistinct("u").as("v"))
-    perDoc.join(bc, Seq("h1", "h12")).join(uc, Seq("h1"))
+    perDoc.join(bc, Seq("h1", "h1b", "h12", "h12b")).join(uc, Seq("h1", "h1b"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("k"),
         (log((col("c2").cast("double") + 1) / (col("c1") + col("v")))

@@ -31,9 +31,14 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull=false only: select() reads each element's UTF8String
+    // unconditionally (call sites pass split() output, which never holds
+    // nulls), so a null-bearing array type is rejected at analysis time
+    // rather than NPE-ing at execution.
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -40,8 +40,11 @@ object IvfStream {
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .localCheckpoint() // read for training, initial lists, and arrivals
-    val cut = vecs.agg((max(col("vec_id")).cast("long") / 2).cast("long"))
-      .head().getLong(0)
+    val cutRow = vecs.agg((max(col("vec_id")).cast("long") / 2).cast("long"))
+      .head()
+    require(!cutRow.isNullAt(0),
+      "ivfAppendStream: embeddings table is empty — nothing to index")
+    val cut = cutRow.getLong(0)
     val ref = vecs.filter(col("vec_id") <= cut)
 
     // Frozen coarse quantizer: trained on the ingested half only — the
@@ -66,22 +69,40 @@ object IvfStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$inDir/f=*")
 
-    val q = stream.writeStream
-      .option("checkpointLocation", ckDir.toString)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // per-batch: map-side argmin against the frozen centroids, append
-        // into the cluster-partitioned lists — complete within the batch
-        // because assignment depends on nothing but the vector itself
-        batch.withColumn("cid", Pipeline.ivfCidExpr(cents))
-          .select(col("vec_id"), col("cid"))
-          .write.partitionBy("cid").mode("append").parquet(outDir.toString)
-      }
-      .start()
-    try q.awaitTermination() finally q.stop()
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // per-batch: map-side argmin against the frozen centroids, append
+          // into the cluster-partitioned lists — complete within the batch
+          // because assignment depends on nothing but the vector itself
+          batch.withColumn("cid", Pipeline.ivfCidExpr(cents))
+            .select(col("vec_id"), col("cid"))
+            .write.partitionBy("cid").mode("append").parquet(outDir.toString)
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
 
-    (s.read.parquet(outDir.toString)
-      .select(col("vec_id"), col("cid").cast("long").as("cid"))
-      .orderBy("vec_id"), cents)
+      // Materialize the accumulated index so all three temp directories
+      // can be removed before returning (the helper is spec-scoped; at
+      // production scale outDir IS the durable index and stays).
+      (s.read.parquet(outDir.toString)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))
+        .orderBy("vec_id").localCheckpoint(), cents)
+    } finally {
+      Seq(inDir, ckDir, outDir).foreach(deleteRecursively)
+    }
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }
