@@ -206,6 +206,116 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
     }
 
+  // ---------- MinHash / SimHash lane extraction vs hex-string parsing ----------
+
+  /** Independent md5-lane route: format the digest as the 32-hex-char
+    * string and parse 15-digit substrings base-16 — exactly the SQL
+    * formulation (`conv(substring(md5(x), p, 15), 16, 10)`) the kernels'
+    * byte-folded lanes claim to reproduce. */
+  private def md5Hex(s: String): String =
+    String.format("%032x", new java.math.BigInteger(1,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))))
+
+  private def hexLane(hex: String, from: Int): Long =
+    java.lang.Long.parseLong(hex.substring(from, from + 15), 16)
+
+  private def minhashRef(text: String): Seq[Long] = {
+    val P = 2147483647L
+    val n = text.length
+    val last = math.max(n - 7, 1)
+    val shingles = (1 to last)
+      .map(i => text.substring(i - 1, math.min(i + 7, n))).distinct
+    val mins = Array.fill(16)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val hex = md5Hex(sh)
+      val a = hexLane(hex, 0) % P
+      val b = hexLane(hex, 16) % P
+      for (j <- 0 until 16) {
+        val v = (a + j * b) % P
+        if (v < mins(j)) mins(j) = v
+      }
+    }
+    mins.toSeq
+  }
+
+  private val genShingleText: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    cs <- Gen.listOfN(n, Gen.oneOf(Gen.oneOf('a', 'b'), Gen.const(' '),
+      Gen.const('Ω')))
+  } yield cs.mkString // tiny alphabet → heavy repeated-shingle collapse
+
+  property("MinHashSignature.signature == the hex-parsed lane reference") =
+    Prop.forAll(genShingleText) { text =>
+      val got = graft.functions.MinHashSignature.signature(text).toSeq
+      val expect = minhashRef(text)
+      Prop(got == expect) :| s"got=$got expect=$expect text='$text'"
+    }
+
+  private def simhashRef(text: String): Long = {
+    val trimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val words = trimmed.split("\\s+", -1)
+    val votes = new Array[Int](32)
+    words.foreach { w =>
+      val h = hexLane(md5Hex(w), 0)
+      for (b <- 0 until 32)
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+    }
+    (0 until 32).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
+  }
+
+  private val genSimText: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, Gen.oneOf("x", "y", "xy", "Ω", "x")) // ties likely
+    pad <- Gen.oneOf("", " ", "  ", "\t")
+  } yield pad + ws.mkString(" ") + pad
+
+  property("SimHashSignature.signature == the hex-parsed vote reference") =
+    Prop.forAll(genSimText) { text =>
+      val got = graft.functions.SimHashSignature.signature(text)
+      val expect = simhashRef(text)
+      Prop(got == expect) :| s"got=$got expect=$expect text='$text'"
+    }
+
+  // ---------- banded-min kernels vs per-seed HOF-style references ----------
+
+  private def xx64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  property("BandedMinHashes.compute == per-seed min over concat-hashed grams") =
+    Prop.forAll(genWords, Gen.choose(1, 6)) { (ws, seeds) =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.BandedMinHashes.compute(in, seeds)
+      if (ws.isEmpty)
+        Prop((0 until seeds).forall(got.isNullAt)) :| "empty input → all-null"
+      else {
+        val expect = (0 until seeds)
+          .map(j => ws.map(x => xx64(x + "#" + j)).min)
+        Prop(got.toLongArray().toSeq == expect) :|
+          s"got=${got.toLongArray().toSeq} expect=$expect ws=$ws"
+      }
+    }
+
+  property("BandedMinLongHashes.compute == per-seed min at shifted seeds") =
+    Prop.forAll(Gen.listOf(Gen.long), Gen.choose(1, 6)) { (xs, seeds) =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        xs.toArray[Any])
+      val got = graft.functions.BandedMinLongHashes.compute(in, seeds)
+      if (xs.isEmpty)
+        Prop((0 until seeds).forall(got.isNullAt)) :| "empty input → all-null"
+      else {
+        val expect = (0 until seeds).map { j =>
+          xs.map(x => org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(x, org.apache.spark.sql.types.LongType, 42L + j)).min
+        }
+        Prop(got.toLongArray().toSeq == expect) :|
+          s"got=${got.toLongArray().toSeq} expect=$expect"
+      }
+    }
+
   // ---------- CDC boundary scanner invariants on random strings ----------
 
   private val genDoc: Gen[String] = for {
