@@ -3283,25 +3283,29 @@ object Pipeline {
     * is this document — the "how much genuinely new text does this doc
     * add" curation signal (the streaming-order complement of
     * [[dedupSubstring]]'s span overlap). Shingles hash through the
-    * repo-wide md5 lane so both engines bucket identically. Round-11
-    * topology: NO gram-keyed join back — a doc's novel-gram count is
-    * just how many grams in the first-occurrence table name it, so the
-    * plan is explode → distinct → two keyed aggregations (doc-keyed
-    * gram counts; gram-keyed min-doc reduced again doc-keyed) and one
-    * doc-cardinality left join. The gram-cardinality shuffle join the
-    * previous shape paid — the dominant cost at corpus scale — is gone. */
+    * repo-wide md5 lane so both engines bucket identically. Round-14
+    * topology (previously explode → corpus-wide (doc, gh) DISTINCT
+    * shuffle → two keyed aggregations): per-doc distinct gram lanes come
+    * out of the [[graft.functions.NgramMd5Lanes]] kernel in one
+    * generated loop per document, so the distinct shuffle is GONE and
+    * n_grams is a map-side array size — no shuffle at all on that arm.
+    * The only wide stages left are the gram-keyed min-doc aggregation
+    * (map-side-combined) and its doc-keyed reduction, plus the
+    * doc-cardinality left join. */
   def textNgramNovelty(s: SparkSession, d: String): DataFrame = {
     val g = t(s, d, "documents")
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
       .filter(size(col("ws")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(ws) - 4),
-           |  i -> ${md5Lane("concat_ws(' ', slice(ws, i, 5))")})"""
-          .stripMargin)).as("gh"))
-      .distinct()
-      .localCheckpoint() // gram explode + md5 computed ONCE for both aggs
-    val perDoc = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val novel = g.groupBy("gh").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.NgramMd5Lanes(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("ws")),
+            5)).as("ghs"))
+      .localCheckpoint() // kernel runs ONCE; feeds both aggregation arms
+    val perDoc = g.select(col("doc_id"),
+      size(col("ghs")).cast("long").as("n_grams"))
+    val novel = g.select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .groupBy("gh").agg(min("doc_id").as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
     perDoc.join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),

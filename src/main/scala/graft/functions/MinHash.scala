@@ -186,6 +186,71 @@ object NgramHashes {
   }
 }
 
+/** Distinct md5-lane hashed word n-grams as a native codegen'd Catalyst
+  * expression — the md5-lane twin of [[NgramHashes]] for operators whose
+  * DuckDB oracle buckets grams through the cross-engine md5 idiom
+  * (`conv(substring(md5(g), 1, 15), 16, 10)`).
+  *
+  * `word_ngram_md5_lanes(ws, n)` = the 60-bit md5 lane of each DISTINCT
+  * space-joined word n-gram, first-occurrence order (array_distinct
+  * semantics). Bit-identical to the HOF formulation it replaces
+  * (`array_distinct(transform(sequence(1, size(ws)−n+1), i ->
+  * md5Lane(concat_ws(' ', slice(ws, i, n)))))` under the caller's
+  * `size(ws) >= n` filter — a shorter array yields the empty result).
+  * The gram STRINGS never leave this loop: novelty's first-occurrence
+  * table rides 8-byte lanes both engines compute identically. */
+case class NgramMd5Lanes(child: Expression, n: Int) extends UnaryExpression {
+  override def prettyName: String = "word_ngram_md5_lanes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull=false only: compute() reads each element's UTF8String
+    // unconditionally (call sites pass split() output)
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramMd5Lanes.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NgramMd5Lanes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramMd5Lanes {
+  def compute(ws: ArrayData, n: Int): GenericArrayData = {
+    val nw = ws.numElements()
+    if (nw < n) return new GenericArrayData(Array.emptyLongArray)
+    val ng = nw - n + 1
+    val digest = MinHashSignature.md5Digest()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < ng) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(MinHashSignature.hexPrefix15(
+        digest.digest(sb.toString.getBytes(StandardCharsets.UTF_8))))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Seeded minima over an already-hashed gram array: for each seed
   * j ∈ [0, nSeeds), min over the longs of xxhash64-at-seed-(42+j) — the
   * long-input twin of [[BandedMinHashes]] for pipelines whose grams

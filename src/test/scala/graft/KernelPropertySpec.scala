@@ -197,6 +197,18 @@ object KernelPropertySpec extends Properties("graft.kernels") {
     }
   }
 
+  property("NgramMd5Lanes.compute == distinct md5 lanes of space-joined grams") =
+    Prop.forAll(genWords) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.NgramMd5Lanes.compute(in, 3).toLongArray().toSeq
+      val expect =
+        if (ws.length < 3) Seq.empty
+        else (0 to ws.length - 3)
+          .map(i => md5Lane(ws.slice(i, i + 3).mkString(" "))).distinct
+      Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
+    }
+
   property("NgramHashes.compute == the distinct-gram reference") =
     Prop.forAll(genWords) { ws =>
       val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(

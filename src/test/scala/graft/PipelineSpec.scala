@@ -1131,6 +1131,45 @@ class SurvivalNoveltySpec extends AnyFunSuite {
       "every doc fully novel - shared-prefix corpus structure lost")
   }
 
+  test("ngram md5-lane kernel equals the HOF formulation, any codegen mode") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def kernel(): Map[Long, Seq[Long]] = Q.t(spark, sf, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("ws"))
+      .filter(expr("size(ws) >= 5"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.NgramMd5Lanes(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("ws")),
+            5)).as("ghs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = Q.t(spark, sf, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("ws"))
+      .filter(expr("size(ws) >= 5"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, size(ws) - 4),
+          |  i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i, 5))),
+          |    1, 15), 16, 10) as bigint)))""".stripMargin).as("ghs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val n0 = kernel()
+    assert(n0.nonEmpty && n0 == hof)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try kernel() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(n0 == interpreted)
+    // CODEGEN_ONLY + fallback off: a codegen COMPILE failure in the
+    // kernel would otherwise fall back to interpreted silently
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val forced = try kernel() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    assert(n0 == forced)
+  }
+
   test("interarrival stats match a local recompute for one event type") {
     val rows = Pipeline.eventInterarrival(spark, sf).collect()
     assert(rows.nonEmpty)
