@@ -3796,13 +3796,14 @@ object Pipeline {
     * containment 1.0 within a group, and every cross-group member pair
     * shares its representatives' n_shared/containment). Signatures and
     * the quadratic verify now touch only distinct content; the full pair
-    * set is reconstructed exactly afterward. Output & oracle unchanged. */
+    * set is reconstructed exactly afterward. Output & oracle unchanged.
+    *
+    * Round-14: each rep's distinct shingle-hash array comes out of the
+    * [[graft.functions.ShingleHashes]] kernel in one generated loop
+    * (previously an interpreted HOF chain that re-entered the
+    * interpreter per position and per distinct shingle). */
   def textContainment(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val shArr = expr(
-      """array_distinct(transform(
-        |  sequence(1, greatest(length(text) - 7, 1)),
-        |  i -> substring(text, i, 8)))""".stripMargin)
     val byText = docs.select(col("doc_id"), md5(col("text")).as("th"))
       .localCheckpoint() // read thrice: rep election + both expansions
     val members = byText.select("doc_id", "th")
@@ -3831,7 +3832,11 @@ object Pipeline {
     // Zero-overlap candidates are filtered to match the previous
     // inner-join-then-count semantics (and the oracle's).
     val repStats = repDocs
-      .select(col("th"), transform(shArr, x => xxhash64(x)).as("hsh"))
+      .select(col("th"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.ShingleHashes(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("text"))))
+          .as("hsh"))
       .withColumn("nsh", size(col("hsh")).cast("long"))
       .localCheckpoint() // joined by three consumers below
     val repVerify = repCand
@@ -3840,7 +3845,14 @@ object Pipeline {
       .join(repStats.select(col("th").as("th2"), col("hsh").as("h2"),
         col("nsh").as("nsh2")), "th2")
       .withColumn("n_shared",
-        size(array_intersect(col("h1"), col("h2"))).cast("long"))
+        // locally a wash vs size(array_intersect(...)) (A/B min 3.18 vs
+        // 3.09 s, overlapping spreads) but does not materialize the
+        // intersection array per candidate pair — the verify loop's
+        // allocation volume halves, which is the cluster-scale win
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.ArrayLongIntersectCount(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("h1")),
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("h2")))))
       .filter(col("n_shared") > 0)
       .select(col("th1"), col("th2"), col("n_shared"),
         round(col("n_shared").cast("double") /

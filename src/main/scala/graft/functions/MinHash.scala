@@ -304,6 +304,119 @@ object BandedMinLongHashes {
   }
 }
 
+/** Distinct hashed 8-char shingles as a native codegen'd Catalyst
+  * expression — the character-shingle twin of [[NgramMd5Lanes]], feeding
+  * the containment verifier's hashed intersection.
+  *
+  * `shingle_hashes(text)` = xxhash64 (seed 42, over the UTF8 bytes, the
+  * engine hash `xxhash64(x)` computes) of each DISTINCT 8-char shingle,
+  * first-occurrence order. Shingle positions are 1-based
+  * `i ∈ [1, max(len−7, 1)]` with `substring(text, i, 8)` truncation
+  * semantics (a doc shorter than the window yields itself as its only
+  * shingle, the empty string included) — bit-identical to the HOF
+  * formulation it replaces (`transform(array_distinct(transform(
+  * sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i,
+  * 8))), x -> xxhash64(x))`), which re-entered the interpreter per
+  * position AND per distinct shingle. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val ShingleLen = 8
+
+  def compute(text0: UTF8String): GenericArrayData = {
+    // substring() counts CODEPOINTS — walk the String form, the same
+    // route MinHashSignature.signature takes
+    val text = text0.toString
+    val n = text.length
+    val last = math.max(n - (ShingleLen - 1), 1)
+    val seen = new java.util.HashSet[String]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 1
+    while (i <= last) {
+      val sh = text.substring(i - 1, math.min(i - 1 + ShingleLen, n))
+      if (seen.add(sh))
+        out.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(UTF8String.fromString(sh), StringType, 42L))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Intersection cardinality of two long arrays as a native codegen'd
+  * Catalyst expression — `size(array_intersect(a, b))` without
+  * materializing the intersection array (the containment verifier only
+  * needs the count). Bit-identical semantics: the number of DISTINCT
+  * elements of `a` that occur in `b` (array_intersect dedups its
+  * output; both inputs here are already-distinct shingle-hash arrays,
+  * but the dedup is replayed for exactness). */
+case class ArrayLongIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "array_long_intersect_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> (no null elements) " +
+          s"arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayLongIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayLongIntersectCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayLongIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val nb = b.numElements()
+    val set = new java.util.HashSet[java.lang.Long](Math.max(16, nb * 2))
+    var i = 0
+    while (i < nb) { set.add(b.getLong(i)); i += 1 }
+    var c = 0L
+    val na = a.numElements()
+    i = 0
+    while (i < na) {
+      val v = a.getLong(i)
+      // remove-on-hit replays array_intersect's output dedup
+      if (set.remove(v)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 /** SimHash signature kernel as a native codegen'd Catalyst expression.
   *
   * `simhash_sig(text)` = the 32-bit SimHash of the document's

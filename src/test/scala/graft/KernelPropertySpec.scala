@@ -209,6 +209,18 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
     }
 
+  property("ArrayLongIntersectCount == size of the distinct intersection") =
+    Prop.forAll(Gen.listOf(Gen.choose(-8L, 8L)), Gen.listOf(Gen.choose(-8L, 8L))) {
+      (a, b) => // tiny range → heavy duplicates and overlaps
+        val ga = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          a.toArray[Any])
+        val gb = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          b.toArray[Any])
+        val got = graft.functions.ArrayLongIntersectCount.compute(ga, gb)
+        val expect = a.distinct.count(b.contains(_)).toLong
+        Prop(got == expect) :| s"got=$got expect=$expect a=$a b=$b"
+    }
+
   property("NgramHashes.compute == the distinct-gram reference") =
     Prop.forAll(genWords) { ws =>
       val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -347,5 +359,20 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       }
       Prop(sorted && inRange && chunks.mkString == text) :|
         s"bs=$bs len=${text.length}"
+    }
+
+  property("ShingleHashes.compute == distinct xxhash64 of 8-char shingles") =
+    Prop.forAll(genDoc) { text =>
+      val got = graft.functions.ShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+        .toLongArray().toSeq
+      val n = text.length
+      val last = math.max(n - 7, 1)
+      val expect = (1 to last)
+        .map(i => text.substring(i - 1, math.min(i + 7, n))).distinct
+        .map(sh => org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(sh),
+            org.apache.spark.sql.types.StringType, 42L))
+      Prop(got == expect) :| s"got=$got expect=$expect text='$text'"
     }
 }

@@ -1415,6 +1415,54 @@ class IngestOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle-hash + intersect-count kernels match the HOF chain, any codegen mode") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def kernel(): Map[(Long, Long), Long] = {
+      val hs = docs.select(col("doc_id"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.ShingleHashes(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("text"))))
+          .as("hsh"))
+      hs.as("a").join(hs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          org.apache.spark.sql.graftcol.NativeColumn.column(
+            graft.functions.ArrayLongIntersectCount(
+              org.apache.spark.sql.graftcol.NativeColumn.expression(col("a.hsh")),
+              org.apache.spark.sql.graftcol.NativeColumn.expression(col("b.hsh")))))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val hof = {
+      val hs = docs.select(col("doc_id"), expr(
+        """transform(array_distinct(transform(
+          |  sequence(1, greatest(length(text) - 7, 1)),
+          |  i -> substring(text, i, 8))), x -> xxhash64(x))""".stripMargin)
+        .as("hsh"))
+      hs.as("a").join(hs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          expr("cast(size(array_intersect(a.hsh, b.hsh)) as bigint)"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val n0 = kernel()
+    assert(n0.nonEmpty && n0 == hof)
+    assert(n0.values.exists(_ > 0), "no overlapping pair in the corpus")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try kernel() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(n0 == interpreted)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val forced = try kernel() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    assert(n0 == forced)
+  }
+
   test("benford digit shares sum to one and counts match a local tally") {
     val rows = Pipeline.statBenford(spark, sf).collect()
     val local = spark.read.parquet(s"$sf/orders.parquet")
