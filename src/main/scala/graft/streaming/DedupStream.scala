@@ -31,8 +31,11 @@ object DedupStream {
   def dedupIncrementalStream(
       s: SparkSession, d: String, files: Int = 4): DataFrame = {
     val docs = Q.t(s, d, "documents")
-    val cut = docs.agg((max(col("doc_id")).cast("long") / 2).cast("long"))
-      .head().getLong(0)
+    val cutRow = docs.agg((max(col("doc_id")).cast("long") / 2).cast("long"))
+      .head()
+    require(!cutRow.isNullAt(0),
+      "dedupIncrementalStream: documents table is empty — nothing to ingest")
+    val cut = cutRow.getLong(0)
 
     // Reference half: precomputed band table (the maintained-state side).
     val refBands = docs.filter(col("doc_id") <= cut)
@@ -56,6 +59,13 @@ object DedupStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$inDir/f=*")
 
+    try runStream(s, stream, refBands, outDir, ckDir)
+    finally Seq(inDir, ckDir, outDir).foreach(IvfStream.deleteRecursively)
+  }
+
+  private def runStream(s: SparkSession,
+      stream: DataFrame, refBands: DataFrame,
+      outDir: java.nio.file.Path, ckDir: java.nio.file.Path): DataFrame = {
     val q = stream.writeStream
       .option("checkpointLocation", ckDir.toString)
       .trigger(Trigger.AvailableNow())
@@ -91,6 +101,9 @@ object DedupStream {
       .start()
     try q.awaitTermination() finally q.stop()
 
-    s.read.parquet(outDir.toString).orderBy("new_id")
+    // Materialize the accumulated sink so the caller's temp directories
+    // can be removed before returning (spec-scoped; at production scale
+    // outDir IS the durable verdict table and stays).
+    s.read.parquet(outDir.toString).orderBy("new_id").localCheckpoint()
   }
 }

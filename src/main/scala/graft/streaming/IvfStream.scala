@@ -95,7 +95,7 @@ object IvfStream {
     }
   }
 
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+  private[streaming] def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     if (Files.exists(dir)) {
