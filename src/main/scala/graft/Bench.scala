@@ -124,10 +124,24 @@ object Bench {
     // can't skew it; queries with zero successful runs are reported
     // explicitly instead of silently dropped.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    val passes = Seq.fill(iters)(names.map(n => n -> run(n)).toMap)
-    val results = names.map { n =>
-      n -> passes.map(_(n)).filter(_ >= 0).sorted
-    }
+    // SPARK_GRAFT_BENCH_ORDER=query runs each query's samples back-to-back
+    // (the reference runner's own ordering, tpch.py:25-60). Under AQE every
+    // sample is a full rebuild BY DESIGN (see run() above), and round-14
+    // measurement showed interleaved rebuilds pay ~0.5-1 s/sample of driver
+    // re-planning that consecutive rebuilds do not (Catalyst/JIT caches stay
+    // hot for one plan shape) — an artifact of the harness, not the engine:
+    // the same binary reads q16 0.90 s query-major vs 2.13 s iteration-major
+    // on identical plans. Iteration-major stays the default for prepared-
+    // plan (non-AQE) runs, where samples skip planning entirely and the
+    // spike-dilution argument below still holds.
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "iteration")
+    val results: Seq[(String, Seq[Double])] =
+      if (order == "query")
+        names.map { n => n -> Seq.fill(iters)(run(n)).filter(_ >= 0).sorted }
+      else {
+        val passes = Seq.fill(iters)(names.map(n => n -> run(n)).toMap)
+        names.map { n => n -> passes.map(_(n)).filter(_ >= 0).sorted }
+      }
     val qs = results.map { case (k, ok) =>
       val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
       "\"" + k + "\":" + f"$med%.3f"
