@@ -502,7 +502,6 @@ object Learn {
     * the per-cell decimal sums are order-independent, so the reduce — and
     * the oracle — are identical to the untiled plan. */
   def embCovariance(s: SparkSession, d: String): DataFrame = {
-    val B = 32 // tile width: ≤ B² cells per generated unit; d=64 → 3 tiles
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
       .select(col("vec_id"), (col("i0") + 1).as("i"),
@@ -510,33 +509,17 @@ object Learn {
     val dims = e.groupBy("i").agg(
       sum(col("x").cast(DecimalType(30, 12))).cast(DoubleType).as("sx"),
       count(lit(1)).as("n"))
-    // hi-bound helpers (SQL fragments): tile bi covers dims
-    // [(bi-1)·B+1, min(bi·B, d)] — the last tile is ragged
+    // Pair products ride a native codegen'd kernel (one generated loop per
+    // vector) instead of the earlier nested transform/filter/flatten tile
+    // expansion — HOFs interpret their lambdas per element, which at d=64
+    // was ~d²/2 interpreted closures per row and the operator's measured
+    // hot spot. The emitted (i, j, xy) structs and the decimal-sum
+    // aggregate below are unchanged, so the DuckDB oracle is untouched.
     val pairs = t(s, d, "embeddings")
-      // pairs need d >= 2; without this, an empty embedding's block count
-      // ceil(0/B) = 0 makes sequence(1, 0) DESCEND through phantom tile 0
-      // whose j-transform indexes embedding[-32..-2] — an ANSI
-      // INVALID_ARRAY_INDEX error, not an empty result
-      .filter(size(col("embedding")) >= 2)
-      .select(col("embedding"), explode(expr(
-        s"""flatten(transform(sequence(1, int(ceil(size(embedding) / ${B}D))),
-           |  a -> transform(sequence(a, int(ceil(size(embedding) / ${B}D))),
-           |    b -> struct(a AS bi, b AS bj))))""".stripMargin)).as("blk"))
-      // i runs over tile bi but must leave room for a j > i inside tile
-      // bj (the filter drops i = hi_j on diagonal tiles — and keeps every
-      // inner sequence ascending, so no descending-sequence phantom rows)
-      .select(explode(expr(
-        s"""flatten(transform(
-           |  filter(sequence((blk.bi - 1) * $B + 1,
-           |                  least(blk.bi * $B, size(embedding))),
-           |         i -> i + 1 <= least(blk.bj * $B, size(embedding))),
-           |  i -> transform(
-           |    sequence(greatest(i + 1, (blk.bj - 1) * $B + 1),
-           |             least(blk.bj * $B, size(embedding))),
-           |    j -> struct(i AS i, j AS j,
-           |      cast(embedding[i - 1] as double)
-           |        * cast(embedding[j - 1] as double) AS xy))))"""
-          .stripMargin)).as("p"))
+      .select(explode(org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.PairProducts(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(
+            col("embedding"))))).as("p"))
       .select(col("p.i"), col("p.j"), col("p.xy"))
       .groupBy("i", "j")
       .agg(sum(col("xy").cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"))

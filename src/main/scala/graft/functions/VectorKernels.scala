@@ -202,6 +202,69 @@ case class CosineSelf(child: Expression)
     copy(child = newChild)
 }
 
+/** Upper-triangle pair products of a float vector in one generated loop:
+  * emits `struct<i int, j int, xy double>` for every 1-based index pair
+  * i < j with `xy = (double)v[i-1] * (double)v[j-1]` — the exact IEEE
+  * product the SQL formulation
+  * `cast(embedding[i-1] as double) * cast(embedding[j-1] as double)`
+  * computes, so the downstream decimal-sum aggregate (and its DuckDB
+  * oracle) is untouched. Replaces the covariance operator's nested
+  * `transform`/`filter`/`flatten` tile expansion: higher-order functions
+  * interpret their lambdas per element (no codegen, no CSE), which at
+  * d=64 means ~d²/2 interpreted closures per row — the measured hot spot.
+  * Null elements contribute no pairs, matching the HOF twin where a null
+  * operand makes `xy` null and the `sum` that consumes it skips nulls;
+  * pair order differs from the tile walk (plain row-major here) but the
+  * consumer is an unordered `groupBy(i, j)`. */
+case class PairProducts(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "pair_products"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("xy", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PairProducts.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairProducts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PairProducts {
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val out = new java.util.ArrayList[Any](if (n > 1) n * (n - 1) / 2 else 0)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val xi = v.getFloat(i).toDouble
+        var j = i + 1
+        while (j < n) {
+          if (!v.isNullAt(j)) {
+            out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](i + 1, j + 1, xi * v.getFloat(j).toDouble)))
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Registry wiring: session-local registration plus a
   * [[SparkSessionExtensions]] hook for `--conf spark.sql.extensions`. */
 object GraftFunctions {

@@ -375,4 +375,30 @@ object KernelPropertySpec extends Properties("graft.kernels") {
             org.apache.spark.sql.types.StringType, 42L))
       Prop(got == expect) :| s"got=$got expect=$expect text='$text'"
     }
+
+  // ---------- pair-product lanes (covariance kernel) ----------
+
+  private val genFloatVec: Gen[Array[java.lang.Float]] =
+    Gen.choose(0, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.choose(-1000, 1000).map(v => java.lang.Float.valueOf(v / 100f)),
+        1 -> Gen.const(null: java.lang.Float))).map(_.toArray)
+    }
+
+  property("PairProducts.compute == i<j float-product reference, nulls skipped") =
+    Prop.forAll(genFloatVec) { vec =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        vec.asInstanceOf[Array[Any]])
+      val got = graft.functions.PairProducts.compute(arr).array.toSeq.map { r =>
+        val row = r.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        (row.getInt(0), row.getInt(1), row.getDouble(2))
+      }
+      val expect = for {
+        i <- 0 until vec.length if vec(i) != null
+        j <- i + 1 until vec.length if vec(j) != null
+      } yield (i + 1, j + 1, vec(i).toDouble * vec(j).toDouble)
+      // bit-exact doubles (the oracle equivalence argument), order included
+      Prop(got == expect) :| s"got=$got expect=$expect n=${vec.length}"
+    }
 }

@@ -153,9 +153,9 @@ class LearnSpec extends AnyFunSuite {
     assert(avs.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
   }
 
-  test("emb_covariance tiling is exact at d > 64 (ragged last tile)") {
+  test("emb_covariance is exact at d > 64 (kernel loops over actual size)") {
     import org.apache.spark.sql.functions._
-    // synthetic d=70 corpus: 3 tiles at B=32, the last ragged (dims 65-70)
+    // synthetic d=70 corpus: larger than the corpus's d=64, odd size
     val dDim = 70; val nRows = 40
     val rng = new scala.util.Random(7)
     val data = (0 until nRows).map { id =>
@@ -188,12 +188,13 @@ class LearnSpec extends AnyFunSuite {
     assert(expected.values.count(v => math.abs(v) > floor) < 20)
   }
 
-  test("covariance is invariant to empty-embedding rows (no phantom tiles)") {
-    // an empty array's block count ceil(0/B) = 0 once made sequence(1, 0)
-    // descend into a phantom tile whose products indexed embedding[-32..]
-    // — an ANSI INVALID_ARRAY_INDEX error. The d >= 2 pair guard must make
-    // such rows contribute nothing at all (posexplode already skips them
-    // in the per-dim sums), and a singleton row must not crash either.
+  test("covariance is invariant to empty-embedding rows") {
+    // Historical regression: the HOF tile expansion's ceil(0/B) = 0 block
+    // count made sequence(1, 0) DESCEND into a phantom tile that indexed
+    // embedding[-32..] — an ANSI INVALID_ARRAY_INDEX error. The PairProducts
+    // kernel loops i < j over the actual size, so empty and singleton
+    // vectors emit no pairs and must be invisible (posexplode already skips
+    // them in the per-dim sums).
     import spark.implicits._
     val rng = new scala.util.Random(3)
     val data = (0 until 12).map { id =>
@@ -214,6 +215,44 @@ class LearnSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dirC/embeddings.parquet")
     // d=6 has 15 pairs total; the singleton adds none and must not throw
     assert(Learn.embCovariance(spark, dirC).collect().length == a.length)
+  }
+
+  test("pair-product kernel matches the HOF formulation, any codegen mode") {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val emb = Q.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    def collectPairs(pairsOf: org.apache.spark.sql.Column): Seq[(Long, Int, Int, Double)] =
+      emb.select(col("vec_id"), explode(pairsOf).as("p"))
+        .select(col("vec_id"), col("p.i"), col("p.j"), col("p.xy"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+    def kernel(): Seq[(Long, Int, Int, Double)] = collectPairs(
+      org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.PairProducts(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("embedding")))))
+    // the pre-round-14 HOF formulation, untiled (order-free: sorted compare)
+    val hof = collectPairs(expr(
+      """flatten(transform(sequence(1, size(embedding) - 1),
+        |  i -> transform(sequence(i + 1, size(embedding)),
+        |    j -> struct(i AS i, j AS j,
+        |      cast(embedding[i - 1] as double)
+        |        * cast(embedding[j - 1] as double) AS xy))))""".stripMargin))
+    val n0 = kernel()
+    assert(n0.nonEmpty && n0 == hof) // bit-identical doubles, not approx
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try kernel() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(n0 == interpreted)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val forced = try kernel() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    assert(n0 == forced)
   }
 
   test("text_hapax: vocab and hapax match a brute-force count per source") {
