@@ -873,10 +873,16 @@ object Pipeline {
 
   // ---------- similarity search ----------
 
+  // Native codegen'd dot/norm (round 14): same sequential fold as the
+  // HOF formulation (acc += a[i]*b[i], one generated loop — zip_with/
+  // aggregate interpret their lambdas), so cosines and oracles are
+  // bit-unchanged. norm2 = sqrt(dot(a, a)) is the exact Σx² fold.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-  private def norm2(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.InnerProduct(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(a),
+        org.apache.spark.sql.graftcol.NativeColumn.expression(b)))
+  private def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Brute-force cosine top-k (k=5) for query vectors vec_id < 10 — the
     * exact baseline the LSH variant is checked against. Vectors are cast

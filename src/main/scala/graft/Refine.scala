@@ -47,10 +47,18 @@ import Q._
   */
 object Refine {
 
+  // Native codegen'd dot/norm (round 14): the HOF fold
+  // aggregate(zip_with(a, b, x*y), 0.0, acc+v) interprets ~2·d closures
+  // per pair; InnerProduct runs the identical sequential accumulation in
+  // one generated loop (acc += a[i]*b[i]), so every cosine and the DuckDB
+  // oracles are bit-unchanged. norm2 = sqrt(dot(a, a)) reproduces the
+  // Σx² fold exactly.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-  private def norm2(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.InnerProduct(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(a),
+        org.apache.spark.sql.graftcol.NativeColumn.expression(b)))
+  private def norm2(a: Column): Column = sqrt(dot(a, a))
 
   // ---------- semantic deduplication (SemDeDup) ----------
 
@@ -1435,9 +1443,18 @@ object Refine {
       .localCheckpoint()
     val anchors = vecs.filter(col("vec_id") < 100)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // Native codegen'd L2: the HOF formulation
+    // sqrt(aggregate(zip_with((x-y)²), 0.0, acc+z)) interprets ~2·d lambda
+    // closures per pair (zip_with/aggregate are never codegen'd); the
+    // kernel runs the identical sequential fold (acc += diff², then sqrt)
+    // in one generated loop, so distances are bit-identical and the
+    // DuckDB oracle (sequential list_inner_product of the diff vector)
+    // is untouched.
     def l2(a: Column, b: Column): Column =
-      sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, z) => acc + z))
+      org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.L2Distance(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(a),
+          org.apache.spark.sql.graftcol.NativeColumn.expression(b)))
     val w = Window.partitionBy("q_id").orderBy(col("dist"))
     val nn = vecs.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("q_id"))
