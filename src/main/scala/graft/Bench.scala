@@ -80,8 +80,10 @@ object Bench {
     // lineage, so only the result stage would be re-timed.
     val prepared: Map[String, org.apache.spark.sql.execution.SparkPlan] =
       names.flatMap { n =>
+        // NonFatal only: a fatal error (OOM, stack overflow) must crash
+        // the run, not be recorded as a silently missing query
         try Some(n -> SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan)
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $n failed to plan: ${e.getMessage}")
           None
         }
@@ -106,7 +108,9 @@ object Bench {
                 var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
               })
         }
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // fatal errors (executor OOM etc.) propagate and kill the run —
+        // a -1.0 row must mean a query bug, never a dying JVM
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
@@ -125,7 +129,10 @@ object Bench {
     // explicitly instead of silently dropped.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     // SPARK_GRAFT_BENCH_ORDER=query runs each query's samples back-to-back
-    // (the reference runner's own ordering, tpch.py:25-60). Under AQE every
+    // — consecutive executions per query, analogous to the reference
+    // timing all of one query's statements together (tpch.py runs each
+    // query once per suite, so it has no repeated-sample ordering policy
+    // of its own; BENCH_SF1.md records both orderings). Under AQE every
     // sample is a full rebuild BY DESIGN (see run() above), and round-14
     // measurement showed interleaved rebuilds pay ~0.5-1 s/sample of driver
     // re-planning that consecutive rebuilds do not (Catalyst/JIT caches stay

@@ -501,6 +501,8 @@ object Learn {
     * 523k-struct array). Every (i, j) pair lands in exactly one tile and
     * the per-cell decimal sums are order-independent, so the reduce — and
     * the oracle — are identical to the untiled plan. */
+  private val TileB = 32
+
   def embCovariance(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
@@ -509,17 +511,31 @@ object Learn {
     val dims = e.groupBy("i").agg(
       sum(col("x").cast(DecimalType(30, 12))).cast(DoubleType).as("sx"),
       count(lit(1)).as("n"))
-    // Pair products ride a native codegen'd kernel (one generated loop per
-    // vector) instead of the earlier nested transform/filter/flatten tile
-    // expansion — HOFs interpret their lambdas per element, which at d=64
-    // was ~d²/2 interpreted closures per row and the operator's measured
-    // hot spot. The emitted (i, j, xy) structs and the decimal-sum
-    // aggregate below are unchanged, so the DuckDB oracle is untouched.
+    // Pair products ride a native codegen'd kernel per B×B tile unit (one
+    // generated loop each) instead of the earlier nested
+    // transform/filter/flatten HOF expansion — HOFs interpret their
+    // lambdas per element, which at d=64 was ~d²/2 interpreted closures
+    // per row and the operator's measured hot spot. The bi ≤ bj tile-unit
+    // explode keeps the per-row materialization bound at B² structs (the
+    // scale contract above); the size ≥ 2 pre-filter keeps the block
+    // sequence ascending (vectors shorter than 2 have no pairs — and a
+    // 0-block sequence(0, -1) would DESCEND, the historical phantom-tile
+    // regression LearnSpec pins). The emitted (i, j, xy) structs and the
+    // decimal-sum aggregate below are unchanged, so the DuckDB oracle is
+    // untouched.
+    val nBlocks = s"int(ceil(size(embedding) / ${TileB}.0))"
     val pairs = t(s, d, "embeddings")
+      .filter(size(col("embedding")) >= 2)
+      .select(col("embedding"), explode(expr(
+        s"""flatten(transform(sequence(0, $nBlocks - 1),
+           |  bi -> transform(sequence(bi, $nBlocks - 1),
+           |    bj -> struct(bi, bj))))""".stripMargin)).as("tl"))
       .select(explode(org.apache.spark.sql.graftcol.NativeColumn.column(
-        graft.functions.PairProducts(
-          org.apache.spark.sql.graftcol.NativeColumn.expression(
-            col("embedding"))))).as("p"))
+        graft.functions.PairProductsTile(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("embedding")),
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("tl.bi")),
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("tl.bj")),
+          TileB))).as("p"))
       .select(col("p.i"), col("p.j"), col("p.xy"))
       .groupBy("i", "j")
       .agg(sum(col("xy").cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"))

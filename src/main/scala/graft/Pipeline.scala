@@ -877,6 +877,10 @@ object Pipeline {
   // HOF formulation (acc += a[i]*b[i], one generated loop — zip_with/
   // aggregate interpret their lambdas), so cosines and oracles are
   // bit-unchanged. norm2 = sqrt(dot(a, a)) is the exact Σx² fold.
+  // ASSUMES non-null elements and equal lengths (true of this corpus's
+  // fixed-dim embeddings, and what the oracle's list_inner_product
+  // assumes too): the kernel reads a null slot as 0.0 and THROWS on a
+  // length mismatch, where the HOF null-propagated / null-padded.
   private def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftcol.NativeColumn.column(
       graft.functions.InnerProduct(

@@ -52,7 +52,10 @@ object Refine {
   // per pair; InnerProduct runs the identical sequential accumulation in
   // one generated loop (acc += a[i]*b[i]), so every cosine and the DuckDB
   // oracles are bit-unchanged. norm2 = sqrt(dot(a, a)) reproduces the
-  // Σx² fold exactly.
+  // Σx² fold exactly. ASSUMES non-null elements and equal lengths (true
+  // of this corpus's fixed-dim embeddings): the kernel reads a null slot
+  // as 0.0 and THROWS on a length mismatch, where the HOF
+  // null-propagated / null-padded.
   private def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftcol.NativeColumn.column(
       graft.functions.InnerProduct(

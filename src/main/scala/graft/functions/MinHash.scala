@@ -342,16 +342,17 @@ object ShingleHashes {
   private val ShingleLen = 8
 
   def compute(text0: UTF8String): GenericArrayData = {
-    // substring() counts CODEPOINTS — walk the String form, the same
-    // route MinHashSignature.signature takes
+    // substring() counts CODEPOINTS — walk codepoint boundaries, the
+    // same route MinHashSignature.signature takes
     val text = text0.toString
-    val n = text.length
+    val offs = MinHashSignature.codePointOffsets(text)
+    val n = offs.length - 1
     val last = math.max(n - (ShingleLen - 1), 1)
     val seen = new java.util.HashSet[String]()
     val out = new java.util.ArrayList[java.lang.Long]()
     var i = 1
     while (i <= last) {
-      val sh = text.substring(i - 1, math.min(i - 1 + ShingleLen, n))
+      val sh = text.substring(offs(i - 1), offs(math.min(i - 1 + ShingleLen, n)))
       if (seen.add(sh))
         out.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function
           .hash(UTF8String.fromString(sh), StringType, 42L))
@@ -505,6 +506,27 @@ object MinHashSignature {
 
   private[functions] def md5Digest(): MessageDigest = md.get()
 
+  /** UTF-16 offsets of each codepoint boundary: `offs(k)` is the char
+    * index where codepoint `k` starts and `offs(cpCount)` is
+    * `s.length`. Spark's `substring()`/`length()` count CODEPOINTS, so a
+    * shingle window must advance by codepoint — indexing by java char
+    * would split surrogate pairs on supplementary-plane text (emoji,
+    * rare CJK) and diverge from both the HOF twins and the DuckDB
+    * oracle. For pure-BMP text this is the identity mapping. */
+  private[functions] def codePointOffsets(s: String): Array[Int] = {
+    val n = s.length
+    val offs = new Array[Int](s.codePointCount(0, n) + 1)
+    var ci = 0
+    var k = 0
+    while (ci < n) {
+      offs(k) = ci
+      ci = s.offsetByCodePoints(ci, 1)
+      k += 1
+    }
+    offs(k) = n
+    offs
+  }
+
   /** Hex nibbles 0–14 of a digest as a 60-bit long — exactly what
     * `cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)` (the
     * repo-wide md5Lane) parses: bytes 0–6 plus the high nibble of
@@ -527,14 +549,16 @@ object MinHashSignature {
     * always nonnegative. */
   def signature(text: String): Array[Long] = {
     val digest = md.get()
-    val n = text.length
+    // codepoint walk: substring(text, i, 8)/length(text) count codepoints
+    val offs = codePointOffsets(text)
+    val n = offs.length - 1
     val last = math.max(n - (ShingleLen - 1), 1)
     val seen = new java.util.HashSet[String]()
     val mins = new Array[Long](NumHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 1
     while (i <= last) {
-      val sh = text.substring(i - 1, math.min(i - 1 + ShingleLen, n))
+      val sh = text.substring(offs(i - 1), offs(math.min(i - 1 + ShingleLen, n)))
       if (seen.add(sh)) {
         val dg = digest.digest(sh.getBytes(StandardCharsets.UTF_8))
         val a = hexPrefix15(dg) % LaneP

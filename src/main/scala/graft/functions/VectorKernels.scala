@@ -213,9 +213,17 @@ case class CosineSelf(child: Expression)
   * interpret their lambdas per element (no codegen, no CSE), which at
   * d=64 means ~d²/2 interpreted closures per row — the measured hot spot.
   * Null elements contribute no pairs, matching the HOF twin where a null
-  * operand makes `xy` null and the `sum` that consumes it skips nulls;
-  * pair order differs from the tile walk (plain row-major here) but the
-  * consumer is an unordered `groupBy(i, j)`. */
+  * operand makes `xy` null and the `sum` that consumes it skips nulls —
+  * with one unreachable-for-this-corpus divergence: a dimension pair
+  * null across EVERY vector yields no (i, j) group at all here, where
+  * the HOF (and the oracle's join) would emit the group with a NULL
+  * sum; the corpus embeddings carry no null elements, so no group can
+  * go missing. Pair order differs from the tile walk (plain row-major
+  * here) but the consumer is an unordered `groupBy(i, j)`.
+  *
+  * This flat form materializes all d(d−1)/2 structs per row, so it is
+  * the REFERENCE twin for specs; the covariance plan itself rides the
+  * bounded [[PairProductsTile]]. */
 case class PairProducts(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def prettyName: String = "pair_products"
@@ -252,6 +260,84 @@ object PairProducts {
         val xi = v.getFloat(i).toDouble
         var j = i + 1
         while (j < n) {
+          if (!v.isNullAt(j)) {
+            out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](i + 1, j + 1, xi * v.getFloat(j).toDouble)))
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** One B×B dimension-block tile of [[PairProducts]]: the upper-triangle
+  * products `(i, j, xy)` restricted to 0-based blocks `bi`/`bj` (block k
+  * covering dimensions `[k·b, (k+1)·b)`), in one generated loop. The
+  * covariance plan explodes a row into its `bi ≤ bj` tile units first and
+  * evaluates this kernel per unit, so the array a single generated row
+  * materializes is bounded by b² cells REGARDLESS of d — the tiled-Gram
+  * scale contract (at d=1024, b=32: 528 units of ≤1,024 structs each,
+  * never one 523k-struct array). Every i < j pair lands in exactly one
+  * tile (within-block pairs in the bi = bj diagonal tile, cross-block
+  * pairs where their blocks meet), union over tiles == the flat kernel
+  * (spec-enforced), and the downstream decimal-sum `groupBy(i, j)` is
+  * order-independent — so the oracle is untouched. Null-element
+  * semantics identical to [[PairProducts]]. */
+case class PairProductsTile(vec: Expression, bi: Expression, bj: Expression,
+    b: Int)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "pair_products_tile"
+  override def first: Expression = vec
+  override def second: Expression = bi
+  override def third: Expression = bj
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("xy", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, bi.dataType, bj.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType) =>
+        if (b > 0) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a positive block size, got $b")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, int, int), got $other")
+    }
+
+  override def nullSafeEval(v: Any, biV: Any, bjV: Any): Any =
+    PairProductsTile.compute(v.asInstanceOf[ArrayData],
+      biV.asInstanceOf[Int], bjV.asInstanceOf[Int], b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, x, y) =>
+      s"graft.functions.PairProductsTile.compute($v, $x, $y, $b)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(vec = newFirst, bi = newSecond, bj = newThird)
+}
+
+object PairProductsTile {
+  def compute(v: ArrayData, bi: Int, bj: Int,
+      b: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val iHi = math.min(bi.toLong * b + b, n.toLong).toInt
+    val jLo = bj.toLong * b
+    val jHi = math.min(jLo + b, n.toLong).toInt
+    val out = new java.util.ArrayList[Any](math.min(b.toLong * b, 64L).toInt)
+    var i = math.min(bi.toLong * b, n.toLong).toInt
+    while (i < iHi) {
+      if (!v.isNullAt(i)) {
+        val xi = v.getFloat(i).toDouble
+        var j = math.max(i + 1L, jLo).toInt
+        while (j < jHi) {
           if (!v.isNullAt(j)) {
             out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array[Any](i + 1, j + 1, xi * v.getFloat(j).toDouble)))

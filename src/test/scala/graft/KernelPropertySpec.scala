@@ -244,12 +244,22 @@ object KernelPropertySpec extends Properties("graft.kernels") {
   private def hexLane(hex: String, from: Int): Long =
     java.lang.Long.parseLong(hex.substring(from, from + 15), 16)
 
+  /** 8-codepoint shingles with `substring(text, i, 8)` semantics — Spark
+    * (and DuckDB) count codepoints, so the reference must too or a
+    * supplementary-plane char would shift every window. */
+  private def cpShingles(text: String): Seq[String] = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val last = math.max(n - 7, 1)
+    (1 to last).map { i =>
+      val until = math.min(i + 7, n)
+      new String(cps, i - 1, until - (i - 1))
+    }
+  }
+
   private def minhashRef(text: String): Seq[Long] = {
     val P = 2147483647L
-    val n = text.length
-    val last = math.max(n - 7, 1)
-    val shingles = (1 to last)
-      .map(i => text.substring(i - 1, math.min(i + 7, n))).distinct
+    val shingles = cpShingles(text).distinct
     val mins = Array.fill(16)(Long.MaxValue)
     shingles.foreach { sh =>
       val hex = md5Hex(sh)
@@ -265,9 +275,10 @@ object KernelPropertySpec extends Properties("graft.kernels") {
 
   private val genShingleText: Gen[String] = for {
     n <- Gen.choose(0, 40)
-    cs <- Gen.listOfN(n, Gen.oneOf(Gen.oneOf('a', 'b'), Gen.const(' '),
-      Gen.const('Ω')))
-  } yield cs.mkString // tiny alphabet → heavy repeated-shingle collapse
+    // tiny alphabet → heavy repeated-shingle collapse; 😀 (U+1F600,
+    // a surrogate pair in UTF-16) exercises the codepoint walk
+    cs <- Gen.listOfN(n, Gen.oneOf("a", "b", " ", "Ω", "😀"))
+  } yield cs.mkString
 
   property("MinHashSignature.signature == the hex-parsed lane reference") =
     Prop.forAll(genShingleText) { text =>
@@ -344,8 +355,9 @@ object KernelPropertySpec extends Properties("graft.kernels") {
 
   private val genDoc: Gen[String] = for {
     n <- Gen.choose(0, 200)
-    cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
-      Gen.const('Ω'), Gen.const('\n')))
+    cs <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString), 2 -> Gen.const(" "),
+      1 -> Gen.const("Ω"), 1 -> Gen.const("😀"), 1 -> Gen.const("\n")))
   } yield cs.mkString
 
   property("CdcBoundaries.scan: sorted interior cuts whose chunks reassemble") =
@@ -361,15 +373,12 @@ object KernelPropertySpec extends Properties("graft.kernels") {
         s"bs=$bs len=${text.length}"
     }
 
-  property("ShingleHashes.compute == distinct xxhash64 of 8-char shingles") =
+  property("ShingleHashes.compute == distinct xxhash64 of 8-codepoint shingles") =
     Prop.forAll(genDoc) { text =>
       val got = graft.functions.ShingleHashes.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(text))
         .toLongArray().toSeq
-      val n = text.length
-      val last = math.max(n - 7, 1)
-      val expect = (1 to last)
-        .map(i => text.substring(i - 1, math.min(i + 7, n))).distinct
+      val expect = cpShingles(text).distinct
         .map(sh => org.apache.spark.sql.catalyst.expressions.XxHash64Function
           .hash(org.apache.spark.unsafe.types.UTF8String.fromString(sh),
             org.apache.spark.sql.types.StringType, 42L))
@@ -400,5 +409,28 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       } yield (i + 1, j + 1, vec(i).toDouble * vec(j).toDouble)
       // bit-exact doubles (the oracle equivalence argument), order included
       Prop(got == expect) :| s"got=$got expect=$expect n=${vec.length}"
+    }
+
+  property("PairProductsTile: bi<=bj tile union == flat kernel, each tile <= b^2") =
+    Prop.forAll(genFloatVec, Gen.choose(1, 5)) { (vec, b) =>
+      def rows(g: org.apache.spark.sql.catalyst.util.GenericArrayData) =
+        g.array.toSeq.map { r =>
+          val row = r.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          (row.getInt(0), row.getInt(1), row.getDouble(2))
+        }
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        vec.asInstanceOf[Array[Any]])
+      val flat = rows(graft.functions.PairProducts.compute(arr)).toSet
+      val nb = math.max((vec.length + b - 1) / b, 0)
+      val tiles = for {
+        bi <- 0 until nb; bj <- bi until nb
+      } yield rows(graft.functions.PairProductsTile.compute(arr, bi, bj, b))
+      val bounded = tiles.forall(_.length <= b * b)
+      val union = tiles.flatten
+      // every pair lands in EXACTLY one tile: no dup, union == flat
+      Prop(bounded && union.length == union.toSet.size &&
+        union.toSet == flat) :|
+        s"b=$b n=${vec.length} flat=${flat.size} union=${union.length}"
     }
 }

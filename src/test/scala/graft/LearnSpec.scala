@@ -253,6 +253,29 @@ class LearnSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.fallback", "true")
     }
     assert(n0 == forced)
+    // the tiled plan path (bi<=bj tile-unit explode + PairProductsTile)
+    // must reproduce the flat kernel's pair set bit-exactly; b=4 forces
+    // multiple blocks on this corpus, b=32 is the shipped plan constant
+    for (b <- Seq(4, 32)) {
+      def ncol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.graftcol.NativeColumn.column(e)
+      def nexp(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.graftcol.NativeColumn.expression(c)
+      val nb = s"int(ceil(size(embedding) / $b.0))"
+      val tiled = emb.filter(expr("size(embedding) >= 2"))
+        .select(col("vec_id"), col("embedding"), explode(expr(
+          s"""flatten(transform(sequence(0, $nb - 1),
+             |  bi -> transform(sequence(bi, $nb - 1),
+             |    bj -> struct(bi, bj))))""".stripMargin)).as("tl"))
+        .select(col("vec_id"), explode(ncol(graft.functions.PairProductsTile(
+          nexp(col("embedding")), nexp(col("tl.bi")), nexp(col("tl.bj")), b)))
+          .as("p"))
+        .select(col("vec_id"), col("p.i"), col("p.j"), col("p.xy"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(tiled == n0, s"tiled b=$b diverges from the flat kernel")
+    }
   }
 
   test("text_hapax: vocab and hapax match a brute-force count per source") {

@@ -1399,9 +1399,15 @@ class IngestOpsSpec extends AnyFunSuite {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    def shingles(t: String): Set[String] =
-      (1 to math.max(t.length - 7, 1)).map(i =>
-        t.substring(i - 1, math.min(i + 7, t.length))).toSet
+    def shingles(t: String): Set[String] = {
+      // codepoint windows, matching substring(text, i, 8) semantics
+      val cps = t.codePoints().toArray
+      val n = cps.length
+      (1 to math.max(n - 7, 1)).map { i =>
+        val until = math.min(i + 7, n)
+        new String(cps, i - 1, until - (i - 1))
+      }.toSet
+    }
     rows.foreach { r =>
       val a = shingles(texts(r.getAs[Long]("doc1")))
       val b = shingles(texts(r.getAs[Long]("doc2")))
@@ -1417,8 +1423,15 @@ class IngestOpsSpec extends AnyFunSuite {
 
   test("shingle-hash + intersect-count kernels match the HOF chain, any codegen mode") {
     import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    // two overlapping supplementary-plane docs: 😀 is a surrogate pair in
+    // UTF-16, so these catch any code-unit (vs codepoint) shingle walk
+    val nonBmp = Seq(
+      (900001L, "smiley 😀 doc 😀 with surrogate pairs 😀😀 end"),
+      (900002L, "smiley 😀 doc 😀 with surrogate pairs 😀 tail"))
+      .toDF("doc_id", "text")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")).union(nonBmp)
     def kernel(): Map[(Long, Long), Long] = {
       val hs = docs.select(col("doc_id"),
         org.apache.spark.sql.graftcol.NativeColumn.column(

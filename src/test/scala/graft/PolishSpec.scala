@@ -527,7 +527,12 @@ class PolishSpec extends AnyFunSuite {
 
   test("native minhash signature equals the HOF formulation, any codegen mode") {
     import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 😀 (a UTF-16 surrogate pair) exercises the codepoint shingle walk
+    // against Spark's own codepoint-counting substring() in the HOF
     val docs = Q.t(spark, sf, "documents").select("doc_id", "text")
+      .union(Seq((900001L, "codepoint 😀 walk 😀 test 😀😀 doc"))
+        .toDF("doc_id", "text"))
     def run(c: org.apache.spark.sql.Column): Map[Long, Seq[Long]] = docs
       .select(col("doc_id"), c.as("m")).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
