@@ -336,20 +336,27 @@ object Tpch {
     * the corpus prices have two decimals, and long sums stay in primitive
     * codegen (~2× faster than decimal aggregation at SF1). `cents/100`
     * is the same rational the decimal sum represents, so the double cast
-    * rounds identically and the oracle hash-matches. ONE fact pass total:
-    * the per-part sums materialize once (localCheckpoint, ~#parts rows)
-    * and serve both consumers — the global threshold is the sum of the
-    * per-part long sums (exactly the global cents sum, since long addition
-    * is associative), so the second lineitem scan from round 2 is gone.
+    * rounds identically and the oracle hash-matches.
+    *
+    * Threshold shape history: round 2 shared the per-part sums between
+    * both consumers via localCheckpoint (one fact pass); round 15
+    * re-measured under the prepared-plan/AQE SF1 protocol and the
+    * checkpoint barrier LOST to recomputing the threshold as a direct
+    * global aggregate on the fact (min-of-6 alternating: 0.93 s → 0.87 s)
+    * — and plain plan-sharing without the checkpoint is worse still
+    * (1.25 s: the grouped agg runs twice). The dual-scan is also the
+    * friendlier 100 TB shape: the threshold pass is a column-pruned
+    * one-column scan with map-side partial aggregation (no shuffle),
+    * while the checkpoint materialized the full ~#parts-row table to
+    * executor-local storage and walled off AQE re-planning.
     * (Caveat: the global cents total must stay under 2^53 for double
     * exactness — holds to ~90 trillion in total revenue.) */
   def q11(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val pv = li(s, d).groupBy(col("l_partkey")).agg(sum(cents).as("c"))
-      .localCheckpoint()
-    val total = pv
-      .agg((sum(col("c")).cast(DoubleType) / 100.0 * lit(0.001)).as("threshold"))
+    val total = li(s, d)
+      .agg((sum(cents).cast(DoubleType) / 100.0 * lit(0.001)).as("threshold"))
     pv.select(col("l_partkey"), (col("c").cast(DoubleType) / 100.0).as("part_value"))
       .join(broadcast(total))
       .filter(col("part_value") > col("threshold"))
@@ -469,7 +476,15 @@ object Tpch {
     * distinct aggregation over the ~15% of fact rows that survive.
     * (A round-3 experiment that collapsed the fact to distinct
     * (partkey, suppkey) pairs BEFORE the part filter measured 2.4× worse
-    * at SF1: it trades the map-side filter for a full-fact shuffle.) */
+    * at SF1: it trades the map-side filter for a full-fact shuffle.
+    * Round 15 re-measured distinct-first under the prepared-plan/AQE
+    * protocol: still ~1.5× worse (0.86 s → 1.28 s min-of-3 alternating)
+    * — partial aggregation can't collapse much when each pair's ~7.5
+    * duplicates are spread across partitions, so the pre-distinct is a
+    * near-full-fact shuffle that the 15% part filter would have skipped.
+    * The remaining gap to the baseline is structural: this corpus ships
+    * no partsupp, so q16 reads the 6M-row lineitem bridge where the
+    * reference reads 800k partsupp rows.) */
   def q16(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .select(col("l_partkey"), col("l_suppkey"))
