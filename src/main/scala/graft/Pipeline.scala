@@ -4211,16 +4211,32 @@ object Pipeline {
     * [[simAnnIvfOracle]]. */
   @volatile private var embIvfRecallOracle: Option[String] = None
 
+  /** Ground-truth candidate cap for the recall audits: the brute-force
+    * arm evaluates truth against the first 2²⁰ vectors by vec_id, by
+    * construction — every test corpus passes through whole (so oracles
+    * are untouched), and at 100 TB the arm's cost is
+    * |queries| × [[GtSampleCap]] cosines instead of |queries| × corpus.
+    * The standard pooled-/sampled-ground-truth posture of IR evaluation:
+    * recall is measured against the in-sample truth, and the audit reads
+    * exactly when the index's candidate universe covers the sample
+    * (always true here — the sample is a prefix of the indexed corpus). */
+  private val GtSampleCap = 1L << 20
+
   /** IVF recall audit — the [[Scale.embAnnRecall]] twin for the IVF
     * index: recall@5 of [[simAnnIvf]]'s nProbe=6 search against the
     * exact brute-force top-5 for the same 10 query vectors, scoring the
     * scaladoc's "6 probes clear the 60% floor" claim as a registry-
     * verified number. Deliberately runs BOTH arms (an audit op, not a
-    * production path); the brute arm is a 10×n bounded broadcast cross
+    * production path).
+    *
+    * Scale contract (sample-bounded ground truth): the brute arm is a
+    * 10 × [[GtSampleCap]] bounded broadcast cross — never 10 × corpus —
     * using the same unrolled bit-exact cosine arithmetic as the IVF
-    * re-rank, so both engines rank identically. The oracle composes the
-    * runtime-generated IVF SQL (trained-centroid literals) with the
-    * same brute CTE. */
+    * re-rank, so both engines rank identically. The recall join needs no
+    * cap of its own: hits only count IVF candidates that appear in the
+    * brute top-5, which is in-sample by construction. The oracle
+    * composes the runtime-generated IVF SQL (trained-centroid literals)
+    * with the same capped brute CTE. */
   def embIvfRecall(s: SparkSession, d: String): DataFrame = {
     val ivf = simAnnIvf(s, d) // side effect: sets simAnnIvfOracle
       .select(col("q_id"), col("cand_id"))
@@ -4232,8 +4248,8 @@ object Pipeline {
     val brute = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("qn", sqrt(expr(IvfDot(IvfDim, "qv", "qv"))))
-      .join(broadcast(vecs.select(col("vec_id").as("cand_id"),
-        col("v").as("cv2"))
+      .join(broadcast(vecs.filter(col("vec_id") < GtSampleCap)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv2"))
         .withColumn("cn", sqrt(expr(IvfDot(IvfDim, "cv2", "cv2"))))),
         col("q_id") =!= col("cand_id"))
       .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
@@ -4255,7 +4271,8 @@ object Pipeline {
          |             * sqrt(${duckDot(IvfDim, "c.v", "c.v")})) DESC,
          |          c.vec_id ASC) AS rank
          |    FROM vecs2 q JOIN vecs2 c ON q.vec_id < 10
-         |      AND c.vec_id <> q.vec_id) WHERE rank <= 5),
+         |      AND c.vec_id <> q.vec_id
+         |      AND c.vec_id < $GtSampleCap) WHERE rank <= 5),
          |hits AS (SELECT b.q_id, CAST(count(i.cand_id) AS BIGINT) AS n_hits
          |  FROM brute b LEFT JOIN ivf i
          |    ON i.q_id = b.q_id AND i.cand_id = b.cand_id
