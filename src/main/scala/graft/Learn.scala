@@ -171,18 +171,16 @@ object Learn {
     var cents: Array[(Long, Array[Double])] = seeds.zipWithIndex.map {
       case (r, i) => ((i + 1).toLong, r.getSeq[Double](1).toArray)
     }
-    def centArr(cs: Array[(Long, Array[Double])]): String =
-      cs.map(_._2.map(x => s"${x}D").mkString("array(", ",", ")"))
-        .mkString("array(", ",", ")")
     // struct('cid', 'dist'): first-minimum argmin + its distance, all
-    // map-side over the constant-folded centroid literal
-    def asgExpr(cs: Array[(Long, Array[Double])]): Column = expr(
-      s"""transform(array(transform(${centArr(cs)},
-         |    c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
-         |           cast(0.0 as double), (acc, z) -> acc + z))),
-         |  ds -> named_struct(
-         |    'cid', cast(array_position(ds, array_min(ds)) as bigint),
-         |    'dist', array_min(ds)))[0]""".stripMargin)
+    // map-side over the constant-folded centroid matrix — the native
+    // NearestCentroid kernel (round 15), one generated loop per row with
+    // the same sequential squared-difference fold the HOF twin computed
+    // (LearnSpec asserts kernel == HOF on this corpus)
+    def asgExpr(cs: Array[(Long, Array[Double])]): Column =
+      org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.NearestCentroid(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+          cs.map(_._2)))
     // the single Lloyd update: keyed (cid, dim) reduce → k×d driver state
     val upd = vecs.withColumn("cid", asgExpr(cents).getField("cid"))
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))

@@ -1092,12 +1092,25 @@ object Pipeline {
   }
 
   /** Map-side argmin cluster assignment over a constant-folded centroid
-    * table (expects the vector column named `v`): distances computed once
-    * via the one-element-transform let binding; ties fall to the lowest
-    * cid because array_position returns the FIRST minimum. The k×d
-    * centroid table is driver state — the table you'd broadcast at
-    * 100 TB — so assignment never joins the corpus against k rows. */
-  private[graft] def ivfCidExpr(cs: Array[(Long, Array[Double])]): Column = {
+    * table (expects the vector column named `v`): ties fall to the lowest
+    * cid (FIRST minimum). The k×d centroid table is driver state — the
+    * table you'd broadcast at 100 TB — so assignment never joins the
+    * corpus against k rows. Round 15: rides the native
+    * [[graft.functions.NearestCentroid]] kernel (one generated loop per
+    * row) instead of the interpreted ~2·d·k HOF closures;
+    * [[ivfCidExprHof]] keeps the pure-SQL formulation for the
+    * equivalence spec. */
+  private[graft] def ivfCidExpr(cs: Array[(Long, Array[Double])]): Column =
+    org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+        cs.map(_._2)))
+      .getField("cid")
+
+  /** The pre-round-15 HOF formulation of [[ivfCidExpr]] — executable
+    * documentation of what the kernel computes, asserted equivalent in
+    * PipelineSpec. */
+  private[graft] def ivfCidExprHof(cs: Array[(Long, Array[Double])]): Column = {
     val centArr = cs.map(_._2.map(x => s"${x}D")
       .mkString("array(", ",", ")")).mkString("array(", ",", ")")
     expr(

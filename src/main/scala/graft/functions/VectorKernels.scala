@@ -351,6 +351,78 @@ object PairProductsTile {
   }
 }
 
+/** Map-side nearest-centroid assignment against a driver-state k×d
+  * centroid matrix, in one generated loop — the kernel form of the
+  * constant-folded argmin the IVF/k-means family rode as interpreted
+  * HOFs (`transform(cents, c -> aggregate(zip_with(v, c, (x,y) ->
+  * (x−y)·(x−y)), 0.0, acc+z))` + `array_position(ds, array_min(ds))`,
+  * ~2·d·k interpreted closures per row).
+  *
+  * Returns `struct<cid bigint, dist double>`: `dist` is the sequential
+  * left-fold of squared differences against the winning centroid
+  * (bit-identical IEEE order to the HOF fold and the DuckDB oracle's
+  * unrolled literals), `cid` the 1-based position of the FIRST minimum
+  * (strict `<` scan == `array_position(ds, array_min(ds))` — distances
+  * are sums of squares, so no −0.0/NaN ordering divergence is
+  * reachable for non-NaN input). The centroid matrix is a constructor
+  * constant (the plan-literal posture: k×d driver state broadcast into
+  * the generated code as a reference object, never a corpus×k join).
+  * ASSUMES the corpus invariants of [[InnerProduct]]: non-null
+  * elements, and THROWS on a vector whose length differs from the
+  * centroids' d. */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      if (cents.nonEmpty && cents.forall(_.length == cents(0).length))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-empty rectangular centroid matrix")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroid.compute(v.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroid.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def compute(v: ArrayData, cents: Array[Array[Double]])
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val d = cents(0).length
+    if (v.numElements() != d) throw new IllegalArgumentException(
+      s"nearest_centroid: vector length ${v.numElements()} != centroid dim $d")
+    var bestId = 1L
+    var best = Double.NaN
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < d) { val dx = v.getDouble(i) - cv(i); acc += dx * dx; i += 1 }
+      // strict < keeps the FIRST minimum, matching array_position semantics
+      if (c == 0 || acc < best) { best = acc; bestId = c + 1L }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, best))
+  }
+}
+
 /** Registry wiring: session-local registration plus a
   * [[SparkSessionExtensions]] hook for `--conf spark.sql.extensions`. */
 object GraftFunctions {

@@ -89,6 +89,65 @@ class PipelineSpec extends AnyFunSuite {
       s"IVF recalled only $recalled of ${brute.size} brute-force top-5 pairs")
   }
 
+  test("NearestCentroid kernel equals the HOF argmin, any codegen mode") {
+    import org.apache.spark.sql.functions.{col, transform => tfm}
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), tfm(col("embedding"), _.cast("double")).as("v"))
+    val dim = vecs.head().getSeq[Double](1).length
+    // centroid set 1: real vectors (training-init shape); set 2 APPENDS a
+    // DUPLICATE of centroid 1 — a guaranteed distance tie, pinning the
+    // first-minimum (lowest cid) tie rule against array_position
+    val base = vecs.orderBy("vec_id").limit(3).collect()
+      .zipWithIndex.map { case (r, i) =>
+        ((i + 1).toLong, r.getSeq[Double](1).toArray)
+      }
+    val withTie = base :+ ((base.length + 1).toLong, base(0)._2.clone())
+    for (cents <- Seq(base, withTie)) {
+      def run(c: org.apache.spark.sql.Column): Map[Long, Long] =
+        vecs.select(col("vec_id"), c.as("cid")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val native = run(Pipeline.ivfCidExpr(cents))
+      val hof = run(Pipeline.ivfCidExprHof(cents))
+      assert(native == hof, s"k=${cents.length}")
+      if (cents eq withTie) // the duplicate never wins a tie
+        assert(!native.values.exists(_ == cents.length))
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = try run(Pipeline.ivfCidExpr(cents)) finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+      assert(native == interpreted)
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val forced = try run(Pipeline.ivfCidExpr(cents)) finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+      }
+      assert(native == forced)
+    }
+    // the dist lane: kernel struct == HOF named_struct, bit-exact doubles
+    val centArr = base.map(_._2.map(x => s"${x}D")
+      .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    val hofStruct = org.apache.spark.sql.functions.expr(
+      s"""transform(array(transform($centArr,
+         |    c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+         |           cast(0.0 as double), (acc, z) -> acc + z))),
+         |  ds -> named_struct(
+         |    'cid', cast(array_position(ds, array_min(ds)) as bigint),
+         |    'dist', array_min(ds)))[0]""".stripMargin)
+    val kernelStruct = org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+        base.map(_._2)))
+    def dists(c: org.apache.spark.sql.Column): Map[Long, (Long, Double)] =
+      vecs.select(col("vec_id"), c.getField("cid"), c.getField("dist"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    assert(dists(kernelStruct) == dists(hofStruct))
+    assert(dim > 0)
+  }
+
   test("brute-force top-k is correctly ranked") {
     val rows = Pipeline.simCosineTopk(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
