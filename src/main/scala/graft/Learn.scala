@@ -181,17 +181,20 @@ object Learn {
         graft.functions.NearestCentroid(
           org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
           cs.map(_._2)))
-    // the single Lloyd update: keyed (cid, dim) reduce → k×d driver state
+    // the single Lloyd update: keyed reduce → k×d driver state. VectorSum
+    // accumulates the d-length partial vectors map-side (one hash probe
+    // per row instead of posexplode's d); the driver-side sv/n divide is
+    // avg's own single IEEE division, so the centroids are bit-identical
+    // to the previous posexplode/avg plan's.
     val upd = vecs.withColumn("cid", asgExpr(cents).getField("cid"))
-      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos").agg(avg("x").as("m"))
+      .groupBy("cid")
+      .agg(graft.functions.VectorSum.vector_sum(col("v")).as("sv"),
+        count(lit(1)).as("n"))
       .collect()
-    val dim = cents.head._2.length
-    val next = upd.groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
-      val cv = Array.fill(dim)(0.0)
-      rows.foreach(r => cv(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
-      (cid, cv)
-    }.toArray.sortBy(_._1)
+    val next = upd.map { r =>
+      val n = r.getAs[Long]("n")
+      (r.getAs[Long]("cid"), r.getSeq[Double](1).map(_ / n).toArray)
+    }.sortBy(_._1)
     // relabel to consecutive positions (an emptied cluster would desync
     // positional assignment from stored ids — the IVF argument)
     cents = next.zipWithIndex.map { case ((_, cv), i) => ((i + 1).toLong, cv) }

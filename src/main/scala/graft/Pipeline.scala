@@ -1136,15 +1136,20 @@ object Pipeline {
       .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     for (_ <- 1 to iters) {
+      // One keyed reduce per iteration: VectorSum accumulates the d-length
+      // partial vectors map-side (one hash probe per row instead of the
+      // previous posexplode's d probes); the driver-side sv/n divide is
+      // the same single IEEE division avg performed, so the trained
+      // centroids are bit-identical to the posexplode/avg plan's.
       val upd = vecs.withColumn("cid", ivfCidExpr(cents))
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(graft.functions.VectorSum.vector_sum(col("v")).as("sv"),
+          count(lit(1)).as("n"))
         .collect()
-      val next = upd.groupBy(_.getAs[Long]("cid")).map { case (cid, rows) =>
-        val cv = Array.fill(cents.head._2.length)(0.0)
-        rows.foreach(r => cv(r.getAs[Int]("pos")) = r.getAs[Double]("m"))
-        (cid, cv)
-      }.toArray.sortBy(_._1)
+      val next = upd.map { r =>
+        val n = r.getAs[Long]("n")
+        (r.getAs[Long]("cid"), r.getSeq[Double](1).map(_ / n).toArray)
+      }.sortBy(_._1)
       // Relabel to consecutive 1..k' after every update: ivfCidExpr
       // assigns by array POSITION, so stored cids must equal positions.
       // If a Lloyd iteration empties a cluster the raw cid set goes

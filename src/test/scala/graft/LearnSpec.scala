@@ -278,6 +278,34 @@ class LearnSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorSum keyed update == the posexplode/avg formulation, bit-exact") {
+    import org.apache.spark.sql.functions.{avg, col, count, lit, pmod,
+      posexplode, transform => tfm}
+    val vecs = Q.t(spark, sf, "embeddings")
+      .select(col("vec_id"), tfm(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("cid", pmod(col("vec_id"), lit(5L)))
+    val viaVectorSum = vecs.groupBy("cid")
+      .agg(graft.functions.VectorSum.vector_sum(col("v")).as("sv"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val n = r.getAs[Long]("n")
+        r.getAs[Long]("cid") -> r.getSeq[Double](1).map(_ / n).toList
+      }.toMap
+    val viaAvg = vecs
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg("x").as("m"))
+      .collect()
+      .groupBy(_.getAs[Long]("cid"))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toList
+      }
+    // == on doubles: the sums accumulate in the same scan order and the
+    // divide is the same single IEEE op, so equality is exact, not approx
+    assert(viaVectorSum == viaAvg)
+    assert(viaVectorSum.nonEmpty)
+  }
+
   test("text_hapax: vocab and hapax match a brute-force count per source") {
     val out = Learn.textHapax(spark, sf).collect()
     val bySrc = docs.groupBy(_.getAs[String]("source"))
