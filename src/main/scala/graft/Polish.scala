@@ -820,12 +820,16 @@ object Polish {
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
     val cnorm = math.sqrt(cent.map(x => d12(x * x)).sum.toDouble)
     val cLit = cent.map(x => s"${x}D").mkString("array(", ",", ")")
+    // dot/norm through the native InnerProduct kernel — the identical
+    // sequential left folds (Σ x·c and Σ x², one generated loop per row)
+    def ip(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.InnerProduct(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(a),
+          org.apache.spark.sql.graftcol.NativeColumn.expression(b)))
     vecs
-      .withColumn("dot", expr(
-        s"""aggregate(zip_with(v, $cLit, (x, c) -> x * c),
-           |  cast(0.0 as double), (a, b) -> a + b)""".stripMargin))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(v, cast(0.0 as double), (a, x) -> a + x * x)")))
+      .withColumn("dot", ip(col("v"), expr(cLit)))
+      .withColumn("nrm", sqrt(ip(col("v"), col("v"))))
       .withColumn("cos", try_divide(col("dot"), col("nrm") * lit(cnorm)))
       .filter(col("cos").isNotNull)
       .agg(count(lit(1)).as("n_vecs"),

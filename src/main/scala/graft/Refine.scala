@@ -373,14 +373,13 @@ object Refine {
     // bookkeeping as the IVF centroid literal.
     def mult(v: Array[Double]): Array[Double] = {
       val vArr = v.map(x => s"${x}D").mkString("array(", ",", ")")
-      // plain double left-fold for the per-row dot (the dedup_embedding
-      // pattern — DuckDB's list_inner_product folds in the same order);
+      // per-row dot against the constant-folded direction rides the
+      // native InnerProduct kernel (same sequential left fold as the HOF
+      // twin and DuckDB's list_inner_product, one generated loop);
       // exactness is preserved where it matters, in the corpus-sized
       // keyed sum below, which stays per-term-decimal
       val rows = vecs
-        .withColumn("dv", expr(
-          s"""aggregate(zip_with(v, $vArr, (x, vi) -> x * vi),
-             |  cast(0.0 as double), (a, b) -> a + b)""".stripMargin))
+        .withColumn("dv", dot(col("v"), expr(vArr)))
         .select(col("dv"), posexplode(col("v")).as(Seq("i0", "x")))
         .select(col("i0"), (col("x") * col("dv")).cast(dec).as("t"))
         .groupBy("i0").agg(sum("t").cast("double").as("wi"))

@@ -74,10 +74,13 @@ object Scale {
     // driver-sized bookkeeping (the IVF-centroid argument).
     def mult(v: Array[Double]): Array[Double] = {
       val vArr = v.map(x => s"${x}D").mkString("array(", ",", ")")
+      // constant-direction dot through the native InnerProduct kernel —
+      // the identical sequential left fold, one generated loop per row
       val rows = vecs
-        .withColumn("dv", expr(
-          s"""aggregate(zip_with(v, $vArr, (x, vi) -> x * vi),
-             |  cast(0.0 as double), (a, b) -> a + b)""".stripMargin))
+        .withColumn("dv", org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.InnerProduct(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+            org.apache.spark.sql.graftcol.NativeColumn.expression(expr(vArr)))))
         .select(col("dv"), posexplode(col("v")).as(Seq("i0", "x")))
         .select(col("i0"), (col("x") * col("dv")).cast(dec).as("t"))
         .groupBy("i0").agg(sum("t").cast("double").as("wi"))
