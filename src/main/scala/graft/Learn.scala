@@ -505,13 +505,19 @@ object Learn {
   private val TileB = 32
 
   def embCovariance(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"),
-        col("xf").cast("double").as("x"))
-    val dims = e.groupBy("i").agg(
-      sum(col("x").cast(DecimalType(30, 12))).cast(DoubleType).as("sx"),
-      count(lit(1)).as("n"))
+    // per-dim sums/counts in ONE VectorDecimalStats pass (the fused form
+    // of posexplode + groupBy(i) — same decimal casts, same exact sums,
+    // same per-position counts; LearnSpec pins the equality), then a
+    // single-row explode rebuilds the d-row dims frame in-plan
+    val dims = t(s, d, "embeddings")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .agg(graft.functions.VectorDecimalStats.vector_decimal_stats(
+        col("v"), lit(1.0), 30, 12).as("st"))
+      .select(col("st.sums").as("sums"), col("st.counts").as("counts"))
+      .select(posexplode(arrays_zip(col("sums"), col("counts")))
+        .as(Seq("i0", "z")))
+      .select((col("i0") + 1).as("i"),
+        col("z.sums").cast(DoubleType).as("sx"), col("z.counts").as("n"))
     // Pair products ride a native codegen'd kernel per B×B tile unit (one
     // generated loop each) instead of the earlier nested
     // transform/filter/flatten HOF expansion — HOFs interpret their

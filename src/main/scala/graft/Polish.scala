@@ -809,13 +809,16 @@ object Polish {
     val vecs = t(s, d, "embeddings")
       .select(transform(col("embedding"), _.cast("double")).as("v"))
       .localCheckpoint() // scanned once for the centroid, once for cosines
-    val cent = vecs
-      .select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("i")
-      .agg(sum(col("x").cast(DecimalType(30, 12))).cast("double").as("sx"),
-        count(lit(1)).as("nd"))
-      .select(col("i"), (col("sx") / col("nd")).as("c"))
-      .collect().sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("c"))
+    // per-dim decimal sums/counts in ONE VectorDecimalStats pass (the
+    // fused posexplode/groupBy(i) twin, pinned in LearnSpec); the mean
+    // divide is the same double/double division the plan performed
+    val centSt = vecs
+      .agg(graft.functions.VectorDecimalStats.vector_decimal_stats(
+        col("v"), lit(1.0), 30, 12).as("st"))
+      .head().getStruct(0)
+    val cent = centSt.getSeq[java.math.BigDecimal](0)
+      .zip(centSt.getSeq[Long](1))
+      .map { case (sx, nd) => sx.doubleValue / nd }.toArray
     def d12(x: Double): BigDecimal =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
     val cnorm = math.sqrt(cent.map(x => d12(x * x)).sum.toDouble)

@@ -376,16 +376,19 @@ object Refine {
       // per-row dot against the constant-folded direction rides the
       // native InnerProduct kernel (same sequential left fold as the HOF
       // twin and DuckDB's list_inner_product, one generated loop);
-      // exactness is preserved where it matters, in the corpus-sized
-      // keyed sum below, which stays per-term-decimal
-      val rows = vecs
+      // exactness is preserved where it matters, in the per-term-DECIMAL
+      // keyed sum — fused into ONE VectorDecimalStats pass (same casts,
+      // same exact sums; the posexplode twin is pinned in LearnSpec)
+      val st = vecs
         .withColumn("dv", dot(col("v"), expr(vArr)))
-        .select(col("dv"), posexplode(col("v")).as(Seq("i0", "x")))
-        .select(col("i0"), (col("x") * col("dv")).cast(dec).as("t"))
-        .groupBy("i0").agg(sum("t").cast("double").as("wi"))
-        .collect()
+        .agg(graft.functions.VectorDecimalStats.vector_decimal_stats(
+          col("v"), col("dv"), 38, 12).as("st"))
+        .head().getStruct(0)
+      val sums = st.getSeq[java.math.BigDecimal](0)
       val w = Array.fill(dim)(0.0)
-      rows.foreach(r => w(r.getAs[Int]("i0")) = r.getAs[Double]("wi"))
+      sums.zipWithIndex.foreach { case (sv, i) =>
+        if (sv != null) w(i) = sv.doubleValue // sum(t).cast(double)'s own op
+      }
       w
     }
     def d12(x: Double): BigDecimal =

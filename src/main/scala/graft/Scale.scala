@@ -75,18 +75,24 @@ object Scale {
     def mult(v: Array[Double]): Array[Double] = {
       val vArr = v.map(x => s"${x}D").mkString("array(", ",", ")")
       // constant-direction dot through the native InnerProduct kernel —
-      // the identical sequential left fold, one generated loop per row
-      val rows = vecs
+      // the identical sequential left fold, one generated loop per row —
+      // and the d-bounded keyed reduce fused into ONE VectorDecimalStats
+      // pass (same per-term decimal casts, same exact sums; the
+      // posexplode twin is pinned in LearnSpec): the d× row expansion
+      // and its d hash probes per row are gone.
+      val st = vecs
         .withColumn("dv", org.apache.spark.sql.graftcol.NativeColumn.column(
           graft.functions.InnerProduct(
             org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
             org.apache.spark.sql.graftcol.NativeColumn.expression(expr(vArr)))))
-        .select(col("dv"), posexplode(col("v")).as(Seq("i0", "x")))
-        .select(col("i0"), (col("x") * col("dv")).cast(dec).as("t"))
-        .groupBy("i0").agg(sum("t").cast("double").as("wi"))
-        .collect()
+        .agg(graft.functions.VectorDecimalStats.vector_decimal_stats(
+          col("v"), col("dv"), 38, 12).as("st"))
+        .head().getStruct(0)
+      val sums = st.getSeq[java.math.BigDecimal](0)
       val w = Array.fill(dim)(0.0)
-      rows.foreach(r => w(r.getAs[Int]("i0")) = r.getAs[Double]("wi"))
+      sums.zipWithIndex.foreach { case (sv, i) =>
+        if (sv != null) w(i) = sv.doubleValue // sum(t).cast(double)'s own op
+      }
       w
     }
     def d12(x: Double): BigDecimal =

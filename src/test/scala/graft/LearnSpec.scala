@@ -306,6 +306,46 @@ class LearnSpec extends AnyFunSuite {
     assert(viaVectorSum.nonEmpty)
   }
 
+  test("VectorDecimalStats == the posexplode decimal sum/count twin, bit-exact") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit,
+      posexplode, sum, transform => tfm}
+    import org.apache.spark.sql.types.DecimalType
+    // corpus vectors with a per-row weight, PLUS synthetic ragged / empty
+    // vectors — the posexplode semantics the aggregate claims to replay
+    import spark.implicits._
+    val synth = Seq(
+      (9001L, Array(1.5, -2.25, 0.125)), // shorter than the corpus dim
+      (9002L, Array.empty[Double]),
+      (9003L, Array(0.1))).toDF("vec_id", "v")
+    val vecs = Q.t(spark, sf, "embeddings")
+      .select(col("vec_id"), tfm(col("embedding"), _.cast("double")).as("v"))
+      .union(synth)
+      .withColumn("w", (col("vec_id") % 7).cast("double") - lit(3.0))
+    val viaAgg = {
+      val st = vecs.agg(graft.functions.VectorDecimalStats
+        .vector_decimal_stats(col("v"), col("w"), 38, 12).as("st"))
+        .head().getStruct(0)
+      st.getSeq[java.math.BigDecimal](0).zip(st.getSeq[Long](1)).zipWithIndex
+        .map { case ((s, n), i) =>
+          i -> (Option(s).map(_.doubleValue), n)
+        }.toMap
+    }
+    val viaExplode = vecs
+      .select(col("w"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("i0"), (col("x") * col("w"))
+        .cast(DecimalType(38, 12)).as("t"))
+      .groupBy("i0")
+      .agg(sum("t").cast("double").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        r.getInt(0) -> (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          r.getLong(2))
+      }.toMap
+    assert(viaAgg == viaExplode) // exact doubles from exact decimal sums
+    // the ragged rows force per-dim counts to differ across dims
+    assert(viaAgg.nonEmpty && viaAgg(0)._2 > viaAgg(viaAgg.size - 1)._2)
+  }
+
   test("text_hapax: vocab and hapax match a brute-force count per source") {
     val out = Learn.textHapax(spark, sf).collect()
     val bySrc = docs.groupBy(_.getAs[String]("source"))
