@@ -76,9 +76,12 @@ object PipeBench {
     val ops = if (args.nonEmpty) args.toSeq else DefaultOps
     def run(name: String): Double = {
       val t0 = System.nanoTime()
+      // NonFatal only: a fatal error (OOM, stack overflow) must crash the
+      // run rather than be recorded as a -1.0 cell (round-14 advice, the
+      // same narrowing Bench carries).
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[pipebench] $name failed: ${e.getMessage}")
         return -1.0
       }
