@@ -13,7 +13,15 @@ import org.apache.spark.sql.SparkSession
   * the warmup and records the per-op MINIMUM — the capability estimate
   * under one-sided interference (a shared host steals cycles in bursts;
   * a burst can only inflate a sample, never deflate it). Recordings made
-  * with N>1 say so alongside their loadavg bookends in BENCH_SF1.md. */
+  * with N>1 say so alongside their loadavg bookends in BENCH_SF1.md.
+  *
+  * Before the timed loop, the ops named in `SPARK_GRAFT_PIPE_BURNIN`
+  * (space-separated; default `corpus_stats`) run once untimed: the first
+  * minutes of a fresh JVM execute while C2 is still compiling the Spark
+  * stack, and without a burn-in whichever op happens to run first
+  * absorbs that cost into its own cells (measured: the same op reads
+  * 3–8× slower as op #1 than mid-list on an idle box). Set it empty to
+  * reproduce the pre-round-15 protocol exactly. */
 object PipeBench {
   private val DefaultOps = Seq(
     "text_decontaminate", "mix_temperature", "mm_frame_sample",
@@ -94,6 +102,8 @@ object PipeBench {
       (System.nanoTime() - t0) / 1e9
     }
     val iters = sys.env.getOrElse("SPARK_GRAFT_PIPE_ITERS", "1").toInt
+    sys.env.getOrElse("SPARK_GRAFT_PIPE_BURNIN", "corpus_stats")
+      .split("\\s+").filter(_.nonEmpty).foreach(run)
     val timed = ops.map { n =>
       run(n) // untimed warmup
       val samples = Seq.fill(iters)(run(n))
