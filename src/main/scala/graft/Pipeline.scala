@@ -2366,24 +2366,30 @@ object Pipeline {
       |GROUP BY cohort, wk ORDER BY cohort, wk""".stripMargin
 
   /** TF-IDF top terms: the classic corpus-statistics op (salient terms
-    * per document). One explode + two keyed aggregations — (doc, term)
-    * term frequencies, then term document frequencies derived from the tf
-    * relation itself (already one row per (doc, term), so a plain count
-    * is the document frequency: no second pass over the token stream).
-    * The corpus size joins in as a broadcast single-row aggregate, never
-    * a driver collect. Ranking orders by the ROUNDED score so the window
-    * order is exactly as reproducible cross-engine as the emitted value,
-    * with the term string as total tie-break. */
+    * per document). One explode + one keyed aggregation — (doc, term)
+    * term frequencies; the term document frequency is a `count(*)` window
+    * over the term partition of that SAME relation (one row per
+    * (doc, term), so the partition size IS the document frequency). The
+    * window replaces the round-14 dfreq groupBy + equi-join pair, which
+    * shuffled the full tf stream by term TWICE (once into the df
+    * aggregate, once into the join); the window shuffles it once and
+    * emits identical df values. The corpus size joins in as a broadcast
+    * single-row aggregate, never a driver collect. Ranking orders by the
+    * ROUNDED score so the window order is exactly as reproducible
+    * cross-engine as the emitted value, with the term string as total
+    * tie-break. Skew note: a hyper-common term's partition is as large
+    * for the window buffer (spillable UnsafeRowArray) as it was for the
+    * join's shuffle block — the rewrite moves no skew boundary. */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
     val words = docs.select(col("doc_id"),
       size(col("ws")).cast("long").as("n_words"), explode(col("ws")).as("w"))
     val tf = words.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"), first(col("n_words")).as("n_words"))
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val win = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
-    tf.join(dfreq, "w").crossJoin(nDocs)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("w")))
+      .crossJoin(nDocs)
       .withColumn("score", round((col("c").cast("double") / col("n_words"))
         * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rank", row_number().over(win))
