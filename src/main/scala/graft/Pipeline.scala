@@ -3502,21 +3502,42 @@ object Pipeline {
     * centroid, z-scored over the distance distribution — the cheap
     * embedding-space QC pass that flags mis-embedded or out-of-domain
     * vectors before they poison ANN indexes or cluster assignments.
-    * Topology: dim-keyed explode → 64-row centroid aggregation →
-    * broadcast join back → per-vector reduction → one scalar stats row
-    * broadcast over the scores. Per-dim squared deviations are computed
-    * in double then decimal-quantized (order-independent sums); the
-    * centroid itself uses the dsum/count exact average. */
+    *
+    * Topology (round 15 — the emb_isotropy posture): one
+    * [[graft.functions.VectorDecimalStats]] pass produces the
+    * per-dimension centroid as DRIVER state (d sums + counts — the
+    * table you'd broadcast at 100 TB), and the per-vector distance is a
+    * map-side unrolled decimal sum against the constant-folded centroid
+    * literal — no d× row explode, no dim-keyed shuffle, no per-vector
+    * regroup of the exploded stream (the previous shape shuffled d×N
+    * rows twice). Bit-exactness: the kernel's per-dim sums replay
+    * `davg`'s `cast(sum(cast(x as decimal(30,6))) as double) / n`
+    * term for term; the per-vector unrolled
+    * `cast((x−cx)·(x−cx) as decimal(38,12))` left-fold is the same
+    * quantize-then-exact-add sequence the previous decimal `sum`
+    * performed (decimal adds are exact, hence order-free), so every
+    * distance — and the oracle hash — is unchanged. Assumes fixed-width
+    * vectors (the corpus invariant the whole IVF/PQ family rides). */
   def embOutliers(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"),
-        col("xf").cast("double").as("x"))
-    val c = e.groupBy("i").agg(davg(col("x")).as("cx"))
-    val dist = e.join(broadcast(c), "i")
-      .groupBy("vec_id")
-      .agg(sqrt(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
-        .cast(DecimalType(38, 12))).cast("double")).as("dist"))
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val stRow = vecs
+      .agg(graft.functions.VectorDecimalStats.vector_decimal_stats(
+        col("v"), lit(1.0), 30, 6).as("st"))
+      .select(col("st.sums").as("sums"), col("st.counts").as("counts"))
+      .head()
+    val sums = stRow.getSeq[java.math.BigDecimal](0)
+    val counts = stRow.getSeq[Long](1)
+    val cx: Array[Double] =
+      sums.zip(counts).map { case (sm, n) => sm.doubleValue / n }.toArray
+    // per-vector exact decimal Σ(x−cx)² through the DecimalSqDevSum
+    // kernel (a plain cast(...)+cast(...) expression chain would lose a
+    // scale digit per add — see the kernel's scaladoc)
+    val dist = vecs.select(col("vec_id"),
+      sqrt(org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.DecimalSqDevSum(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+          cx, 12)).cast("double")).as("dist"))
     val st = dist.agg(count(lit(1)).as("n"),
       dsum(col("dist")).as("s1"),
       sum((col("dist") * col("dist")).cast(DecimalType(38, 12)))

@@ -423,6 +423,80 @@ object NearestCentroid {
   }
 }
 
+/** Exact-decimal squared-deviation sum of a double vector against a
+  * constructor-constant centroid, in one generated loop:
+  * `Σᵢ cast((v[i] − c[i])·(v[i] − c[i]) AS decimal(38, s))` with the
+  * sum replayed EXACTLY as Spark's decimal `sum` aggregate performs it —
+  * per-term non-ANSI Cast (Decimal(double) + changePrecision HALF_UP,
+  * failure → null term, skipped), java `BigDecimal.add` accumulation
+  * (exact, hence order-free), null when no term survived. A plain
+  * `t₁ + t₂ + …` expression chain CANNOT express this: Add on two
+  * decimal(38, s) operands needs precision 39, and Spark's
+  * precision-loss rule drops the chain to scale s−1 with HALF_UP
+  * rounding at EVERY step — the one-ulp drift that motivated this
+  * kernel. Pairs with the dim-keyed `sum(cast(...))` it replaces (the
+  * emb_outliers explode shape): per-dim inner-join semantics are kept
+  * by folding over `min(|v|, |c|)` dimensions, and a null element
+  * contributes no term, exactly as its exploded row's null did. */
+case class DecimalSqDevSum(child: Expression, cents: Array[Double], scale: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "decimal_sqdev_sum"
+  override def dataType: DataType = DecimalType(38, scale)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      if (scale >= 0 && scale <= 38) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: invalid scale $scale")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    DecimalSqDevSum.compute(v.asInstanceOf[ArrayData], cents, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.DecimalSqDevSum.compute($c, $ref, $scale);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DecimalSqDevSum {
+  def compute(v: ArrayData, cents: Array[Double], scale: Int)
+      : org.apache.spark.sql.types.Decimal = {
+    val d = math.min(v.numElements(), cents.length)
+    var acc: java.math.BigDecimal = null
+    var i = 0
+    while (i < d) {
+      if (!v.isNullAt(i)) {
+        val dx = v.getDouble(i) - cents(i)
+        val sq = dx * dx
+        // non-ANSI Cast: NaN/Inf and overflow -> null term, skipped by sum
+        if (!java.lang.Double.isNaN(sq) && !java.lang.Double.isInfinite(sq)) {
+          val term = Decimal(sq)
+          if (term.changePrecision(38, scale))
+            acc = if (acc == null) term.toJavaBigDecimal
+                  else acc.add(term.toJavaBigDecimal)
+        }
+      }
+      i += 1
+    }
+    if (acc == null) null
+    else {
+      // decimal sum result semantics: overflow past (38, scale) -> null
+      val dec = Decimal(acc)
+      if (dec.changePrecision(38, scale)) dec else null
+    }
+  }
+}
+
 /** Registry wiring: session-local registration plus a
   * [[SparkSessionExtensions]] hook for `--conf spark.sql.extensions`. */
 object GraftFunctions {

@@ -148,6 +148,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(dim > 0)
   }
 
+  test("DecimalSqDevSum kernel equals the exploded decimal-sum twin") {
+    import org.apache.spark.sql.functions.{col, posexplode, broadcast, sum, lit}
+    import org.apache.spark.sql.types.DecimalType
+    // synthetic frame: ordinary vectors, a null element, a NaN square,
+    // an all-null vector, and one longer than the centroid (inner-join
+    // semantics fold only the shared dims)
+    val cx = Array(0.25, -1.5, 3.125)
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, -3.0)),
+      (2L, Seq[java.lang.Double](null, 0.5, 0.0)),
+      (3L, Seq[java.lang.Double](Double.NaN, 1.0, 1.0)),
+      (4L, Seq[java.lang.Double](null, null, null)),
+      (5L, Seq[java.lang.Double](0.1, 0.2, 0.3, 99.0)))
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "v")
+    val kernel = df.select(col("vec_id"),
+      org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.DecimalSqDevSum(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+          cx, 12)).as("s"))
+    val cdf = cx.zipWithIndex.map { case (c, i0) => (i0 + 1, c) }
+      .toSeq.toDF("i", "cxv")
+    val twin = df.select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
+      .join(broadcast(cdf), "i")
+      .groupBy("vec_id")
+      .agg(sum(((col("x") - col("cxv")) * (col("x") - col("cxv")))
+        .cast(DecimalType(38, 12))).as("s"))
+    def m(d: org.apache.spark.sql.DataFrame): Map[Long, java.math.BigDecimal] =
+      d.collect().map(r =>
+        r.getLong(0) -> r.getAs[java.math.BigDecimal]("s")).toMap
+    val k = m(kernel); val t = m(twin)
+    for (id <- t.keys) assert(k(id) == t(id), s"vec $id: ${k(id)} vs ${t(id)}")
+    assert(k(4L) == null)  // all-null vector: sum over all-null terms
+    // interpreted == codegen'd
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try m(kernel) finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(interp == k)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val forced = try m(kernel) finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    assert(forced == k)
+    assert(lit(1) != null) // keep the import set uniform with siblings
+  }
+
   test("brute-force top-k is correctly ranked") {
     val rows = Pipeline.simCosineTopk(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
