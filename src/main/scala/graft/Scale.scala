@@ -462,23 +462,19 @@ object Scale {
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .localCheckpoint() // scanned for seeds, update, and both argmins
-    // codebook as driver arrays: cents(g)(c) = (cid, subvector)
-    def fmt(x: Double): String = s"${x}D"
-    // struct-literal argmin per subspace: array over cid of
-    // (dist DECIMAL, cid), min = (smallest dist, lowest cid)
-    def assignCol(cents: IndexedSeq[IndexedSeq[(Long, Array[Double])]]): Column = {
-      val perG = (0 until PqSub).map { g =>
-        val structs = cents(g).map { case (cid, cv) =>
-          val dist = (0 until w).map { j =>
-            val x = s"element_at(v, ${g * w + j + 1})"
-            s"cast((($x - ${fmt(cv(j))}) * ($x - ${fmt(cv(j))})) as decimal(20,12))"
-          }.mkString(" + ")
-          s"named_struct('dist', $dist, 'cid', ${cid}L)"
-        }.mkString("array(", ", ", ")")
-        s"array_min($structs)"
-      }.mkString("array(", ", ", ")")
-      expr(perG) // array over g of struct(dist, cid)
-    }
+    // Round 15: both assignment rounds ride the native [[graft.functions
+    // .PqArgmin]] kernel — one generated loop per row instead of the
+    // ~500-node decimal expression tree (256 CheckOverflow'd decimal
+    // casts + 224 decimal Adds + 32 named_structs per vector) that
+    // previously evaluated twice per vector and took most of the
+    // operator's wall-clock. The kernel replays the expression's decimal
+    // arithmetic term for term (cast to decimal(20,12), exact Add chain,
+    // array_min's (dist, cid) struct order), so assignments, distances —
+    // and the DuckDB oracle — are bit-for-bit unchanged;
+    // [[pqAssignHof]] keeps the SQL formulation as executable
+    // documentation and ScaleSpec pins the two equal.
+    def assignCol(cents: IndexedSeq[IndexedSeq[(Long, Array[Double])]]): Column =
+      pqAssignKernel(cents)
     val seedRows = vecs.orderBy("vec_id").limit(PqK).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
     val c0: IndexedSeq[IndexedSeq[(Long, Array[Double])]] =
@@ -523,6 +519,38 @@ object Scale {
         round(col("msed"), 6).as("mse"))
       .orderBy("g")
   }
+  /** Kernel form of the per-subspace PQ argmin (expects the vector column
+    * named `v`): array over g of struct(dist decimal(19+w,12), cid). */
+  private[graft] def pqAssignKernel(
+      cents: IndexedSeq[IndexedSeq[(Long, Array[Double])]]): Column =
+    org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.PqArgmin(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+        cents.map(_.map(_._2).toArray).toArray,
+        cents.map(_.map(_._1).toArray).toArray))
+
+  /** The pre-round-15 SQL formulation of [[pqAssignKernel]] — executable
+    * documentation of what the kernel computes (struct-literal argmin per
+    * subspace: array over cid of (dist DECIMAL, cid), min = smallest
+    * dist, lowest cid), asserted bit-equal in ScaleSpec. */
+  private[graft] def pqAssignHof(
+      cents: IndexedSeq[IndexedSeq[(Long, Array[Double])]]): Column = {
+    val sub = cents.length
+    val w = cents(0)(0)._2.length
+    def fmt(x: Double): String = s"${x}D"
+    val perG = (0 until sub).map { g =>
+      val structs = cents(g).map { case (cid, cv) =>
+        val dist = (0 until w).map { j =>
+          val x = s"element_at(v, ${g * w + j + 1})"
+          s"cast((($x - ${fmt(cv(j))}) * ($x - ${fmt(cv(j))})) as decimal(20,12))"
+        }.mkString(" + ")
+        s"named_struct('dist', $dist, 'cid', ${cid}L)"
+      }.mkString("array(", ", ", ")")
+      s"array_min($structs)"
+    }.mkString("array(", ", ", ")")
+    expr(perG) // array over g of struct(dist, cid)
+  }
+
   val embPqSql: String = {
     val w = 64 / PqSub
     s"""WITH e AS (SELECT vec_id, (i - 1) // $w AS g, (i - 1) % $w AS j,

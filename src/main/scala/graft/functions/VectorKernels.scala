@@ -497,6 +497,143 @@ object DecimalSqDevSum {
   }
 }
 
+/** Per-subspace product-quantization argmin over a constructor-constant
+  * codebook, in one generated loop: for each subspace `g` (contiguous
+  * `w`-wide dimension block) it returns
+  * `struct(dist DECIMAL(19+w, 12), cid BIGINT)` for the nearest of the
+  * subspace's centroids — bit-for-bit the value of the SQL formulation
+  * `array_min(array(named_struct('dist', Σⱼ cast((x−c)² AS
+  * decimal(20,12)), 'cid', cid), …))` that [[graft.Scale.embPq]]
+  * previously evaluated as a ~500-node expression tree per row, twice.
+  *
+  * Exact-decimal replay, term for term: each term is the non-ANSI
+  * `Cast(double → decimal(20,12))` (`Decimal(sq)` + `changePrecision`
+  * HALF_UP; NaN/Inf/overflow → null), the `t₁ + t₂ + …` chain is
+  * Spark's decimal `Add` — scale stays 12, precision grows 20, 21, …,
+  * 19+w with a per-node `CheckOverflow` (null on overflow), and unlike
+  * the `sum` aggregate a single NULL TERM nulls the whole chain (`Add`
+  * null-propagates; an out-of-range `element_at`, a null element, or a
+  * NaN square all null the distance). The argmin replays `array_min`'s
+  * struct ordering: a null dist sorts FIRST, distances compare as exact
+  * decimals, ties fall to the lower cid. `w ≤ 19` keeps the chain's
+  * precision inside 38 — beyond that Spark's precision-loss rule would
+  * start rounding every Add and the replay contract breaks, so the
+  * expression rejects it at analysis time. */
+case class PqArgmin(child: Expression, cents: Array[Array[Array[Double]]],
+    cids: Array[Array[Long]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def w: Int = cents(0)(0).length
+  override def prettyName: String = "pq_argmin"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("dist", DecimalType(19 + w, 12), nullable = true),
+      StructField("cid", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      val rect = cents.nonEmpty && cents(0).nonEmpty &&
+        cents(0)(0).nonEmpty &&
+        cents.forall(g => g.nonEmpty &&
+          g.forall(_.length == cents(0)(0).length)) &&
+        cids.length == cents.length &&
+        cids.zip(cents).forall { case (a, b) => a.length == b.length }
+      if (!rect) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a non-empty rectangular codebook with " +
+          "matching cid labels")
+      else if (19 + w > 38) TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: subvector width $w overflows the exact decimal " +
+          "add chain (max 19)")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqArgmin.compute(v.asInstanceOf[ArrayData], cents, cids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "double[][][]")
+    val iRef = ctx.addReferenceObj("cids", cids, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PqArgmin.compute($c, $cRef, $iRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqArgmin {
+  def compute(v: ArrayData, cents: Array[Array[Array[Double]]],
+      cids: Array[Array[Long]])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = cents.length
+    val w = cents(0)(0).length
+    val prec = 19 + w
+    val out = new Array[Any](s)
+    var g = 0
+    while (g < s) {
+      val gc = cents(g); val gi = cids(g)
+      var bestDist: java.math.BigDecimal = null
+      var bestNull = true
+      var bestCid = 0L
+      var c = 0
+      while (c < gc.length) {
+        val cv = gc(c)
+        var acc: java.math.BigDecimal = null
+        var isNull = false
+        var j = 0
+        while (j < w && !isNull) {
+          val idx = g * w + j
+          // element_at past the end (non-ANSI) and a null element both
+          // yield a null term, which Add propagates to the whole chain
+          if (idx >= v.numElements() || v.isNullAt(idx)) isNull = true
+          else {
+            val dx = v.getDouble(idx) - cv(j)
+            val sq = dx * dx
+            if (java.lang.Double.isNaN(sq) ||
+                java.lang.Double.isInfinite(sq)) isNull = true
+            else {
+              val term = Decimal(sq)
+              if (!term.changePrecision(20, 12)) isNull = true
+              else if (acc == null) acc = term.toJavaBigDecimal
+              else {
+                // Add node i (1-based term count i = j + 1): result type
+                // (20 + j, 12), CheckOverflow -> null past that precision
+                val a2 = acc.add(term.toJavaBigDecimal)
+                if (a2.precision() > 20 + j) isNull = true else acc = a2
+              }
+            }
+          }
+          j += 1
+        }
+        if (isNull) acc = null
+        // array_min struct ordering: null dist first, then exact decimal
+        // compare, tie to the lower cid
+        val take =
+          if (c == 0) true
+          else if (acc == null && !bestNull) true
+          else if (acc == null && bestNull) gi(c) < bestCid
+          else if (bestNull) false
+          else {
+            val cmp = acc.compareTo(bestDist)
+            cmp < 0 || (cmp == 0 && gi(c) < bestCid)
+          }
+        if (take) { bestDist = acc; bestNull = acc == null; bestCid = gi(c) }
+        c += 1
+      }
+      val dec =
+        if (bestNull) null
+        else { val d0 = Decimal(bestDist); d0.changePrecision(prec, 12); d0 }
+      out(g) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](dec, bestCid))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Registry wiring: session-local registration plus a
   * [[SparkSessionExtensions]] hook for `--conf spark.sql.extensions`. */
 object GraftFunctions {

@@ -216,6 +216,55 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("PqArgmin kernel equals the struct-literal argmin expression") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // S=2 subspaces of width 3, K=3 centroids with non-consecutive cids;
+    // rows cover ordinary values, a null element, a NaN element, exact
+    // distance ties (tie must fall to the LOWER cid), and negative zeros.
+    // (Ragged vectors and >1e8 squares are excluded: under the session's
+    // ANSI mode the expression twin THROWS there, while the kernel keeps
+    // the permissive null — the DecimalSqDevSum stance.)
+    val cents: IndexedSeq[IndexedSeq[(Long, Array[Double])]] = IndexedSeq(
+      IndexedSeq(7L -> Array(0.0, 1.0, -2.0), 3L -> Array(0.5, 1.0, -2.0),
+        11L -> Array(-0.25, 0.125, 3.0)),
+      IndexedSeq(7L -> Array(1.0, 1.0, 1.0), 3L -> Array(1.0, 1.0, 1.0),
+        11L -> Array(0.0, 0.0, 0.0)))
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, -3.0, 0.5, 0.25, -0.125)),
+      (2L, Seq[java.lang.Double](null, 0.5, 0.0, 1.0, 1.0, 1.0)),
+      (3L, Seq[java.lang.Double](Double.NaN, 1.0, 1.0, 0.0, 0.0, 0.0)),
+      (4L, Seq[java.lang.Double](null, null, null, null, null, null)),
+      (5L, Seq[java.lang.Double](-0.0, 0.0, -0.0, 0.917, -2.34, 8.5)),
+      (6L, Seq[java.lang.Double](0.25, 1.0, -2.0, 0.5, 0.5, 0.5)))
+    val df = rows.toDF("vec_id", "v")
+    def m(c: org.apache.spark.sql.Column): Seq[String] =
+      df.select(col("vec_id"), c.as("ac")).orderBy("vec_id")
+        .collect().map(_.toString).toSeq
+    val hof = m(Scale.pqAssignHof(cents))
+    val kern = m(Scale.pqAssignKernel(cents))
+    assert(kern == hof)
+    // row 6 subspace 0 is equidistant from cids 7 and 3 (0.25² each
+    // side), and subspace 1 duplicates cid 7's and 3's centroids — both
+    // ties must land on cid 3 in BOTH formulations
+    assert(kern(5).contains("3]"))
+    // interpreted == codegen'd
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try m(Scale.pqAssignKernel(cents)) finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(interp == kern)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val forced = try m(Scale.pqAssignKernel(cents)) finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    assert(forced == kern)
+  }
+
   test("ANN recall audit is consistent and bounded") {
     val rows = Scale.embAnnRecall(spark, sf).collect()
     assert(rows.length == 10) // queries are vec_id < 10
