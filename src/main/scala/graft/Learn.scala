@@ -493,15 +493,21 @@ object Learn {
     * Σxxᵀ partial-aggregation pattern); per-dim sums ride the same pass.
     * All sums are exact decimals; the covariance is a fixed double tree.
     *
-    * Scale contract (tiled-Gram construction): the upper-triangle pair
-    * space is partitioned into B×B dimension-block tiles. Each row first
-    * explodes into its block-pair (bi ≤ bj) units, and each unit expands
-    * into at most B² = 1,024 product structs — so the in-memory array a
-    * single generated row materializes is CONSTANT-bounded regardless of
-    * d (at d=1024 a row becomes 528 tile units of ≤1,024 cells, never one
-    * 523k-struct array). Every (i, j) pair lands in exactly one tile and
-    * the per-cell decimal sums are order-independent, so the reduce — and
-    * the oracle — are identical to the untiled plan. */
+    * Scale contract (fused-Gram accumulation, round 15): the pair
+    * expansion and the keyed decimal reduce fuse into ONE
+    * [[graft.functions.GramDecimalSum]] aggregate — each partition folds
+    * every row's d(d−1)/2 products straight into a triangular
+    * (BigDecimal, seen) buffer, and the merge combines the ≤ d(d−1)/2
+    * cells once per partition. Per-row transient memory is O(1) (no pair
+    * array, no tile explode — strictly tighter than the round-14 tiled
+    * B² bound) and the N·d²/2 pair-row stream through explode + hash
+    * aggregate is GONE; what remains is per-partition state of d(d−1)/2
+    * cells (~16 KB at d=64, ~20 MB at d=1024; documented ceiling
+    * d ≈ 4096, beyond which the tiled explode plan below remains the
+    * fallback). Cell sums are exact decimals — order-free under any
+    * partitioning — so the values, and the oracle, are identical to the
+    * explode plan's; LearnSpec pins the aggregate against the tiled twin
+    * cell for cell. */
   private val TileB = 32
 
   def embCovariance(s: SparkSession, d: String): DataFrame = {
@@ -518,20 +524,46 @@ object Learn {
         .as(Seq("i0", "z")))
       .select((col("i0") + 1).as("i"),
         col("z.sums").cast(DoubleType).as("sx"), col("z.counts").as("n"))
-    // Pair products ride a native codegen'd kernel per B×B tile unit (one
-    // generated loop each) instead of the earlier nested
-    // transform/filter/flatten HOF expansion — HOFs interpret their
-    // lambdas per element, which at d=64 was ~d²/2 interpreted closures
-    // per row and the operator's measured hot spot. The bi ≤ bj tile-unit
-    // explode keeps the per-row materialization bound at B² structs (the
-    // scale contract above); the size ≥ 2 pre-filter keeps the block
-    // sequence ascending (vectors shorter than 2 have no pairs — and a
-    // 0-block sequence(0, -1) would DESCEND, the historical phantom-tile
-    // regression LearnSpec pins). The emitted (i, j, xy) structs and the
-    // decimal-sum aggregate below are unchanged, so the DuckDB oracle is
-    // untouched.
-    val nBlocks = s"int(ceil(size(embedding) / ${TileB}.0))"
+    // Pair products and their keyed decimal reduce fuse into ONE
+    // GramDecimalSum pass (the scale contract above): no per-row pair
+    // array, no tile-unit explode, no N·d²/2-row stream through the hash
+    // aggregate. The aggregate replays the explode plan's arithmetic
+    // term for term — xy = (double)v[i]·(double)v[j], non-ANSI cast to
+    // decimal(38,12), exact order-free BigDecimal sums, a cell emitted
+    // iff some row produced the pair — so the DuckDB oracle is
+    // untouched; [[embCovariancePairsTiled]] keeps the round-14 tiled
+    // explode plan as executable documentation and LearnSpec pins the
+    // two equal cell for cell.
     val pairs = t(s, d, "embeddings")
+      .agg(graft.functions.GramDecimalSum.gram_decimal_sum(
+        col("embedding"), 12).as("gram"))
+      .select(explode(col("gram")).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.sxy").cast(DoubleType).as("sxy"))
+    val cov = pairs
+      .join(broadcast(dims.select(col("i"), col("sx").as("sxi"), col("n"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .select(col("i"), col("j"),
+        round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
+          (col("n") - 1), 6).as("cov"))
+    val w = Window.orderBy(abs(col("cov")).desc, col("i"), col("j"))
+    cov.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+      .select(col("rk").cast("long").as("rk"), col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"), col("cov"))
+      .orderBy("rk")
+  }
+  /** The round-14 tiled explode + keyed decimal reduce — executable
+    * documentation of what [[graft.functions.GramDecimalSum]] fuses
+    * (bi ≤ bj tile-unit explode, PairProductsTile kernel per unit,
+    * groupBy(i, j) decimal sum; the size ≥ 2 pre-filter keeps the block
+    * sequence ascending — a 0-block sequence(0, -1) would DESCEND, the
+    * historical phantom-tile regression LearnSpec pins). Remains the
+    * fallback plan shape past the aggregate's documented d ≈ 4096
+    * partition-state ceiling; asserted cell-equal to the aggregate in
+    * LearnSpec. */
+  private[graft] def embCovariancePairsTiled(
+      s: SparkSession, d: String): DataFrame = {
+    val nBlocks = s"int(ceil(size(embedding) / ${TileB}.0))"
+    t(s, d, "embeddings")
       .filter(size(col("embedding")) >= 2)
       .select(col("embedding"), explode(expr(
         s"""flatten(transform(sequence(0, $nBlocks - 1),
@@ -545,19 +577,9 @@ object Learn {
           TileB))).as("p"))
       .select(col("p.i"), col("p.j"), col("p.xy"))
       .groupBy("i", "j")
-      .agg(sum(col("xy").cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"))
-    val cov = pairs
-      .join(broadcast(dims.select(col("i"), col("sx").as("sxi"), col("n"))), "i")
-      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), "j")
-      .select(col("i"), col("j"),
-        round((col("sxy") - col("sxi") * col("sxj") / col("n")) /
-          (col("n") - 1), 6).as("cov"))
-    val w = Window.orderBy(abs(col("cov")).desc, col("i"), col("j"))
-    cov.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
-      .select(col("rk").cast("long").as("rk"), col("i").cast("long").as("i"),
-        col("j").cast("long").as("j"), col("cov"))
-      .orderBy("rk")
+      .agg(sum(col("xy").cast(DecimalType(38, 12))).as("sxy"))
   }
+
   val embCovarianceSql: String =
     """WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       |  FROM embeddings,

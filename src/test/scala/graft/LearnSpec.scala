@@ -278,6 +278,46 @@ class LearnSpec extends AnyFunSuite {
     }
   }
 
+  test("GramDecimalSum == the tiled explode + keyed decimal reduce, cell-exact") {
+    import org.apache.spark.sql.functions.{col, explode}
+    def cells(df: org.apache.spark.sql.DataFrame, sxyCol: String)
+        : Map[(Int, Int), java.math.BigDecimal] =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[java.math.BigDecimal](sxyCol)).toMap
+    def viaAgg(dir: String) = cells(
+      Q.t(spark, dir, "embeddings")
+        .agg(graft.functions.GramDecimalSum.gram_decimal_sum(
+          col("embedding"), 12).as("gram"))
+        .select(explode(col("gram")).as("p"))
+        .select(col("p.i"), col("p.j"), col("p.sxy")), "sxy")
+    def viaTiles(dir: String) =
+      cells(Learn.embCovariancePairsTiled(spark, dir), "sxy")
+    // the real corpus: every (i, j) cell, exact decimal equality
+    val corpus = viaAgg(sf)
+    assert(corpus.nonEmpty && corpus == viaTiles(sf))
+    // synthetic edge corpus: null elements (pair omitted), a NaN element
+    // (group present, possibly-null sum), ragged/short/empty vectors,
+    // and a dimension pair that is null across EVERY row (missing cell
+    // in both formulations)
+    import spark.implicits._
+    val rows: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null, 2.5f, -0.5f)),
+      (2L, Seq[java.lang.Float](0.25f, null, Float.NaN, 1.0f)),
+      (3L, Seq[java.lang.Float](-1.5f, null, 0.0f)),
+      (4L, Seq[java.lang.Float](7.0f)),
+      (5L, Seq[java.lang.Float]()),
+      (6L, Seq[java.lang.Float](0.1f, null, -0.2f, 0.3f, 0.4f)))
+    val dir = java.nio.file.Files.createTempDirectory("gramsum").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val agg = viaAgg(dir)
+    assert(agg == viaTiles(dir))
+    // dimension 2 is null in every row: no (2, j) or (i, 2) cell at all
+    assert(!agg.keys.exists { case (i, j) => i == 2 || j == 2 })
+    // (1, 3): row 2's product is NaN (null term) but rows 1/3/6 contribute
+    assert(agg.contains((1, 3)) && agg((1, 3)) != null)
+  }
+
   test("VectorSum keyed update == the posexplode/avg formulation, bit-exact") {
     import org.apache.spark.sql.functions.{avg, col, count, lit, pmod,
       posexplode, transform => tfm}
