@@ -223,13 +223,76 @@ object Mining {
   /** Metric-learning triplet mining: for each anchor vector, the hardest
     * positive (same label, farthest) and hardest negative (different
     * label, nearest) by L2, plus the triplet margin (negative ⇒ the
-    * triplet violates and is worth training on). Shape: broadcast the
-    * anchor sample against one corpus pass, reduce to an anchors×corpus
-    * distance table, take per-anchor extremes with a window keyed by
-    * anchor (parallel across anchors). Distances sum per-dimension
-    * products as DECIMAL(38,12) so both engines rank identically;
-    * (distance, vec_id) is the total order. */
+    * triplet violates and is worth training on). Distances sum
+    * per-dimension products as DECIMAL(38,12) so both engines rank
+    * identically; (distance, vec_id) is the total order.
+    *
+    * Shape (round 15): the anchor sample is DRIVER state (20 × d
+    * doubles — the table you'd broadcast at 100 TB), constant-folded
+    * into ONE corpus pass as per-anchor [[graft.functions
+    * .DecimalSqDevSum]] kernel distances; per-anchor extremes reduce
+    * through a 20-group `max/min(struct(dist, bv))` aggregate whose
+    * struct order replays the previous window's (dist, bv) sort —
+    * including null-dist rows sorting first-asc/last-desc. The
+    * dim-keyed join of a 64×-posexploded corpus against the anchors
+    * (an anchors×corpus×d-row intermediate), the 4M-group hash
+    * aggregate, and both per-anchor window sorts are GONE;
+    * [[embTripletMiningJoin]] keeps that formulation as executable
+    * documentation and MiningSpec pins the two row-equal. */
   def embTripletMining(s: SparkSession, d: String): DataFrame = {
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val anchors = vecs.filter(col("vec_id") < 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[java.lang.Integer]("label"),
+        Option(r.getSeq[Double](2)).map(_.toArray).orNull))
+      // an empty anchor vector joined no dimension rows in the explode
+      // formulation, so it never appeared — skip it here too
+      .filter(a => a._3 != null && a._3.nonEmpty)
+      .sortBy(_._1)
+    // per-anchor kernel distance: sqrt(cast(Σ decimal terms as double)),
+    // the exact arithmetic of sqrt(sum(cast((ax-x)² as decimal(38,12))))
+    // — DecimalSqDevSum's min-dims fold IS the dim-equi-join semantics
+    def distTo(av: Array[Double]): Column =
+      sqrt(org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.DecimalSqDevSum(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+          av, 12)).cast("double"))
+    val pairStructs = anchors.map { case (av, al, avec) =>
+      struct(lit(av).as("av"), lit(al).as("al"), distTo(avec).as("dist"))
+    }
+    val pairs = vecs
+      // an empty b-side vector joined no dimension rows either
+      .filter(size(col("v")) >= 1)
+      .select(col("vec_id").as("bv"), col("label").as("bl"),
+        explode(array(pairStructs.toIndexedSeq: _*)).as("p"))
+      .filter(col("p.av") =!= col("bv"))
+    // hardest positive = window (dist DESC, bv ASC) head == max struct
+    // (dist, -bv): a null dist field sorts smallest, matching DESC nulls
+    // last; hardest negative = window (dist ASC, bv ASC) head == min
+    // struct (dist, bv), null dist first. when() nulls rows whose label
+    // comparison is null or false — exactly the previous filters.
+    pairs.groupBy(col("p.av").as("av"))
+      .agg(
+        max(when(col("p.al") === col("bl"),
+          struct(col("p.dist").as("dist"), (-col("bv")).as("nbv")))).as("ps"),
+        min(when(col("p.al") =!= col("bl"),
+          struct(col("p.dist").as("dist"), col("bv").as("bv")))).as("ns"))
+      .filter(col("ps").isNotNull && col("ns").isNotNull)
+      .select(col("av").as("anchor"), (-col("ps.nbv")).as("pos_id"),
+        round(col("ps.dist"), 6).as("pos_dist"), col("ns.bv").as("neg_id"),
+        round(col("ns.dist"), 6).as("neg_dist"),
+        round(col("ns.dist") - col("ps.dist"), 6).as("margin"))
+      .orderBy("anchor")
+  }
+
+  /** The pre-round-15 join formulation of [[embTripletMining]] —
+    * executable documentation (broadcast anchor dims against the
+    * 64×-posexploded corpus, keyed decimal reduce, per-anchor windows),
+    * asserted row-equal in MiningSpec. */
+  private[graft] def embTripletMiningJoin(
+      s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i", "xf")))

@@ -109,6 +109,12 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("triplet mining kernel plan == the broadcast-join formulation") {
+    val a = Mining.embTripletMining(spark, sf).collect().map(_.toString).toSeq
+    val b = Mining.embTripletMiningJoin(spark, sf).collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("McNemar cells tile the corpus and chi2 matches the 2x2") {
     val row = Mining.statMcnemar(spark, sf).collect().head
     val cells = docs.map { r =>
