@@ -2427,7 +2427,33 @@ object Pipeline {
     * bytes and ~50 bytes per span. Collision odds at n spans are
     * ~n²/2⁶⁴ (≈10⁻⁸ at a billion spans); [[dedupSubstringBruteSpans]]
     * is the raw-string twin the spec checks hash-faithfulness against. */
-  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    // Round 15: the per-doc (gram, count) reduce happens INSIDE the
+    // NgramMd5LaneCounts kernel loop — the span stream never enters a
+    // shuffle, deleting the (g, doc_id) map-side-combined exchange the
+    // round-13 aggregate-once topology still paid. The kernel emits
+    // bit-identical lanes and identical multiplicities to the
+    // explode → groupBy it replaces ([[dedupSubstringExplode]], the
+    // executable documentation, is pinned row-equal in PipelineSpec),
+    // so the spread window, the rollup, and the DuckDB oracle are
+    // untouched. At 100 TB the only wide stage left is the gram-keyed
+    // spread window over distinct (gram, doc) pairs.
+    val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
+    val perDocGram = docs.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.NgramMd5LaneCounts(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("ws")),
+            8))).as("p"))
+      .select(col("p.g").as("g"), col("doc_id"), col("p.c").as("c"))
+    dedupSubstringRollup(docs, perDocGram)
+  }
+
+  /** The pre-round-15 explode + (g, doc) groupBy head of
+    * [[dedupSubstring]] — executable documentation of what
+    * [[graft.functions.NgramMd5LaneCounts]] reduces in-row. */
+  private[graft] def dedupSubstringExplode(
+      s: SparkSession, d: String): DataFrame =
     dedupSubstringOn(gramCol = md5Lane("concat_ws(' ', slice(ws, i, 8))"))(s, d)
 
   /** Raw-string-gram twin of [[dedupSubstring]] — spec ground truth only
@@ -2452,6 +2478,14 @@ object Pipeline {
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(ws) - 7), i -> $gramCol)")).as("g"))
     val perDocGram = grams.groupBy("g", "doc_id").agg(count(lit(1)).as("c"))
+    dedupSubstringRollup(docs, perDocGram)
+  }
+
+  /** Shared tail of the substring-dedup family: gram-keyed spread window
+    * over the reduced (g, doc_id, c) stream, per-doc rollup, corpus
+    * left-join. */
+  private def dedupSubstringRollup(
+      docs: DataFrame, perDocGram: DataFrame): DataFrame = {
     val spreadWin = Window.partitionBy("g")
     val per = perDocGram
       .withColumn("nd", count(lit(1)).over(spreadWin))

@@ -251,6 +251,81 @@ object NgramMd5Lanes {
   }
 }
 
+/** Distinct md5-lane hashed word n-grams WITH their per-document
+  * multiplicities — the counted twin of [[NgramMd5Lanes]] for operators
+  * whose rollup weighs grams by occurrence (dedup_substring's span
+  * counts): `word_ngram_md5_lane_counts(ws, n)` =
+  * `array<struct<g bigint, c bigint>>`, one entry per DISTINCT gram lane
+  * in first-occurrence order, `c` its span multiplicity. Emits exactly
+  * the rows `explode(grams) → groupBy(g, doc).count()` produced
+  * (bit-identical lanes, identical counts) while never shipping the
+  * per-span stream into a shuffle — the (gram, doc) reduce happens
+  * inside this loop, so the only wide stage left downstream is the
+  * gram-keyed spread window. */
+case class NgramMd5LaneCounts(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "word_ngram_md5_lane_counts"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("g", LongType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull=false only: compute() reads each element's UTF8String
+    // unconditionally (call sites pass split() output)
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramMd5LaneCounts.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NgramMd5LaneCounts.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramMd5LaneCounts {
+  def compute(ws: ArrayData, n: Int): GenericArrayData = {
+    val nw = ws.numElements()
+    if (nw < n) return new GenericArrayData(Array.empty[Any])
+    val ng = nw - n + 1
+    val digest = MinHashSignature.md5Digest()
+    val counts = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+    var i = 0
+    while (i < ng) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val lane: java.lang.Long = MinHashSignature.hexPrefix15(
+        digest.digest(sb.toString.getBytes(StandardCharsets.UTF_8)))
+      val slot = counts.get(lane)
+      if (slot == null) counts.put(lane, Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.longValue(), e.getValue()(0)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Seeded minima over an already-hashed gram array: for each seed
   * j ∈ [0, nSeeds), min over the longs of xxhash64-at-seed-(42+j) — the
   * long-input twin of [[BandedMinHashes]] for pipelines whose grams

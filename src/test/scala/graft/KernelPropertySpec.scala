@@ -209,6 +209,23 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
     }
 
+  property("NgramMd5LaneCounts.compute == distinct lanes with multiplicities") =
+    Prop.forAll(genWords) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.NgramMd5LaneCounts.compute(in, 3)
+        .array.toSeq.map { r =>
+          val row = r.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          (row.getLong(0), row.getLong(1))
+        }
+      val lanes =
+        if (ws.length < 3) Seq.empty
+        else (0 to ws.length - 3).map(i => md5Lane(ws.slice(i, i + 3).mkString(" ")))
+      val expect = lanes.distinct.map(l => (l, lanes.count(_ == l).toLong))
+      Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
+    }
+
   property("ArrayLongIntersectCount == size of the distinct intersection") =
     Prop.forAll(Gen.listOf(Gen.choose(-8L, 8L)), Gen.listOf(Gen.choose(-8L, 8L))) {
       (a, b) => // tiny range → heavy duplicates and overlaps

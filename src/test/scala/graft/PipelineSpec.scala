@@ -581,6 +581,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(hashed == brute,
       "md5-lane gram keys changed the duplicated-span stats (collision?)")
     assert(hashed.exists(_._3 > 0), "corpus has no duplicated 8-gram spans")
+    // the in-kernel (gram, count) reduce == the explode + groupBy head
+    val exploded = Pipeline.dedupSubstringExplode(spark, sf).collect()
+      .map(key).toSeq
+    assert(hashed == exploded,
+      "NgramMd5LaneCounts diverged from the explode + (g, doc) groupBy head")
   }
 
   test("int8-quantized top-5 recalls the exact cosine top-5") {
