@@ -2212,15 +2212,21 @@ object Pipeline {
     * scalar counted on exact strings. */
   def textBigramLogprob(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
-    val bg = docs.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(xxhash64(ws[i-1]) as h1, xxhash64('g2', ws[i-1]) as h1b, " +
-          "xxhash64(ws[i-1], ws[i]) as h12, xxhash64('g2', ws[i-1], ws[i]) as h12b))")).as("b"))
+    // Round 15: the per-doc (quad, k) reduce happens INSIDE the
+    // BigramHashCounts kernel loop — the span stream (4 interpreted
+    // xxhash64 HOF lambdas per span, then the (doc, quad)-keyed
+    // exchange) never enters a shuffle; emitted rows are bit-identical,
+    // so every downstream stage and the oracle are untouched. The spec
+    // keeps the span-explode head as executable documentation, pinned
+    // row-equal against this kernel head.
+    val perDoc = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.BigramHashCounts(
+            org.apache.spark.sql.graftcol.NativeColumn
+              .expression(col("ws"))))).as("b"))
       .select(col("doc_id"), col("b.h1").as("h1"), col("b.h1b").as("h1b"),
-        col("b.h12").as("h12"), col("b.h12b").as("h12b"))
-    val perDoc = bg.groupBy("doc_id", "h1", "h1b", "h12", "h12b")
-      .agg(count(lit(1)).as("k"))
+        col("b.h12").as("h12"), col("b.h12b").as("h12b"), col("b.k").as("k"))
     val bc = perDoc.groupBy("h1", "h1b", "h12", "h12b").agg(sum("k").as("c2"))
     val uc = bc.groupBy("h1", "h1b").agg(sum("c2").as("c1"))
     val v = docs.select(explode(col("ws")).as("u"))

@@ -326,6 +326,107 @@ object NgramMd5LaneCounts {
   }
 }
 
+/** Per-document bigram 128-bit-key multiplicities as a native codegen'd
+  * expression — the bigram-LM twin of [[NgramMd5LaneCounts]]:
+  * `bigram_hash_counts(ws)` = `array<struct<h1, h1b, h12, h12b, k>>`,
+  * one entry per DISTINCT (unigram-pair, bigram-pair) hash quad in
+  * first-occurrence order, `k` its occurrence count. Hash lanes replay
+  * the engine's `xxhash64` chaining exactly — `h1 = xxhash64(w₁)`,
+  * `h1b = xxhash64('g2', w₁)` (the literal salt hashes into the seed),
+  * `h12 = xxhash64(w₁, w₂)`, `h12b = xxhash64('g2', w₁, w₂)` — so the
+  * emitted rows are bit-identical to the HOF span explode +
+  * `groupBy(doc_id, h1, h1b, h12, h12b).count()` they replace, while
+  * the per-span stream (4 interpreted xxhash64 lambdas per span, then
+  * a (doc, quad)-keyed exchange) never leaves this loop. Per-position
+  * plain and salted unigram hashes are computed once and reused as the
+  * seed chain of the following span's bigram lanes. */
+case class BigramHashCounts(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "bigram_hash_counts"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h1b", LongType, nullable = false),
+      StructField("h12", LongType, nullable = false),
+      StructField("h12b", LongType, nullable = false),
+      StructField("k", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull=false only: compute() reads each element's UTF8String
+    // unconditionally (call sites pass split() output)
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramHashCounts.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BigramHashCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramHashCounts {
+  private val XxSeed = 42L
+  /** `xxhash64('g2', …)` chains the salt through the seed slot. */
+  private val G2Seed = org.apache.spark.sql.catalyst.expressions
+    .XxHash64Function.hash(UTF8String.fromString("g2"), StringType, XxSeed)
+
+  private final class Quad(val h1: Long, val h1b: Long, val h12: Long,
+      val h12b: Long) {
+    var k: Long = 0L
+    override def hashCode: Int =
+      java.lang.Long.hashCode(h12 * 31 + h12b)
+    override def equals(o: Any): Boolean = o match {
+      case q: Quad =>
+        q.h1 == h1 && q.h1b == h1b && q.h12 == h12 && q.h12b == h12b
+      case _ => false
+    }
+  }
+
+  def compute(ws: ArrayData): GenericArrayData = {
+    val nw = ws.numElements()
+    if (nw < 2) return new GenericArrayData(Array.empty[Any])
+    val hash = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    // per-position plain + salted unigram hashes, computed once
+    val a1 = new Array[Long](nw)
+    val a1b = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      val w = ws.getUTF8String(i)
+      a1(i) = hash.hash(w, StringType, XxSeed)
+      a1b(i) = hash.hash(w, StringType, G2Seed)
+      i += 1
+    }
+    val counts = new java.util.LinkedHashMap[Quad, Quad]()
+    i = 0
+    while (i < nw - 1) {
+      val w2 = ws.getUTF8String(i + 1)
+      val q = new Quad(a1(i), a1b(i),
+        hash.hash(w2, StringType, a1(i)),
+        hash.hash(w2, StringType, a1b(i)))
+      val slot = counts.get(q)
+      if (slot == null) { q.k = 1L; counts.put(q, q) } else slot.k += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.values().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val q = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](q.h1, q.h1b, q.h12, q.h12b, q.k))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Seeded minima over an already-hashed gram array: for each seed
   * j ∈ [0, nSeeds), min over the longs of xxhash64-at-seed-(42+j) — the
   * long-input twin of [[BandedMinHashes]] for pipelines whose grams

@@ -1139,6 +1139,35 @@ class GraphTextSpec extends AnyFunSuite {
     assert(rows.length == wc.count(_._2 >= 2))
   }
 
+  test("BigramHashCounts head == the span-explode + quad groupBy head") {
+    import org.apache.spark.sql.functions._
+    // the pre-round-15 head: per-span HOF xxhash64 quads, then the
+    // (doc, quad)-keyed count — executable documentation of what the
+    // kernel reduces in-row
+    val docs = Q.t(spark, sf, "documents")
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val viaExplode = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(xxhash64(ws[i-1]) as h1, xxhash64('g2', ws[i-1]) as h1b, " +
+          "xxhash64(ws[i-1], ws[i]) as h12, xxhash64('g2', ws[i-1], ws[i]) as h12b))")).as("b"))
+      .groupBy(col("doc_id"), col("b.h1"), col("b.h1b"), col("b.h12"),
+        col("b.h12b"))
+      .agg(count(lit(1)).as("k"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaKernel = docs
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.BigramHashCounts(
+            org.apache.spark.sql.graftcol.NativeColumn
+              .expression(col("ws"))))).as("b"))
+      .select(col("doc_id"), col("b.h1"), col("b.h1b"), col("b.h12"),
+        col("b.h12b"), col("b.k"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaKernel.nonEmpty && viaKernel == viaExplode)
+  }
+
   test("vocab coverage is nondecreasing, self-consistent, and ends at most 1") {
     val rows = Pipeline.vocabCoverage(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= Pipeline.CovK)
