@@ -2372,8 +2372,9 @@ object Pipeline {
       |GROUP BY cohort, wk ORDER BY cohort, wk""".stripMargin
 
   /** TF-IDF top terms: the classic corpus-statistics op (salient terms
-    * per document). One explode + one keyed aggregation — (doc, term)
-    * term frequencies; the term document frequency is a `count(*)` window
+    * per document). The (doc, term) term frequencies reduce map-side
+    * inside the [[graft.functions.WordCounts]] kernel (no explode →
+    * groupBy exchange); the term document frequency is a `count(*)` window
     * over the term partition of that SAME relation (one row per
     * (doc, term), so the partition size IS the document frequency). The
     * window replaces the round-14 dfreq groupBy + equi-join pair, which
@@ -2387,11 +2388,29 @@ object Pipeline {
     * for the window buffer (spillable UnsafeRowArray) as it was for the
     * join's shuffle block — the rewrite moves no skew boundary. */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    // Round 15: the (doc, word) term-frequency reduce happens INSIDE the
+    // WordCounts kernel loop (all words of a document live in one row) —
+    // the explode → groupBy(doc_id, w) exchange is GONE; the only wide
+    // stages left are the structural term-keyed df window and the
+    // doc-keyed rank window. The kernel emits the identical (w, c) pairs
+    // ([[tfidfTopTermsExploded]], the executable documentation, is pinned
+    // row-equal in PipelineSpec), so the window chain and the DuckDB
+    // oracle are untouched.
     val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
-    val words = docs.select(col("doc_id"),
-      size(col("ws")).cast("long").as("n_words"), explode(col("ws")).as("w"))
-    val tf = words.groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("c"), first(col("n_words")).as("n_words"))
+    val tf = docs.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        explode(org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.WordCounts(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("ws")))))
+          .as("p"))
+      .select(col("doc_id"), col("p.w").as("w"), col("p.c").as("c"),
+        col("n_words"))
+    tfidfRanked(docs, tf)
+  }
+
+  /** Shared tail of [[tfidfTopTerms]]: df window + broadcast corpus size
+    * + rounded-score ranking over a (doc_id, w, c, n_words) tf relation. */
+  private def tfidfRanked(docs: DataFrame, tf: DataFrame): DataFrame = {
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val win = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy("w")))
@@ -2421,6 +2440,20 @@ object Pipeline {
          |    ORDER BY score DESC, w) AS rank FROM scored)
          |SELECT doc_id, rank, w AS term, c AS tf, df, score
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** The pre-round-15 explode + (doc_id, w) groupBy head of
+    * [[tfidfTopTerms]], run through the SAME [[tfidfRanked]] tail —
+    * executable documentation of what [[graft.functions.WordCounts]]
+    * reduces in-row; PipelineSpec pins it row-equal to the kernel form. */
+  private[graft] def tfidfTopTermsExploded(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), expr(wordsExpr).as("ws"))
+    val tf = docs.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"), first(col("n_words")).as("n_words"))
+      .select(col("doc_id"), col("w"), col("c"), col("n_words"))
+    tfidfRanked(docs, tf)
+  }
 
   /** Corpus-internal duplicated-span detection (the n-gram approximation
     * of exact-substring dedup, Lee et al. 2022 "Deduplicating Training
@@ -3255,11 +3288,38 @@ object Pipeline {
     * Determinism: each term is quantized to DECIMAL(30,12) and summed
     * exactly (order-independent, the [[Q.dsum]] recipe at higher scale);
     * ln inputs come from the small set of distinct count/total ratios, so
-    * the 6-decimal rounding swallows sub-ulp libm variation. Scale shape:
-    * one (doc_id, word) hash aggregation, then a doc_id-partitioned
-    * window + final aggregation that reuse the same hash partitioning —
-    * two shuffles total, no driver-side state. */
-  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    * the 6-decimal rounding swallows sub-ulp libm variation. Scale shape
+    * (round 15): all words of a document live in one row, so the whole
+    * (doc, word) reduce happens inside the
+    * [[graft.functions.WordEntropyStats]] kernel loop — ZERO wide stages
+    * (the pre-kernel chain paid a (doc_id, word) hash aggregation plus a
+    * doc window + final aggregate; [[textEntropyExploded]] keeps that
+    * formulation as executable documentation, pinned row-equal in
+    * PipelineSpec). The kernel replays the decimal quantization and
+    * exact sum term for term, so the DuckDB oracle is untouched. */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), expr(wordsExpr).as("ws"))
+      .filter(col("ws").isNotNull && size(col("ws")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.WordEntropyStats(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("ws"))))
+          .as("st"))
+      .select(col("doc_id"),
+        col("st.n_words").as("n_words"),
+        col("st.n_unique").as("n_unique"),
+        round(col("st.e_raw").cast("double"), 6).as("entropy"),
+        when(col("st.n_unique") > 1,
+          round(col("st.e_raw").cast("double")
+            / log(col("st.n_unique").cast("double")), 6))
+          .as("norm_entropy"))
+      .orderBy("doc_id")
+
+  /** The pre-round-15 explode + (doc, word) groupBy + window formulation
+    * of [[textEntropy]] — executable documentation of what
+    * [[graft.functions.WordEntropyStats]] fuses into one map-side loop. */
+  private[graft] def textEntropyExploded(s: SparkSession, d: String): DataFrame = {
     val byDoc = Window.partitionBy("doc_id")
     val p = col("c").cast("double") / col("wc")
     t(s, d, "documents")

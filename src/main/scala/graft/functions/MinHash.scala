@@ -754,3 +754,152 @@ object MinHashSignature {
     mins
   }
 }
+
+/** Per-document distinct words WITH their multiplicities as a native
+  * codegen'd expression — the string-keyed sibling of
+  * [[NgramMd5LaneCounts]] for operators whose downstream stages need the
+  * term itself (tfidf_top_terms ships the term string to its df window):
+  * `word_counts(ws)` = `array<struct<w string, c bigint>>`, one entry per
+  * DISTINCT word in first-occurrence order, `c` its occurrence count.
+  * Emits exactly the rows `explode(ws) → groupBy(doc, w).count()`
+  * produced (same strings, same counts) while never shipping the raw
+  * word stream into a shuffle — the (doc, word) term-frequency reduce
+  * happens inside this loop (all words of a document already live in
+  * one row), so the only wide stage left downstream is whatever keyed
+  * stage consumes the reduced (word, count) pairs. Reference semantics:
+  * the same reduce is the `unnest_columns` → `aggregate(count)` pair
+  * (python/datafusion/dataframe.py:1741,799); this kernel is its
+  * map-side fusion. */
+case class WordCounts(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "word_counts"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull=false only: compute() reads each element's UTF8String
+    // unconditionally (call sites pass split() output)
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordCounts.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordCounts {
+  def compute(ws: ArrayData): GenericArrayData = {
+    val nw = ws.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < nw) {
+      // clone(): detach the key from the (possibly reused) input buffer
+      // before it outlives this element read
+      val w = ws.getUTF8String(i)
+      val slot = counts.get(w)
+      if (slot == null) counts.put(w.clone(), Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-document Shannon-entropy statistics in one generated loop:
+  * `word_entropy_stats(ws)` =
+  * `struct<n_words bigint, n_unique bigint, e_raw decimal(38,12)>`
+  * where `e_raw = Σ_w cast(−p_w·ln p_w AS decimal(30,12))` over the
+  * document's distinct words (p_w = count_w / n_words), summed exactly
+  * as Spark's decimal `sum` aggregate performs it — per-term non-ANSI
+  * Cast (`Decimal(double)` + `changePrecision(30,12)` HALF_UP, failure →
+  * term skipped), java `BigDecimal.add` accumulation (exact, hence
+  * order-free), final overflow check against the aggregate's
+  * decimal(38,12) result type (null on overflow). Bit-identical to the
+  * explode → groupBy(doc, w) → doc window → doc aggregate chain it
+  * replaces ([[graft.Pipeline.textEntropyExploded]], the executable
+  * documentation, is pinned row-equal in PipelineSpec): `p` is the same
+  * long→double cast quotient, `ln` the same `Math.log`, and the decimal
+  * quantization swallows any remaining representation question. All
+  * words of a document live in one row, so the whole op becomes
+  * map-side — at 100 TB the reduce that used to be two keyed exchanges
+  * is zero exchanges. */
+case class WordEntropyStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "word_entropy_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_unique", LongType, nullable = false),
+    StructField("e_raw", DecimalType(38, 12), nullable = true)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordEntropyStats.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordEntropyStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordEntropyStats {
+  def compute(ws: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val nw = ws.numElements()
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < nw) {
+      val w = ws.getUTF8String(i)
+      val slot = counts.get(w)
+      if (slot == null) counts.put(w.clone(), Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val total = nw.toDouble
+    var acc: java.math.BigDecimal = null
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      val p = c.toDouble / total
+      val t = -p * java.lang.Math.log(p)
+      // non-ANSI Cast(double -> decimal(30,12)): NaN/Inf/overflow -> null
+      // term, skipped by sum (unreachable for 0 < p <= 1, replayed anyway)
+      if (!java.lang.Double.isNaN(t) && !java.lang.Double.isInfinite(t)) {
+        val term = org.apache.spark.sql.types.Decimal(t)
+        if (term.changePrecision(30, 12))
+          acc = if (acc == null) term.toJavaBigDecimal
+                else acc.add(term.toJavaBigDecimal)
+      }
+    }
+    val eRaw: Any =
+      if (acc == null) null
+      else {
+        val dec = org.apache.spark.sql.types.Decimal(acc)
+        if (dec.changePrecision(38, 12)) dec else null
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nw.toLong, counts.size.toLong, eRaw))
+  }
+}

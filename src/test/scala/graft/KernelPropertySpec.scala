@@ -226,6 +226,56 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
     }
 
+  // supplementary-plane character included: word keys must compare by
+  // bytes, not by any BMP-only shortcut
+  private val genWordsEmoji: Gen[List[String]] = {
+    val word = Gen.oneOf("x", "y", "z", "xy", "", "Ω", "😀", "a😀b")
+    Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, word))
+  }
+
+  property("WordCounts.compute == distinct words with multiplicities") =
+    Prop.forAll(genWordsEmoji) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.WordCounts.compute(in)
+        .array.toSeq.map { r =>
+          val row = r.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          (row.getUTF8String(0).toString, row.getLong(1))
+        }
+      val expect = ws.distinct.map(w => (w, ws.count(_ == w).toLong))
+      Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
+    }
+
+  property("WordEntropyStats.compute == the independent decimal-sum route") =
+    Prop.forAll(genWordsEmoji) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.WordEntropyStats.compute(in)
+      val nWords = got.getLong(0)
+      val nUnique = got.getLong(1)
+      // independent term route: shortest-decimal-string BigDecimal (the
+      // same value Spark's Cast(double -> decimal) starts from) rounded
+      // HALF_UP to scale 12, summed exactly
+      val terms = ws.distinct.map { w =>
+        val p = ws.count(_ == w).toDouble / ws.length
+        new java.math.BigDecimal(java.lang.Double.toString(-p * math.log(p)))
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+      }
+      val expectRaw =
+        if (terms.isEmpty) null
+        else terms.reduce(_.add(_))
+      val gotRaw =
+        if (got.isNullAt(2)) null
+        else got.getDecimal(2, 38, 12).toJavaBigDecimal
+          .setScale(12, java.math.RoundingMode.UNNECESSARY)
+      Prop(nWords == ws.length.toLong && nUnique == ws.distinct.length.toLong &&
+        ((gotRaw == null && expectRaw == null) ||
+          (gotRaw != null && expectRaw != null &&
+            gotRaw.compareTo(expectRaw) == 0))) :|
+        s"got=($nWords,$nUnique,$gotRaw) expect=(${ws.length},${ws.distinct.length},$expectRaw) ws=$ws"
+    }
+
   property("ArrayLongIntersectCount == size of the distinct intersection") =
     Prop.forAll(Gen.listOf(Gen.choose(-8L, 8L)), Gen.listOf(Gen.choose(-8L, 8L))) {
       (a, b) => // tiny range → heavy duplicates and overlaps

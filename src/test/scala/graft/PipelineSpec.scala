@@ -588,6 +588,24 @@ class TrainingOpsSpec extends AnyFunSuite {
       "NgramMd5LaneCounts diverged from the explode + (g, doc) groupBy head")
   }
 
+  test("WordCounts tfidf head equals the explode + (doc, w) groupBy head") {
+    // both orderings are total ((doc_id, rank) is unique), so plain
+    // row-sequence equality pins the kernel against its explode twin
+    val kernel = Pipeline.tfidfTopTerms(spark, sf).collect().toSeq
+    val exploded = Pipeline.tfidfTopTermsExploded(spark, sf).collect().toSeq
+    assert(kernel.nonEmpty, "tfidf produced no ranked terms")
+    assert(kernel == exploded,
+      "WordCounts diverged from the explode + (doc_id, w) groupBy head")
+  }
+
+  test("WordEntropyStats equals the exploded window formulation") {
+    val kernel = Pipeline.textEntropy(spark, sf).collect().toSeq
+    val exploded = Pipeline.textEntropyExploded(spark, sf).collect().toSeq
+    assert(kernel.nonEmpty, "textEntropy produced no rows")
+    assert(kernel == exploded,
+      "WordEntropyStats diverged from the explode + window + agg chain")
+  }
+
   test("int8-quantized top-5 recalls the exact cosine top-5") {
     val exact = Pipeline.simCosineTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
