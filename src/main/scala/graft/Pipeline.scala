@@ -1019,6 +1019,24 @@ object Pipeline {
     * so every comparison (argmin, probe rank, cosine rank) is bit-exact
     * with no engine-internal float path. */
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val (probes, lists) = simAnnIvfCandidates(s, d)
+    // Re-rank via the map-side-combined TopKByScore aggregate (round 15):
+    // the row_number window shuffled EVERY candidate pair (|list|·nProbe
+    // rows per query) to its q_id partition and sorted the full list
+    // there, with parallelism bounded by the query count; the aggregate's
+    // partial phase keeps 5 entries per (q_id, split) map-side, so one
+    // exchange ships only k-bounded buffers. The comparator replays the
+    // window's (cos DESC, cand_id ASC) order exactly and posexplode's
+    // position replays row_number — [[simAnnIvfWindowedRerank]] (the
+    // window twin) is pinned row-equal in PipelineSpec, and the DuckDB
+    // oracle is untouched.
+    simAnnIvfRerank(probes, lists)
+  }
+
+  /** Training + probe/list construction of [[simAnnIvf]], shared with the
+    * window-rerank twin the spec pins against. */
+  private[graft] def simAnnIvfCandidates(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // nProbe 6/16: with weakly-clustered embeddings (top-5 cosine ≈0.3)
     // 2 probes recalled only 38% of the brute-force top-5 and 4 recalled
     // 58%; 6 lists clears the 60% spec floor with margin while still
@@ -1077,13 +1095,38 @@ object Pipeline {
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nProbe)
       .select(col("q_id"), col("qv"), col("qn"), col("pcid"))
-    val rankW = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
+    (probes, lists)
+  }
+
+  /** Shared candidate-pair cosine scoring of [[simAnnIvf]]; re-rank rides
+    * [[graft.functions.TopKByScore]]. */
+  private def simAnnIvfRerank(probes: DataFrame, lists: DataFrame): DataFrame =
+    simAnnIvfPairs(probes, lists)
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by_score(col("cos"), col("cand_id"), 5).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"),
+        round(col("col.score"), 6).as("cos_sim"))
+      .orderBy("q_id", "rank")
+
+  private def simAnnIvfPairs(probes: DataFrame, lists: DataFrame): DataFrame =
     probes
       .join(lists.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
         col("cid").as("ccid"), col("cn")), col("pcid") === col("ccid") &&
           col("q_id") =!= col("cand_id"))
       .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
         (col("qn") * col("cn")))
+
+  /** The pre-round-15 row_number-window re-rank of [[simAnnIvf]]'s
+    * candidate pairs — executable documentation of what
+    * [[graft.functions.TopKByScore]] replays; PipelineSpec pins the two
+    * row-equal over the same probes/lists. */
+  private[graft] def simAnnIvfWindowedRerank(
+      probes: DataFrame, lists: DataFrame): DataFrame = {
+    val rankW = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
+    simAnnIvfPairs(probes, lists)
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),

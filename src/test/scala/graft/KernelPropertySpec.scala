@@ -276,6 +276,61 @@ object KernelPropertySpec extends Properties("graft.kernels") {
         s"got=($nWords,$nUnique,$gotRaw) expect=(${ws.length},${ws.distinct.length},$expectRaw) ws=$ws"
     }
 
+  property("TopKByScore.Buffer == sortBy.take(k) under any offer/merge order") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(
+        Gen.oneOf(Gen.const(None),
+          Gen.oneOf(-1.0, 0.0, -0.0, 0.5, 1.0, Double.NaN,
+            Double.PositiveInfinity).map(Some(_))),
+        Gen.choose(0L, 12L))),
+      Gen.choose(1, 4)) { (xs, k) =>
+      // offered in one buffer AND split across two merged buffers — both
+      // must equal the reference sort (score DESC NULLS LAST via
+      // Double.compare, id ASC)
+      val ord = new Ordering[(Option[Double], Long)] {
+        def compare(a: (Option[Double], Long), b: (Option[Double], Long)): Int =
+          (a._1, b._1) match {
+            case (Some(x), Some(y)) =>
+              val c = -java.lang.Double.compare(x, y)
+              if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+            case (Some(_), None) => -1
+            case (None, Some(_)) => 1
+            case (None, None) => java.lang.Long.compare(a._2, b._2)
+          }
+      }
+      val expect = xs.sorted(ord).take(k)
+      def entry(x: (Option[Double], Long)) = new graft.functions.TopKByScore.Entry(
+        x._1.isEmpty, x._1.getOrElse(0.0), x._2)
+      def drain(b: graft.functions.TopKByScore.Buffer) =
+        (0 until b.size).map { i =>
+          val e = b.entries(i)
+          (if (e.scoreNull) None else Some(e.score), e.id)
+        }.toList
+      val one = new graft.functions.TopKByScore.Buffer(k)
+      xs.foreach(x => one.offer(entry(x)))
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val bl = new graft.functions.TopKByScore.Buffer(k)
+      val br = new graft.functions.TopKByScore.Buffer(k)
+      l.foreach(x => bl.offer(entry(x)))
+      r.foreach(x => br.offer(entry(x)))
+      (0 until br.size).foreach(i => bl.offer(br.entries(i)))
+      val gotOne = drain(one)
+      val gotMerged = drain(bl)
+      // NaN-aware comparison: Option[Double] == fails on NaN != NaN
+      def same(a: List[(Option[Double], Long)], b: List[(Option[Double], Long)]) =
+        a.length == b.length && a.zip(b).forall { case ((s1, i1), (s2, i2)) =>
+          i1 == i2 && ((s1, s2) match {
+            case (Some(x), Some(y)) =>
+              java.lang.Double.doubleToLongBits(x) ==
+                java.lang.Double.doubleToLongBits(y)
+            case (None, None) => true
+            case _ => false
+          })
+        }
+      Prop(same(gotOne, expect) && same(gotMerged, expect)) :|
+        s"one=$gotOne merged=$gotMerged expect=$expect xs=$xs k=$k"
+    }
+
   property("ArrayLongIntersectCount == size of the distinct intersection") =
     Prop.forAll(Gen.listOf(Gen.choose(-8L, 8L)), Gen.listOf(Gen.choose(-8L, 8L))) {
       (a, b) => // tiny range → heavy duplicates and overlaps

@@ -598,6 +598,15 @@ class TrainingOpsSpec extends AnyFunSuite {
       "WordCounts diverged from the explode + (doc_id, w) groupBy head")
   }
 
+  test("TopKByScore re-rank equals the row_number window re-rank") {
+    val (probes, lists) = Pipeline.simAnnIvfCandidates(spark, sf)
+    val agg = Pipeline.simAnnIvf(spark, sf).collect().toSeq
+    val win = Pipeline.simAnnIvfWindowedRerank(probes, lists).collect().toSeq
+    assert(agg.nonEmpty, "IVF search returned no candidates")
+    assert(agg == win,
+      "TopKByScore diverged from the (cos DESC, cand_id) window re-rank")
+  }
+
   test("WordEntropyStats equals the exploded window formulation") {
     val kernel = Pipeline.textEntropy(spark, sf).collect().toSeq
     val exploded = Pipeline.textEntropyExploded(spark, sf).collect().toSeq
