@@ -895,17 +895,22 @@ object Pipeline {
   def simCosineTopk(s: SparkSession, d: String): DataFrame = {
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // norms hoisted once per side (the simAnnIvf round-13 CSE argument:
+    // the same IEEE sqrt on the same array gives the same double, so
+    // every cosine — and the oracle hash — is unchanged bit for bit)
     val q = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qn", norm2(col("qv")))
     val c = vecs.select(col("vec_id").as("cand_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
-    q.join(c, col("q_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (norm2(col("qv")) * norm2(col("cv"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),
-        round(col("cos"), 6).as("cos_sim"))
-      .orderBy("q_id", "rank")
+      .withColumn("cn", norm2(col("cv")))
+    // rerankTopK (round 15): the 10×|corpus| scored stream reduces to 5
+    // entries per (q_id, split) map-side instead of sorting the full
+    // candidate list per query in a 10-partition window
+    rerankTopK(
+      q.join(c, col("q_id") =!= col("cand_id"))
+        .withColumn("cos",
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
+      "cos", "cos_sim", roundOut = true)
   }
   val simCosineTopkSql: String =
     """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -953,16 +958,18 @@ object Pipeline {
     val pairs = q.join(c, col("band") === col("cband") &&
         col("bsig") === col("cbsig") && col("q_id") =!= col("cand_id"))
       .select("q_id", "cand_id").distinct()
+    // norms hoisted once per side; re-rank through the map-side top-k
+    // aggregate (round 15) — same value, same order, bucket-bounded
+    // candidate stream never sorts per-query
     val qv = vecs.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qn", norm2(col("qv")))
     val cv = vecs.select(col("vec_id").as("cand_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("cand_id"))
-    pairs.join(qv, "q_id").join(cv, "cand_id")
-      .withColumn("cos", dot(col("qv"), col("cv")) / (norm2(col("qv")) * norm2(col("cv"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("cand_id"),
-        round(col("cos"), 6).as("cos_sim"))
-      .orderBy("q_id", "rank")
+      .withColumn("cn", norm2(col("cv")))
+    rerankTopK(
+      pairs.join(qv, "q_id").join(cv, "cand_id")
+        .withColumn("cos",
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
+      "cos", "cos_sim", roundOut = true)
   }
   val simAnnLshSql: String = {
     // list_reduce is a sequential left fold like Spark's `aggregate`, so the
@@ -1098,18 +1105,34 @@ object Pipeline {
     (probes, lists)
   }
 
+  /** Exact top-k re-rank of a scored candidate frame
+    * (q_id, cand_id, <scoreName>) through the map-side-combined
+    * [[graft.functions.TopKByScore]] aggregate — the shared tail of the
+    * whole ANN/similarity family. Replays `row_number() OVER
+    * (PARTITION BY q_id ORDER BY <score> DESC, cand_id) <= k` row for
+    * row: the comparator is pinned against the window formulation in
+    * PipelineSpec (IVF twin) and against sortBy.take(k) by a ScalaCheck
+    * property, and every call site's DuckDB oracle still ranks through
+    * its own window — so each swap stays hash-gated end to end.
+    * `roundOut` controls whether the emitted score is `round(score, 6)`
+    * (the cosine family) or the already-rounded raw score (the
+    * quantized variant ranks on a pre-rounded value). */
+  private[graft] def rerankTopK(scored: DataFrame, scoreName: String,
+      outName: String, roundOut: Boolean, k: Int = 5): DataFrame = {
+    val s = if (roundOut) round(col("col.score"), 6) else col("col.score")
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore
+        .top_k_by_score(col(scoreName), col("cand_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("cand_id"), s.as(outName))
+      .orderBy("q_id", "rank")
+  }
+
   /** Shared candidate-pair cosine scoring of [[simAnnIvf]]; re-rank rides
     * [[graft.functions.TopKByScore]]. */
   private def simAnnIvfRerank(probes: DataFrame, lists: DataFrame): DataFrame =
-    simAnnIvfPairs(probes, lists)
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKByScore
-        .top_k_by_score(col("cos"), col("cand_id"), 5).as("tk"))
-      .select(col("q_id"), posexplode(col("tk")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("cand_id"),
-        round(col("col.score"), 6).as("cos_sim"))
-      .orderBy("q_id", "rank")
+    rerankTopK(simAnnIvfPairs(probes, lists), "cos", "cos_sim", roundOut = true)
 
   private def simAnnIvfPairs(probes: DataFrame, lists: DataFrame): DataFrame =
     probes
@@ -2621,17 +2644,15 @@ object Pipeline {
       .select(col("vec_id").as("q_id"), col("q").as("qa"), col("qn").as("qna"))
     val cands = vecs.select(col("vec_id").as("cand_id"),
       col("q").as("qb"), col("qn").as("qnb"))
-    val win = Window.partitionBy("q_id").orderBy(desc("qcos"), asc("cand_id"))
-    probes.join(cands, col("q_id") =!= col("cand_id"))
-      .withColumn("qdot",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
-      .withColumn("qcos", round(col("qdot").cast("double")
-        / (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double"))), 6))
-      .withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("cand_id"), col("qcos"))
-      .orderBy("q_id", "rank")
+    // rerankTopK on the PRE-rounded qcos (the quantized variant ranks on
+    // the rounded value by design), so roundOut=false emits it as-is
+    rerankTopK(
+      probes.join(cands, col("q_id") =!= col("cand_id"))
+        .withColumn("qdot",
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("qcos", round(col("qdot").cast("double")
+          / (sqrt(col("qna").cast("double")) * sqrt(col("qnb").cast("double"))), 6)),
+      "qcos", "qcos", roundOut = false)
   }
   val simQuantizedTopkSql: String =
     """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4430,20 +4451,20 @@ object Pipeline {
       .select(col("q_id"), col("cand_id"))
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val rankW = Window.partitionBy("q_id").orderBy(desc("cos"), asc("cand_id"))
     // norms hoisted once per side (same CSE as simAnnIvf's search —
-    // identical IEEE doubles, so the ranking and the oracle are unchanged)
-    val brute = vecs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .withColumn("qn", sqrt(expr(IvfDot(IvfDim, "qv", "qv"))))
-      .join(broadcast(vecs.filter(col("vec_id") < GtSampleCap)
-        .select(col("vec_id").as("cand_id"), col("v").as("cv2"))
-        .withColumn("cn", sqrt(expr(IvfDot(IvfDim, "cv2", "cv2"))))),
-        col("q_id") =!= col("cand_id"))
-      .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
-        (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= 5)
+    // identical IEEE doubles, so the ranking and the oracle are unchanged);
+    // top-5 selection through the map-side rerankTopK aggregate (round 15)
+    val brute = rerankTopK(
+      vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .withColumn("qn", sqrt(expr(IvfDot(IvfDim, "qv", "qv"))))
+        .join(broadcast(vecs.filter(col("vec_id") < GtSampleCap)
+          .select(col("vec_id").as("cand_id"), col("v").as("cv2"))
+          .withColumn("cn", sqrt(expr(IvfDot(IvfDim, "cv2", "cv2"))))),
+          col("q_id") =!= col("cand_id"))
+        .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
+          (col("qn") * col("cn"))),
+      "cos", "cos_sim", roundOut = true)
       .select(col("q_id"), col("cand_id"))
     val ivfSql = simAnnIvfOracle.get
     embIvfRecallOracle = Some(

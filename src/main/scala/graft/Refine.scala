@@ -112,6 +112,12 @@ object Refine {
       .groupBy("rep", "cid")
       .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
         .cast(DecimalType(38, 12))).as("dist"))
+    // argmin stays a rank-1 window: WindowGroupLimit already partials it
+    // map-side (rn=1 per rep per split before the exchange), whereas a
+    // min(struct(dist, cid)) aggregate falls to SortAggregate — the
+    // decimal(38,12) field makes the buffer variable-length, so it
+    // cannot hash-aggregate and pays an EXTRA local sort (A/B'd round
+    // 15: 2.04 s window vs 2.70 s min-struct at 10×; reverted)
     val aw = Window.partitionBy("rep").orderBy(col("dist"), col("cid"))
     val asg = dist.withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1).select("rep", "cid")

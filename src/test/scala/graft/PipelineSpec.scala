@@ -641,12 +641,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     // the reason a rank<=k filter survives a 100x scale-up. Pin that
     // the optimization actually fires for the registry's ranked queries.
     Seq("rowop_distinct_on" -> Ops.rowopDistinctOn(spark, sf),
-      "tfidf_top_terms" -> Pipeline.tfidfTopTerms(spark, sf),
-      "sim_quantized_topk" -> Pipeline.simQuantizedTopk(spark, sf))
+      "tfidf_top_terms" -> Pipeline.tfidfTopTerms(spark, sf))
       .foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan.toString
         assert(plan.contains("WindowGroupLimit"),
           s"$name: no WindowGroupLimit in plan:\n${plan.take(2000)}")
+      }
+    // the ANN re-ranks went further (round 15): no window at all — the
+    // exact top-k aggregate partials map-side, so the plan must carry a
+    // partial_top_k_by_score HashAggregate and NO window operator
+    Seq("sim_quantized_topk" -> Pipeline.simQuantizedTopk(spark, sf),
+      "sim_cosine_topk" -> Pipeline.simCosineTopk(spark, sf))
+      .foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("partial_top_k_by_score"),
+          s"$name: no partial top_k_by_score aggregate in plan:\n${plan.take(2000)}")
+        assert(!plan.contains("Window"),
+          s"$name: unexpected window operator in plan:\n${plan.take(2000)}")
       }
   }
 
