@@ -4214,14 +4214,25 @@ object Pipeline {
     * 100 TB corpus's multi-million-term vocabulary; the regression
     * reduces to five decimal-quantized moment sums. */
   def corpusZipf(s: SparkSession, d: String): DataFrame = {
+    // Round 15: both gram streams reduce per-document inside the
+    // WordCounts / WordBigramCounts kernels before the vocabulary
+    // shuffle, which therefore ships per-doc DISTINCT grams (with
+    // multiplicities) instead of every occurrence; groupBy(g).sum(c)
+    // produces the identical corpus counts the explode → count
+    // formulation grouped, so the rank fit and the oracle are untouched.
+    // The bigram kernel also deletes the per-word transform/concat
+    // array materialization.
     val ws = t(s, d, "documents").select(expr(wordsExpr).as("ws"))
-    val uni = ws.select(explode(col("ws")).as("g"))
-    val bi = ws.filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"))
-        .as("g"))
+    def kernelCounts(k: org.apache.spark.sql.catalyst.expressions.Expression)
+        : DataFrame =
+      ws.select(explode(
+          org.apache.spark.sql.graftcol.NativeColumn.column(k)).as("p"))
+        .select(col("p.w").as("g"), col("p.c").as("pc"))
+    val wsE = org.apache.spark.sql.graftcol.NativeColumn.expression(col("ws"))
+    val uni = kernelCounts(graft.functions.WordCounts(wsE))
+    val bi = kernelCounts(graft.functions.WordBigramCounts(wsE))
     def fit(grams: DataFrame, kind: String): DataFrame = {
-      val v = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      val v = grams.groupBy("g").agg(sum(col("pc")).as("c"))
       val ranked = Q.distPos(v, "pos", col("c").desc, col("g"))
         .select((col("pos") + 1).as("rnk"), col("c"))
       val p = ranked.select(

@@ -823,6 +823,71 @@ object WordCounts {
   }
 }
 
+/** Per-document distinct space-joined word BIGRAMS with multiplicities —
+  * the order-2 sibling of [[WordCounts]]: `word_bigram_counts(ws)` =
+  * `array<struct<w string, c bigint>>`, one entry per distinct
+  * `ws[i-1] ⧺ ' ' ⧺ ws[i]` in first-occurrence order. Fuses the
+  * `transform(sequence(1, size(ws)-1), i -> concat(ws[i-1], ' ', ws[i]))`
+  * array materialization AND the downstream explode → groupBy reduce
+  * into one loop, so a corpus-wide bigram frequency becomes
+  * `explode(kernel) → groupBy(w).sum(c)` — the shuffle ships per-document
+  * DISTINCT bigrams instead of every occurrence. Emits exactly the pairs
+  * the explode → count formulation grouped (same concatenated strings,
+  * same multiplicities; fewer than 2 words → empty array, like the
+  * `size(ws) >= 2` guard it replaces). */
+case class WordBigramCounts(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "word_bigram_counts"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordBigramCounts.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordBigramCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordBigramCounts {
+  def compute(ws: ArrayData): GenericArrayData = {
+    val nw = ws.numElements()
+    if (nw < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    val space = UTF8String.fromString(" ")
+    var i = 1
+    while (i < nw) {
+      // concat allocates a fresh UTF8String — safe as a map key
+      val g = UTF8String.concat(ws.getUTF8String(i - 1), space,
+        ws.getUTF8String(i))
+      val slot = counts.get(g)
+      if (slot == null) counts.put(g, Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-document Shannon-entropy statistics in one generated loop:
   * `word_entropy_stats(ws)` =
   * `struct<n_words bigint, n_unique bigint, e_raw decimal(38,12)>`

@@ -247,6 +247,23 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
     }
 
+  property("WordBigramCounts.compute == distinct space-joined bigram counts") =
+    Prop.forAll(genWordsEmoji) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.WordBigramCounts.compute(in)
+        .array.toSeq.map { r =>
+          val row = r.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          (row.getUTF8String(0).toString, row.getLong(1))
+        }
+      val grams =
+        if (ws.length < 2) Nil
+        else ws.zip(ws.tail).map { case (a, b) => s"$a $b" }
+      val expect = grams.distinct.map(g => (g, grams.count(_ == g).toLong))
+      Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
+    }
+
   property("WordEntropyStats.compute == the independent decimal-sum route") =
     Prop.forAll(genWordsEmoji) { ws =>
       val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
