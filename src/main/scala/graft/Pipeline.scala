@@ -4162,21 +4162,67 @@ object Pipeline {
     * (#labels×#dims rows) joined back broadcast; everything else is
     * per-vector map + one keyed reduction. */
   def embSilhouette(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+    // Round 15 (the emb_outliers posture): per-label centroids reduce in
+    // ONE VectorDecimalStats pass to DRIVER state (labels × d sums —
+    // the table you'd broadcast at 100 TB), and every vector's distance
+    // to every centroid is a map-side DecimalSqDevSum against the
+    // constant-folded centroid arrays. The previous shape posexploded
+    // the corpus to d×N rows, joined every row against all centroids,
+    // and re-reduced d×N×L rows by (vec, label, cl); now a/b are plain
+    // column expressions over L distances per row — the only wide stage
+    // left is the final label rollup. Bit-exactness: VectorDecimalStats
+    // replays davg's cast(sum(cast(x as decimal(30,6))) as double)/n
+    // per dimension (the LearnSpec-pinned replay), DecimalSqDevSum
+    // replays the Σ cast((x−cx)² as decimal(38,12)) quantize-then-
+    // exact-add sequence (order-free), least() skips nulls exactly as
+    // the min aggregate did — so every distance, a, b, and the oracle
+    // hash are unchanged.
+    val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("i0", "xf")))
-      .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
-        col("xf").cast("double").as("x"))
-    val c = e.groupBy("label", "i").agg(davg(col("x")).as("cx"))
-      .select(col("label").as("cl"), col("i"), col("cx"))
-    val dist = e.join(broadcast(c), Seq("i"))
-      .groupBy(col("vec_id"), col("label"), col("cl"))
-      .agg(sqrt(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
-        .cast(DecimalType(38, 12))).cast("double")).as("dist"))
-    val ab = dist.groupBy("vec_id", "label")
-      .agg(max(when(col("cl") === col("label"), col("dist"))).as("a"),
-        min(when(col("cl") =!= col("label"), col("dist"))).as("b"))
-    ab.groupBy("label")
+        transform(col("embedding"), _.cast("double")).as("v"))
+    // a null-label centroid can never match a row's `cl === label` /
+    // `cl =!= label` predicates (both are null), so dropping it replays
+    // the old join's behavior exactly
+    val cents: Array[(Int, Array[Double])] = vecs.groupBy("label")
+      .agg(graft.functions.VectorDecimalStats.vector_decimal_stats(
+        col("v"), lit(1.0), 30, 6).as("st"))
+      .select(col("label"), col("st.sums").as("sums"),
+        col("st.counts").as("counts"))
+      .collect()
+      .filter(!_.isNullAt(0))
+      .map { r =>
+        val sums = r.getSeq[java.math.BigDecimal](1)
+        val counts = r.getSeq[Long](2)
+        (r.getInt(0),
+          sums.zip(counts).map { case (sm, n) => sm.doubleValue / n }.toArray)
+      }
+      .sortBy(_._1)
+    val withD = cents.zipWithIndex.foldLeft(vecs) { case (df, ((_, cv), i)) =>
+      df.withColumn(s"d_$i",
+        sqrt(org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.DecimalSqDevSum(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+            cv, 12)).cast("double")))
+    }
+    // a = own-centroid distance; b = min over the other centroids
+    // (least skips nulls; single-label corpora fall to null b, exactly
+    // as min-over-empty did)
+    val aExpr = cents.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, ((l, _), i)) =>
+        when(col("label") === lit(l), col(s"d_$i")).otherwise(acc)
+    }
+    val bExpr = cents.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, ((l, _), i)) =>
+        val others = cents.indices.filter(_ != i).map(j => col(s"d_$j"))
+        val mn =
+          if (others.isEmpty) lit(null).cast("double")
+          else if (others.length == 1) others.head
+          else least(others: _*)
+        when(col("label") === lit(l), mn).otherwise(acc)
+    }
+    withD.select(col("vec_id"), col("label"),
+        aExpr.as("a"), bExpr.as("b"))
+      .groupBy("label")
       .agg(count(lit(1)).as("n"),
         round(sum(((col("b") - col("a")) / greatest(col("a"), col("b")))
           .cast(DecimalType(30, 12))).cast("double") / count(lit(1)), 6)
