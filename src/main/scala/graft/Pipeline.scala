@@ -291,7 +291,19 @@ object Pipeline {
   // per document — measured ~2× of text_decontaminate's 10×-corpus
   // runtime). transform over a 1-element array is the cheapest
   // let-binding Spark SQL offers.
-  private val gramsExpr = expr(
+  // Round 15: the distinct-trigram set rides the WordTrigramSet kernel —
+  // one generated loop per document instead of ~3 interpreted lambda
+  // closures per gram; [[gramsExprHof]] keeps the HOF formulation as
+  // executable documentation (pinned row-equal in PipelineSpec).
+  private val gramsExpr: Column =
+    org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.WordTrigramSet(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(expr(wordsExpr))))
+
+  /** The pre-round-15 HOF formulation of [[gramsExpr]] — executable
+    * documentation of what [[graft.functions.WordTrigramSet]] computes,
+    * including the `[null]` short-document edge. */
+  private[graft] val gramsExprHof = expr(
     s"""transform(array($wordsExpr), w ->
        |  array_distinct(transform(
        |    sequence(1, greatest(size(w) - 2, 1)),

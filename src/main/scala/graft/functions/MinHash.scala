@@ -888,6 +888,59 @@ object WordBigramCounts {
   }
 }
 
+/** Per-document DISTINCT space-joined word trigrams in one generated
+  * loop — the native form of the `transform(sequence(1,
+  * greatest(size(w) − 2, 1)), i -> concat(w[i], ' ', w[i+1], ' ',
+  * w[i+2]))` + `array_distinct` HOF chain (graft.Pipeline.gramsExpr),
+  * which interprets every per-gram lambda: `word_trigram_set(ws)` =
+  * `array<string>` of first-occurrence-ordered distinct trigrams. Edge
+  * replay: for documents with fewer than 3 words the HOF's
+  * `sequence(1, 1)` emits ONE gram whose out-of-range `element_at`s are
+  * null, so `concat` nulls the gram and `array_distinct` keeps `[null]`
+  * — this kernel returns the same single-null array (hence
+  * `containsNull = true`), and downstream explode/join/size behavior is
+  * unchanged (a null gram never survives an inner join; size stays 1). */
+case class WordTrigramSet(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "word_trigram_set"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordTrigramSet.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordTrigramSet.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordTrigramSet {
+  def compute(ws: ArrayData): GenericArrayData = {
+    val nw = ws.numElements()
+    if (nw < 3) return new GenericArrayData(Array[Any](null))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i + 2 < nw) {
+      seen.add(UTF8String.concat(ws.getUTF8String(i), space,
+        ws.getUTF8String(i + 1), space, ws.getUTF8String(i + 2)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-document Shannon-entropy statistics in one generated loop:
   * `word_entropy_stats(ws)` =
   * `struct<n_words bigint, n_unique bigint, e_raw decimal(38,12)>`

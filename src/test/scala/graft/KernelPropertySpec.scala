@@ -264,6 +264,19 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
     }
 
+  property("WordTrigramSet.compute == distinct sliding trigrams (null edge incl.)") =
+    Prop.forAll(genWordsEmoji) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.WordTrigramSet.compute(in)
+        .array.toSeq.map(x =>
+          if (x == null) null else x.toString)
+      val expect: Seq[String] =
+        if (ws.length < 3) Seq(null)
+        else ws.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
+    }
+
   property("WordEntropyStats.compute == the independent decimal-sum route") =
     Prop.forAll(genWordsEmoji) { ws =>
       val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(

@@ -607,6 +607,23 @@ class TrainingOpsSpec extends AnyFunSuite {
       "TopKByScore diverged from the (cos DESC, cand_id) window re-rank")
   }
 
+  test("WordTrigramSet equals the HOF gram chain over the corpus") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = Q.t(spark, sf, "documents")
+    val both = docs.select(col("doc_id"),
+        Pipeline.gramsExprHof.as("h"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.WordTrigramSet(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(
+              expr("split(trim(text), '\\\\s+')")))).as("k"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: kernel trigram set diverged from the HOF chain")
+    }
+  }
+
   test("WordEntropyStats equals the exploded window formulation") {
     val kernel = Pipeline.textEntropy(spark, sf).collect().toSeq
     val exploded = Pipeline.textEntropyExploded(spark, sf).collect().toSeq
