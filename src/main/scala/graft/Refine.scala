@@ -100,27 +100,30 @@ object Refine {
       .select(col("vec_id")), "vec_id")
       .select(col("vec_id").as("rep"), col("v"))
       .localCheckpoint()
-    // seed centroids: the K lowest member ids (TakeOrdered, no full sort)
-    val seeds = vecs.orderBy("vec_id").limit(SemK)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val e = reps.select(col("rep"), posexplode(col("v")).as(Seq("i0", "x")))
-      .select(col("rep"), (col("i0") + 1).as("i"), col("x"))
-    val c0 = seeds.select(col("cid"), posexplode(col("cv")).as(Seq("i0", "cx")))
-      .select(col("cid"), (col("i0") + 1).as("i"), col("cx"))
-    // assignment: map-side k-way expansion + keyed reduce, decimal argmin
-    val dist = e.join(broadcast(c0), "i")
-      .groupBy("rep", "cid")
-      .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
-        .cast(DecimalType(38, 12))).as("dist"))
-    // argmin stays a rank-1 window: WindowGroupLimit already partials it
-    // map-side (rn=1 per rep per split before the exchange), whereas a
-    // min(struct(dist, cid)) aggregate falls to SortAggregate — the
-    // decimal(38,12) field makes the buffer variable-length, so it
-    // cannot hash-aggregate and pays an EXTRA local sort (A/B'd round
-    // 15: 2.04 s window vs 2.70 s min-struct at 10×; reverted)
-    val aw = Window.partitionBy("rep").orderBy(col("dist"), col("cid"))
-    val asg = dist.withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1).select("rep", "cid")
+    // seed centroids as DRIVER state (round 15, the emb_outliers /
+    // emb_silhouette posture): the K lowest member ids collect to K×d
+    // doubles and assignment is ONE map pass through the
+    // DecimalSqDevArgmin kernel, which folds each rep against each seed
+    // exactly once (replaying the posexplode join's Σ cast((x−cx)² as
+    // decimal(38,12)) term for term) and replays the old rank-1
+    // window's (dist ASC NULLS FIRST, cid ASC) order. The d×N explode,
+    // the dim-keyed broadcast join, the (rep, cid) keyed reduce, and
+    // the window are ALL gone. Two probed-and-rejected shapes are
+    // recorded in the kernel's scaladoc and here: min(struct(dist, cid))
+    // falls to SortAggregate (variable-length decimal buffer — 2.04 s
+    // window vs 2.70 s min-struct at 10×), and per-seed distance
+    // columns + a when-chain argmin triple the per-row fold count under
+    // CollapseProject (a multi-minute blowup at 10×).
+    val seedRows: Array[(Long, Array[Double])] =
+      vecs.orderBy("vec_id").limit(SemK)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    val asg = reps.select(col("rep"),
+      org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.DecimalSqDevArgmin(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+          seedRows.map(_._2), seedRows.map(_._1), 12)).as("cid"))
     // same-cluster rep pairs above τ — the cluster-bounded quadratic
     // stage. Norms fold ONCE per rep (a column, not a per-pair
     // recomputation); nrm1·nrm2 is bit-identical to folding both norms

@@ -497,6 +497,76 @@ object DecimalSqDevSum {
   }
 }
 
+/** Exact-decimal squared-deviation ARGMIN over a constructor-constant
+  * centroid table, in one generated loop: evaluates
+  * [[DecimalSqDevSum]] against every centroid and returns the id of the
+  * nearest, replaying the `row_number() OVER (ORDER BY dist ASC, cid
+  * ASC)` rank-1 window it replaces — a NULL distance sorts FIRST (the
+  * window's ASC NULLS FIRST; among nulls the lowest cid wins), exact
+  * decimals compare by value, and ties fall to the lower cid (strict
+  * `<` keeps the earliest). REQUIRES `cids` ascending with `cents`
+  * aligned — the call site sorts; emitting each distance as its own
+  * column and when-chaining the argmin is NOT equivalent in practice:
+  * CollapseProject inlines every distance column into each of its
+  * consumers, tripling the per-row decimal fold count (measured as a
+  * multi-minute blowup at the 10× corpus — this kernel folds each
+  * centroid exactly once per row). */
+case class DecimalSqDevArgmin(child: Expression,
+    cents: Array[Array[Double]], cids: Array[Long], scale: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "decimal_sqdev_argmin"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      if (cents.isEmpty || cents.length != cids.length)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: centroid/cid arity mismatch or empty")
+      else if (!cids.sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: cids must be strictly ascending")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    DecimalSqDevArgmin.compute(v.asInstanceOf[ArrayData], cents, cids, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idRef = ctx.addReferenceObj("cids", cids, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DecimalSqDevArgmin.compute($c, $cRef, $idRef, $scale)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DecimalSqDevArgmin {
+  def compute(v: ArrayData, cents: Array[Array[Double]], cids: Array[Long],
+      scale: Int): Long = {
+    var bestIdx = -1
+    var bestNull = false
+    var best: org.apache.spark.sql.types.Decimal = null
+    var c = 0
+    while (c < cents.length) {
+      val dist = DecimalSqDevSum.compute(v, cents(c), scale)
+      if (dist == null) {
+        // NULLS FIRST: the first (lowest-cid) null distance wins outright
+        if (!bestNull) { bestNull = true; bestIdx = c }
+      } else if (!bestNull && (bestIdx == -1 || dist.compareTo(best) < 0)) {
+        best = dist
+        bestIdx = c
+      }
+      c += 1
+    }
+    cids(bestIdx)
+  }
+}
+
 /** Per-subspace product-quantization argmin over a constructor-constant
   * codebook, in one generated loop: for each subspace `g` (contiguous
   * `w`-wide dimension block) it returns

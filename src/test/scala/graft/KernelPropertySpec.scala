@@ -361,6 +361,36 @@ object KernelPropertySpec extends Properties("graft.kernels") {
         s"one=$gotOne merged=$gotMerged expect=$expect xs=$xs k=$k"
     }
 
+  property("DecimalSqDevArgmin == rank-1 of (dist ASC NULLS FIRST, cid ASC)") =
+    Prop.forAll(
+      Gen.listOfN(4, Gen.oneOf(-1.0, 0.0, 1.0, 2.0, Double.NaN)),
+      Gen.nonEmptyListOf(Gen.listOfN(4,
+        Gen.oneOf(-1.0, 0.0, 1.0, 2.0, Double.NaN)))) { (v, cs) =>
+      // NaN elements make whole distances null (every term skipped when
+      // all squares are NaN) — exercises the NULLS FIRST branch
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.toArray[Any])
+      val cents = cs.map(_.toArray).toArray
+      val cids = cs.indices.map(i => (i + 1).toLong).toArray
+      val got = graft.functions.DecimalSqDevArgmin.compute(in, cents, cids, 12)
+      val dists = cents.map(c =>
+        Option(graft.functions.DecimalSqDevSum.compute(in, c, 12)))
+      // left fold replaying (dist ASC NULLS FIRST, cid ASC): an earlier
+      // null always wins; a later null beats any non-null; ties keep the
+      // earlier (lower) cid
+      val expect = cids.zip(dists).reduceLeft[(Long, Option[
+          org.apache.spark.sql.types.Decimal])] { (a, b) =>
+        val keepA = (a._2, b._2) match {
+          case (None, _) => true
+          case (_, None) => false
+          case (Some(x), Some(y)) =>
+            x.toJavaBigDecimal.compareTo(y.toJavaBigDecimal) <= 0
+        }
+        if (keepA) a else b
+      }._1
+      Prop(got == expect) :| s"got=$got expect=$expect v=$v cs=$cs"
+    }
+
   property("ArrayLongIntersectCount == size of the distinct intersection") =
     Prop.forAll(Gen.listOf(Gen.choose(-8L, 8L)), Gen.listOf(Gen.choose(-8L, 8L))) {
       (a, b) => // tiny range → heavy duplicates and overlaps

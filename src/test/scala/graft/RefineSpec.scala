@@ -519,12 +519,14 @@ class RefineSpec extends AnyFunSuite {
   }
 
   test("plan audit: no cartesian products; broadcasts where expected") {
-    // semantic dedup: seed assignment broadcasts, pair stage is an
-    // equi-join on cid — never a cartesian
+    // semantic dedup: seed assignment is a map-side argmin kernel
+    // (round 15 — no join at all), pair stage is an equi-join on cid —
+    // never a cartesian
     val sem = Refine.dedupSemantic(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!sem.contains("CartesianProduct"), "dedup_semantic cartesian")
-    assert(sem.contains("BroadcastHashJoin"), "dedup_semantic broadcast")
+    assert(sem.contains("decimal_sqdev_argmin"),
+      "dedup_semantic assignment should ride the argmin kernel")
     // OOD scoring: the moment table joins broadcast, the reduce is keyed
     val ood = Refine.embOodMahalanobis(spark, sf)
       .queryExecution.executedPlan.toString
