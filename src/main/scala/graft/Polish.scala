@@ -881,6 +881,37 @@ object Polish {
     * bit-for-bit with no decimal lanes at all. */
   def textMattr(s: SparkSession, d: String): DataFrame = {
     val W = 50
+    // Round 15: all of a document's tokens live in one row, so the p/q
+    // position walk, the per-position window contributions, and the doc
+    // rollup fuse into the MattrStats kernel (exact integer arithmetic,
+    // replayed term for term — [[textMattrWindowed]] is the executable
+    // documentation, pinned row-equal in PolishSpec). The previous shape
+    // shuffled EVERY token through a (doc, tok)-partitioned lag window —
+    // the largest exchange in the text battery; now the op is map-side
+    // except the output sort. Docs whose filtered token list is empty
+    // never produced an exploded row, so the same filter applies here.
+    t(s, d, "documents")
+      .select(col("doc_id"), expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')").as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.MattrStats(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("toks"))))
+          .as("st"))
+      .select(col("doc_id"), col("st.n").as("n_tokens"),
+        col("st.nw").as("n_windows"),
+        round(col("st.tu").cast("double") /
+          (col("st.nw") * least(lit(W.toLong), col("st.n"))).cast("double"), 6)
+          .as("mattr"))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-round-15 posexplode + (doc, tok) lag-window formulation of
+    * [[textMattr]] — executable documentation of what
+    * [[graft.functions.MattrStats]] fuses into one map-side loop. */
+  private[graft] def textMattrWindowed(s: SparkSession, d: String): DataFrame = {
+    val W = 50
     val toks = t(s, d, "documents")
       .select(col("doc_id"), posexplode(expr(
         "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"))

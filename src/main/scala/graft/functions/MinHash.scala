@@ -941,6 +941,69 @@ object WordTrigramSet {
   }
 }
 
+/** Per-document MATTR (moving-average type-token ratio, window 50)
+  * counting statistics in one generated loop:
+  * `mattr_stats(toks)` = `struct<n bigint, nw bigint, tu bigint>` where
+  * `n` is the token count, `nw = max(n − 49, 1)` the window count, and
+  * `tu = Σ_p max(min(p, nw) − max(1, p − 49, q_p + 1) + 1, 0)` the total
+  * type contributions (`q_p` = the previous position of token p's type,
+  * 0 at first occurrence) — all exact integer arithmetic. Replays the
+  * posexplode → (doc, tok)-partitioned lag window → doc rollup chain it
+  * replaces term for term (same `p`/`q` definitions, same clamps), but
+  * every token of a document lives in one row, so the op's token-level
+  * shuffle — the largest exchange in the text battery — disappears
+  * entirely; only the caller's final double division and rounding
+  * remain outside. */
+case class MattrStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "mattr_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("nw", LongType, nullable = false),
+    StructField("tu", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MattrStats.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MattrStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MattrStats {
+  private val W = 50L
+
+  def compute(toks: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = toks.numElements().toLong
+    val nw = math.max(n - (W - 1), 1L)
+    val last = new java.util.HashMap[UTF8String, Array[Long]]()
+    var tu = 0L
+    var p = 1L
+    while (p <= n) {
+      val tok = toks.getUTF8String(p.toInt - 1)
+      val slot = last.get(tok)
+      val q = if (slot == null) 0L else slot(0)
+      val c = math.max(
+        math.min(p, nw) -
+          math.max(math.max(1L, p - (W - 1)), q + 1L) + 1L, 0L)
+      tu += c
+      if (slot == null) last.put(tok.clone(), Array(p)) else slot(0) = p
+      p += 1L
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nw, tu))
+  }
+}
+
 /** Per-document Shannon-entropy statistics in one generated loop:
   * `word_entropy_stats(ws)` =
   * `struct<n_words bigint, n_unique bigint, e_raw decimal(38,12)>`

@@ -277,6 +277,23 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
     }
 
+  property("MattrStats.tu == the sum of per-window distinct type counts") =
+    Prop.forAll(genWordsEmoji) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.MattrStats.compute(in)
+      val n = ws.length
+      val nw = math.max(n - 49, 1)
+      // the independent route: MATTR's total type contributions equal
+      // the sum over all nw windows of the window's distinct type count
+      val expectTu = (0 until nw)
+        .map(w => ws.slice(w, math.min(w + 50, n)).distinct.size.toLong).sum
+      Prop(got.getLong(0) == n.toLong && got.getLong(1) == nw.toLong &&
+        got.getLong(2) == expectTu) :|
+        s"got=(${got.getLong(0)},${got.getLong(1)},${got.getLong(2)}) " +
+        s"expect=($n,$nw,$expectTu) ws=$ws"
+    }
+
   property("WordEntropyStats.compute == the independent decimal-sum route") =
     Prop.forAll(genWordsEmoji) { ws =>
       val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(

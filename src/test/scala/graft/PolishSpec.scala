@@ -408,6 +408,14 @@ class PolishSpec extends AnyFunSuite {
     }
   }
 
+  test("MattrStats equals the posexplode + lag-window formulation") {
+    val kernel = Polish.textMattr(spark, sf).collect().toSeq
+    val windowed = Polish.textMattrWindowed(spark, sf).collect().toSeq
+    assert(kernel.nonEmpty)
+    assert(kernel == windowed,
+      "MattrStats diverged from the (doc, tok) lag-window chain")
+  }
+
   test("friedman matches a brute-force within-block midrank computation") {
     val daily = Q.t(spark, sf, "events")
       .selectExpr("cast(ts as date) as day", "event_type").collect()
