@@ -83,6 +83,16 @@ object Learn {
       adj.select(col("u").as("node"), col("u").as("c")).distinct()
         .localCheckpoint()
     }
+    // Σc convergence (round 15, the dedupGroups argument): every node's
+    // label is non-increasing under both the neighbor-min and the
+    // pointer jump, so Σc strictly decreases at every non-converged
+    // iteration and stalls exactly at the fixpoint — the per-iteration
+    // join of next against the superseded snapshot (one extra shuffle
+    // per round) is gone; the convergence probe is a d-bounded agg over
+    // the already-checkpointed labels.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    var lastSum = labelSum(lbl)
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -102,12 +112,12 @@ object Learn {
           .select(col("node"), least(col("c"), coalesce(col("cc"), col("c"))).as("c"))
           .localCheckpoint()
       }
-      val changed = next.join(lbl.withColumnRenamed("c", "c0"), "node")
-        .filter(col("c") =!= col("c0")).count()
+      val sum = labelSum(next)
       release(propIds) // intermediate: `next` is materialized past it
       release(lblIds) // superseded snapshot: free it once `next` is pinned
       lbl = next; lblIds = nextIds
-      converged = changed == 0
+      converged = sum == lastSum
+      lastSum = sum
       iter += 1
     }
     require(converged,
