@@ -2878,14 +2878,9 @@ object Pipeline {
   private[graft] def graphPagerankImpl(
       s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
     def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
-    val pairs = t(s, d, "documents")
-      .select(expr(wordsExpr).as("ws"))
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val pairs = Q.bigramEdges(t(s, d, "documents").select(expr(wordsExpr).as("ws")))
     val edges = cp(pairs.groupBy("src", "dst")
-      .agg(count(lit(1)).as("wt")))
+      .agg(sum("pc").as("wt")))
     val nodes = cp(edges.select(col("src").as("w"))
       .union(edges.select(col("dst"))).distinct())
     val nn = nodes.agg(count(lit(1)).as("n"))
@@ -2951,13 +2946,8 @@ object Pipeline {
     * after the first aggregation ever touches corpus-sized data. */
   val PmiMinCount = 5
   def textCollocations(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "documents")
-      .select(expr(wordsExpr).as("ws"))
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("pair_count"))
+    val e = Q.bigramEdges(t(s, d, "documents").select(expr(wordsExpr).as("ws")))
+      .groupBy("src", "dst").agg(sum("pc").as("pair_count"))
       .localCheckpoint()
     val tot = e.agg(sum("pair_count").as("tt"))
     val ls = e.groupBy("src").agg(sum("pair_count").as("ca"))
@@ -3007,12 +2997,8 @@ object Pipeline {
     def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val words = t(s, d, "documents")
       .select(col("doc_id"), expr(wordsExpr).as("ws"))
-    val edgesCp = cp(words
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct())
+    val edgesCp = cp(Q.bigramEdges(words)
+      .select(col("src"), col("dst")).distinct())
     val uc = words.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     var dist = cp(uc.orderBy(col("c").desc, col("w")).limit(1)
@@ -3065,14 +3051,10 @@ object Pipeline {
     * bounds the wedge intermediate — the classic compact-forward
     * refinement); here orientation is lexicographic for oracle parity. */
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
-    val und = t(s, d, "documents")
-      .select(expr(wordsExpr).as("ws"))
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
-      .where(col("e.src") =!= col("e.dst"))
-      .select(least(col("e.src"), col("e.dst")).as("a"),
-        greatest(col("e.src"), col("e.dst")).as("b"))
+    val und = Q.bigramEdges(t(s, d, "documents").select(expr(wordsExpr).as("ws")))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
       .distinct().localCheckpoint()
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b")))

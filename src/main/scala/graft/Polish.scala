@@ -655,17 +655,14 @@ object Polish {
     * of [[graphClusteringCoeff]] / [[graphDegreeAssortativity]] — same
     * construction as Pipeline.graphTriangles. Vocabulary-bounded. */
   private def undirectedEdges(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(expr("split(trim(text), '\\\\s+')").as("ws"))
-      // single-word docs have no edges; without the guard sequence(1, 0)
-      // descends and ws[-1]/ws[1] emit null src/dst rows
-      .filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("e"))
-      .where(col("e.src") =!= col("e.dst"))
-      .select(least(col("e.src"), col("e.dst")).as("a"),
-        greatest(col("e.src"), col("e.dst")).as("b"))
+    Q.bigramEdges(t(s, d, "documents")
+        .select(expr("split(trim(text), '\\\\s+')").as("ws"))
+        // single-word docs have no edges; without the guard the kernel
+        // replays the HOF's descending sequence(1, 0) null src/dst rows
+        .filter(size(col("ws")) >= 2))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
       .distinct()
 
   def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {

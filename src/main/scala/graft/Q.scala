@@ -21,6 +21,23 @@ object Q {
       spark.table(name)
     else read(spark, dir, name)
 
+  /** Per-document distinct adjacent-word edges with multiplicities
+    * (src, dst, pc) from a frame holding a `ws` array<string> column —
+    * the shared head of the co-occurrence graph family (round 15): the
+    * (src, dst) reduce happens inside [[graft.functions.BigramEdgeCounts]]
+    * per document, so downstream edge-weight shuffles ship per-doc
+    * DISTINCT edges (`sum(pc)` replays the exploded `count(*)`), and the
+    * single-word null-edge rows of the HOF it replaces are preserved
+    * bit for bit. */
+  def bigramEdges(docs: DataFrame): DataFrame =
+    docs.select(explode(
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.BigramEdgeCounts(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("ws")))))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"),
+        col("p.c").as("pc"))
+
   /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some corpus
     * generations (Spark's reader rejects it unless
     * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as a

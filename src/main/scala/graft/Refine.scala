@@ -620,18 +620,14 @@ object Refine {
     * (src, dst, wt)). */
   private def lpaCommunities(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val pairs = t(s, d, "documents")
+    val pairs = Q.bigramEdges(t(s, d, "documents")
       .select(expr("split(trim(text), '\\\\s+')").as("ws"))
-      // single-word docs have no edges; without the guard sequence(1, 0)
-      // descends and ws[-1]/ws[1] emit null src/dst rows
-      .filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
-    val und = pairs.union(pairs.select(col("dst"), col("src")))
-      .toDF("src", "dst")
-      .groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+      // single-word docs have no edges; without the guard the kernel
+      // replays the HOF's descending sequence(1, 0) null src/dst rows
+      .filter(size(col("ws")) >= 2))
+    val und = pairs.union(pairs.select(col("dst"), col("src"), col("pc")))
+      .toDF("src", "dst", "pc")
+      .groupBy("src", "dst").agg(sum("pc").as("wt"))
       .localCheckpoint() // vocabulary²-bounded, scanned once per round
     val nodes = und.select(col("src").as("w")).distinct().localCheckpoint()
     var lab = nodes.select(col("w"), col("w").as("lbl"))
@@ -1275,14 +1271,11 @@ object Refine {
     * neighbor wedge join (never all-pairs); top-20 by Jaccard with a
     * lexicographic tie-break. */
   def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame = {
-    val pairs = t(s, d, "documents")
-      .select(expr("split(trim(text), '\\\\s+')").as("ws"))
-      // same single-word guard as graphLabelProp: no words, no edges
-      .filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i - 1] AS src, ws[i] AS dst))")).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val pairs = Q.bigramEdges(t(s, d, "documents")
+        .select(expr("split(trim(text), '\\\\s+')").as("ws"))
+        // same single-word guard as graphLabelProp: no words, no edges
+        .filter(size(col("ws")) >= 2))
+      .select(col("src"), col("dst"))
     val adj = pairs.union(pairs.select(col("dst"), col("src")))
       .toDF("w", "nbr").filter(col("w") =!= col("nbr")).distinct()
       .localCheckpoint() // vocabulary²-bounded

@@ -941,6 +941,98 @@ object WordTrigramSet {
   }
 }
 
+/** Per-document distinct adjacent-word EDGES with multiplicities — the
+  * struct-emitting sibling of [[WordBigramCounts]] for the co-occurrence
+  * graph family: `bigram_edge_counts(ws)` =
+  * `array<struct<src string, dst string, c bigint>>`, one entry per
+  * distinct `(ws[i−1], ws[i])` pair in first-occurrence order. Fuses the
+  * `transform(sequence(1, size(ws) − 1), i -> struct(ws[i−1], ws[i]))`
+  * array build AND the downstream explode → (src, dst) reduce into one
+  * loop, so every graph op's edge-weight shuffle ships per-document
+  * DISTINCT edges instead of every occurrence.
+  *
+  * Exact HOF replay, including the single-word edge: for `size(ws) < 2`
+  * the HOF's `sequence(1, size − 1)` DESCENDS (e.g. `[1, 0]` at one
+  * word), emitting pairs whose out-of-range subscripts are null — this
+  * kernel walks the same descending index list and emits the same
+  * null-bearing structs (hence nullable fields), so unguarded call
+  * sites (pagerank, BFS) see identical null-keyed groups and guarded
+  * ones (`size(ws) >= 2`) are unaffected. */
+case class BigramEdgeCounts(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "bigram_edge_counts"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("src", StringType, nullable = true),
+      StructField("dst", StringType, nullable = true),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramEdgeCounts.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramEdgeCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramEdgeCounts {
+  /** Null-safe (src, dst) map key. */
+  private final class EdgeKey(val src: UTF8String, val dst: UTF8String) {
+    override def hashCode: Int =
+      31 * (if (src == null) 0 else src.hashCode) +
+        (if (dst == null) 0 else dst.hashCode)
+    override def equals(o: Any): Boolean = o match {
+      case k: EdgeKey => java.util.Objects.equals(src, k.src) &&
+        java.util.Objects.equals(dst, k.dst)
+      case _ => false
+    }
+  }
+
+  def compute(ws: ArrayData): GenericArrayData = {
+    val nw = ws.numElements()
+    def at(idx: Int): UTF8String =
+      if (idx < 0 || idx >= nw) null else ws.getUTF8String(idx)
+    val counts = new java.util.LinkedHashMap[EdgeKey, Array[Long]]()
+    // replay sequence(1, nw - 1): ascending for nw >= 2, DESCENDING
+    // (step -1) when nw - 1 < 1 — the single-word null-edge case
+    val hi = nw - 1
+    val step = if (hi >= 1) 1 else -1
+    var i = 1
+    var more = true
+    while (more) {
+      val src = at(i - 1)
+      val dst = at(i)
+      val probe = new EdgeKey(src, dst)
+      val slot = counts.get(probe)
+      if (slot == null) {
+        counts.put(new EdgeKey(
+          if (src == null) null else src.clone(),
+          if (dst == null) null else dst.clone()), Array(1L))
+      } else slot(0) += 1L
+      if (i == hi) more = false else i += step
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.src, e.getKey.dst, e.getValue()(0)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-document MATTR (moving-average type-token ratio, window 50)
   * counting statistics in one generated loop:
   * `mattr_stats(toks)` = `struct<n bigint, nw bigint, tu bigint>` where

@@ -294,6 +294,30 @@ object KernelPropertySpec extends Properties("graft.kernels") {
         s"expect=($n,$nw,$expectTu) ws=$ws"
     }
 
+  property("BigramEdgeCounts.compute == HOF edge pairs incl. null edges") =
+    Prop.forAll(genWordsEmoji) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.BigramEdgeCounts.compute(in)
+        .array.toSeq.map { r =>
+          val row = r.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          (Option(row.getUTF8String(0)).map(_.toString),
+            Option(row.getUTF8String(1)).map(_.toString), row.getLong(2))
+        }
+      // replay sequence(1, n-1): ascending for n >= 2, descending below
+      // (the null-edge single-word case)
+      val n = ws.length
+      val idx = if (n - 1 >= 1) (1 to n - 1) else (1 to (n - 1) by -1)
+      def at(i: Int): Option[String] =
+        if (i < 0 || i >= n) None else Some(ws(i))
+      val raw = idx.map(i => (at(i - 1), at(i)))
+      val expect = raw.distinct.map { p =>
+        (p._1, p._2, raw.count(_ == p).toLong)
+      }
+      Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
+    }
+
   property("WordEntropyStats.compute == the independent decimal-sum route") =
     Prop.forAll(genWordsEmoji) { ws =>
       val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
