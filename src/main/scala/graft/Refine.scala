@@ -252,19 +252,20 @@ object Refine {
     * gram is bounded by the source count, so the pair table is
     * |sources|²-bounded regardless of corpus size. */
   def corpusSourceOverlap(s: SparkSession, d: String): DataFrame = {
-    // words bound to a lambda variable so the split runs once per row
-    // (inline element_at(split(...), i) re-splits per gram — O(words²));
     // grams ride as xxhash64 longs, not strings — the distinct and the
     // pair stage shuffle 8-byte keys, and the string-keyed DuckDB
     // oracle fails loudly if a 64-bit collision ever merged two grams
-    // (the text_containment argument)
-    val grams = t(s, d, "documents").select(col("source"), explode(expr(
-      """transform(array(split(trim(text), '\\s+')), w ->
-        |  array_distinct(transform(
-        |    sequence(1, greatest(size(w) - 2, 1)),
-        |    i -> xxhash64(element_at(w, i), element_at(w, i + 1),
-        |                  element_at(w, i + 2)))))[0]"""
-        .stripMargin)).as("g"))
+    // (the text_containment argument). Round 15: the per-doc distinct
+    // chained-hash set computes inside the TrigramXxhashChain kernel
+    // (one generated loop; the HOF interpreted ~4 lambda closures per
+    // gram), replaying the multi-arg xxhash64 null-skip edge exactly —
+    // the kernel-vs-HOF equality is a ScalaCheck property and this op's
+    // oracle stays hash-exact.
+    val grams = t(s, d, "documents").select(col("source"), explode(
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.TrigramXxhashChain(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(
+              expr("split(trim(text), '\\\\s+')"))))).as("g"))
       .distinct()
       .localCheckpoint() // read for totals and the per-gram source sets
     val tot = grams.groupBy("source").agg(count(lit(1)).as("n"))

@@ -941,6 +941,66 @@ object WordTrigramSet {
   }
 }
 
+/** Per-document distinct CHAINED-xxhash64 word trigrams in one generated
+  * loop — the multi-argument-hash sibling of [[NgramHashes]] (which
+  * hashes the space-JOINED gram string; the two values differ):
+  * `trigram_xxhash_chain(ws)` = distinct values of
+  * `xxhash64(ws[i−1], ws[i], ws[i+1])` for `i` in `1 ..
+  * greatest(size − 2, 1)`, first-occurrence order. Replays Spark's
+  * multi-arg XxHash64 exactly — seed 42, each NON-NULL argument folds
+  * `XxHash64Function.hash(arg, StringType, prev)`, a null (out-of-range
+  * `element_at`) argument is SKIPPED — so for short documents the gram
+  * value is the hash of the surviving prefix words (all-null → the bare
+  * seed), exactly the HOF's edge behavior. */
+case class TrigramXxhashChain(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "trigram_xxhash_chain"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> (no null elements) argument, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TrigramXxhashChain.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TrigramXxhashChain.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TrigramXxhashChain {
+  private val XxSeed = 42L
+
+  def compute(ws: ArrayData): GenericArrayData = {
+    val nw = ws.numElements()
+    val hi = math.max(nw - 2, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 1
+    while (i <= hi) {
+      var h = XxSeed
+      var k = i - 1
+      while (k <= i + 1) {
+        if (k >= 0 && k < nw)
+          h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(ws.getUTF8String(k), StringType, h)
+        k += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-document distinct adjacent-word EDGES with multiplicities — the
   * struct-emitting sibling of [[WordBigramCounts]] for the co-occurrence
   * graph family: `bigram_edge_counts(ws)` =

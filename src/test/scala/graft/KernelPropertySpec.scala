@@ -318,6 +318,27 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
     }
 
+  property("TrigramXxhashChain.compute == the multi-arg xxhash64 HOF replay") =
+    Prop.forAll(genWordsEmoji) { ws =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.TrigramXxhashChain.compute(in)
+        .toLongArray().toSeq
+      def hash(i: Int): Long = {
+        // xxhash64(a, b, c): seed 42, null args (out of range) skipped
+        var h = 42L
+        (i - 1 to i + 1).foreach { k =>
+          if (k >= 0 && k < ws.length)
+            h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(ws(k)),
+              org.apache.spark.sql.types.StringType, h)
+        }
+        h
+      }
+      val expect = (1 to math.max(ws.length - 2, 1)).map(hash).distinct
+      Prop(got == expect) :| s"got=$got expect=$expect ws=$ws"
+    }
+
   property("WordEntropyStats.compute == the independent decimal-sum route") =
     Prop.forAll(genWordsEmoji) { ws =>
       val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
