@@ -453,6 +453,32 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(got == expect) :| s"got=$got expect=$expect v=$v cs=$cs"
     }
 
+  property("TopKByScore serialize/deserialize round-trips any buffer") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(
+        Gen.oneOf(Gen.const(None),
+          Gen.oneOf(-1.5, 0.0, -0.0, 2.5, Double.NaN).map(Some(_))),
+        Gen.choose(0L, 99L))),
+      Gen.choose(1, 5)) { (xs, k) =>
+      val agg = graft.functions.TopKByScore(
+        org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+        org.apache.spark.sql.catalyst.expressions.Literal(0L),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+      val buf = new graft.functions.TopKByScore.Buffer(k)
+      xs.foreach { case (s, id) =>
+        buf.offer(new graft.functions.TopKByScore.Entry(
+          s.isEmpty, s.getOrElse(0.0), id))
+      }
+      val back = agg.deserialize(agg.serialize(buf))
+      def drain(b: graft.functions.TopKByScore.Buffer) =
+        (0 until b.size).map { i =>
+          val e = b.entries(i)
+          (e.scoreNull, java.lang.Double.doubleToLongBits(e.score), e.id)
+        }.toList
+      Prop(back.k == buf.k && drain(back) == drain(buf)) :|
+        s"orig=${drain(buf)} back=${drain(back)} xs=$xs k=$k"
+    }
+
   property("ArrayLongIntersectCount == size of the distinct intersection") =
     Prop.forAll(Gen.listOf(Gen.choose(-8L, 8L)), Gen.listOf(Gen.choose(-8L, 8L))) {
       (a, b) => // tiny range → heavy duplicates and overlaps
