@@ -1370,6 +1370,45 @@ class SurvivalNoveltySpec extends AnyFunSuite {
     assert(n0 == forced)
   }
 
+  test("round-15 kernels compile under CODEGEN_ONLY with fallback off") {
+    // a doGenCode bug would otherwise fall back to interpreted silently
+    // (correct results, silent perf loss); force compilation and pin the
+    // forced run row-equal to the default run for every new kernel
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = org.apache.spark.sql.graftcol.NativeColumn.expression(_: org.apache.spark.sql.Column)
+    val c = org.apache.spark.sql.graftcol.NativeColumn.column(_: org.apache.spark.sql.catalyst.expressions.Expression)
+    def all(): Seq[Seq[org.apache.spark.sql.Row]] = {
+      val docs = Q.t(spark, sf, "documents")
+        .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("ws"))
+        .limit(50)
+      val ws = e(col("ws"))
+      Seq(
+        docs.select(c(graft.functions.WordCounts(ws))).collect().toSeq,
+        docs.select(c(graft.functions.WordBigramCounts(ws))).collect().toSeq,
+        docs.select(c(graft.functions.WordTrigramSet(ws))).collect().toSeq,
+        docs.select(c(graft.functions.WordEntropyStats(ws))).collect().toSeq,
+        docs.select(c(graft.functions.MattrStats(ws))).collect().toSeq,
+        docs.select(c(graft.functions.BigramEdgeCounts(ws))).collect().toSeq,
+        docs.select(c(graft.functions.TrigramXxhashChain(ws))).collect().toSeq,
+        Q.t(spark, sf, "embeddings").limit(50)
+          .select(c(graft.functions.DecimalSqDevArgmin(
+            e(org.apache.spark.sql.functions.transform(col("embedding"),
+              _.cast("double"))),
+            Array(Array.fill(64)(0.0), Array.fill(64)(0.1)),
+            Array(1L, 2L), 12))).collect().toSeq)
+    }
+    val default = all()
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val forced = try all() finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    assert(default.forall(_.nonEmpty))
+    assert(default == forced,
+      "a round-15 kernel diverged (or failed to compile) under CODEGEN_ONLY")
+  }
+
   test("interarrival stats match a local recompute for one event type") {
     val rows = Pipeline.eventInterarrival(spark, sf).collect()
     assert(rows.nonEmpty)
