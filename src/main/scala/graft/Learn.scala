@@ -89,9 +89,13 @@ object Learn {
     // iteration and stalls exactly at the fixpoint — the per-iteration
     // join of next against the superseded snapshot (one extra shuffle
     // per round) is gone; the convergence probe is a d-bounded agg over
-    // the already-checkpointed labels.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    // the already-checkpointed labels. Summed as decimal(38,0), not long:
+    // a long sum overflows at node-id×count scale (ANSI throw / non-ANSI
+    // wraparound would make "sum stalled ⇒ fixpoint" merely probabilistic);
+    // the decimal sum keeps the monotone-stall argument exact at any scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("c").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0)))).head().getDecimal(0)
     var lastSum = labelSum(lbl)
     var converged = false
     var iter = 0
@@ -116,7 +120,7 @@ object Learn {
       release(propIds) // intermediate: `next` is materialized past it
       release(lblIds) // superseded snapshot: free it once `next` is pinned
       lbl = next; lblIds = nextIds
-      converged = sum == lastSum
+      converged = sum.compareTo(lastSum) == 0
       lastSum = sum
       iter += 1
     }

@@ -246,7 +246,13 @@ object Mining {
     val anchors = vecs.filter(col("vec_id") < 20).collect()
       .map(r => (r.getAs[Long]("vec_id"),
         r.getAs[java.lang.Integer]("label"),
-        Option(r.getSeq[Double](2)).map(_.toArray).orNull))
+        // null elements extract as NaN, not an unboxing NPE: the explode
+        // formulation's null dim produced a null distance term that the
+        // decimal sum skipped, and DecimalSqDevSum skips NaN terms the
+        // same way — so NaN IS the null dim, bit-for-bit
+        Option(r.getSeq[java.lang.Double](2))
+          .map(_.map(x => if (x == null) Double.NaN else x.doubleValue).toArray)
+          .orNull))
       // an empty anchor vector joined no dimension rows in the explode
       // formulation, so it never appeared — skip it here too
       .filter(a => a._3 != null && a._3.nonEmpty)
@@ -260,7 +266,10 @@ object Mining {
           org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
           av, 12)).cast("double"))
     val pairStructs = anchors.map { case (av, al, avec) =>
-      struct(lit(av).as("av"), lit(al).as("al"), distTo(avec).as("dist"))
+      // explicit int cast: a null anchor label would otherwise make this
+      // struct field NullType and lean on array/struct coercion to analyze
+      struct(lit(av).as("av"), lit(al).cast("int").as("al"),
+        distTo(avec).as("dist"))
     }
     val pairs = vecs
       // an empty b-side vector joined no dimension rows either

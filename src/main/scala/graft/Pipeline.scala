@@ -4174,6 +4174,10 @@ object Pipeline {
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
+      // the posexplode shape this replaced dropped null/empty embeddings
+      // before the per-label rollup (no rows to explode); replay that
+      // drop so such rows can't inflate count(1) or the mean divisor
+      .filter(col("v").isNotNull && size(col("v")) > 0)
     // a null-label centroid can never match a row's `cl === label` /
     // `cl =!= label` predicates (both are null), so dropping it replays
     // the old join's behavior exactly
@@ -4187,8 +4191,14 @@ object Pipeline {
       .map { r =>
         val sums = r.getSeq[java.math.BigDecimal](1)
         val counts = r.getSeq[Long](2)
+        // a (label, dim) whose every value was NaN sums to a null decimal
+        // (and n can be 0 for an all-null dim): guard instead of NPE-ing
+        // at the driver — NaN replays the join shape's poisoned-dimension
+        // arithmetic (NaN distance → null after the decimal cast)
         (r.getInt(0),
-          sums.zip(counts).map { case (sm, n) => sm.doubleValue / n }.toArray)
+          sums.zip(counts).map { case (sm, n) =>
+            if (sm == null || n == 0L) Double.NaN else sm.doubleValue / n
+          }.toArray)
       }
       .sortBy(_._1)
     val withD = cents.zipWithIndex.foldLeft(vecs) { case (df, ((_, cv), i)) =>
@@ -4490,13 +4500,18 @@ object Pipeline {
     * production path).
     *
     * Scale contract (sample-bounded ground truth): the brute arm is a
-    * 10 × [[GtSampleCap]] bounded broadcast cross — never 10 × corpus —
-    * using the same unrolled bit-exact cosine arithmetic as the IVF
-    * re-rank, so both engines rank identically. The recall join needs no
-    * cap of its own: hits only count IVF candidates that appear in the
-    * brute top-5, which is in-sample by construction. The oracle
-    * composes the runtime-generated IVF SQL (trained-centroid literals)
-    * with the same capped brute CTE. */
+    * 10 × [[GtSampleCap]] bounded cross with the TEN QUERY ROWS as the
+    * broadcast side — the capped sample STREAMS through the scan (round
+    * 16: broadcasting the sample itself was bounded but uncomfortable,
+    * ~2²⁰ × 64 doubles ≈ 0.5 GB per executor at the cap; the query side
+    * is ~10 × d doubles) — using the same unrolled bit-exact cosine
+    * arithmetic as the IVF re-rank, so both engines rank identically,
+    * and the map-side [[graft.functions.TopKByScore]] partials reduce
+    * each scan split to ≤ 10×5 entries before the one exchange. The
+    * recall join needs no cap of its own: hits only count IVF candidates
+    * that appear in the brute top-5, which is in-sample by construction.
+    * The oracle composes the runtime-generated IVF SQL (trained-centroid
+    * literals) with the same capped brute CTE. */
   def embIvfRecall(s: SparkSession, d: String): DataFrame = {
     val ivf = simAnnIvf(s, d) // side effect: sets simAnnIvfOracle
       .select(col("q_id"), col("cand_id"))
@@ -4506,12 +4521,12 @@ object Pipeline {
     // identical IEEE doubles, so the ranking and the oracle are unchanged);
     // top-5 selection through the map-side rerankTopK aggregate (round 15)
     val brute = rerankTopK(
-      vecs.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        .withColumn("qn", sqrt(expr(IvfDot(IvfDim, "qv", "qv"))))
-        .join(broadcast(vecs.filter(col("vec_id") < GtSampleCap)
+      broadcast(vecs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .withColumn("qn", sqrt(expr(IvfDot(IvfDim, "qv", "qv")))))
+        .join(vecs.filter(col("vec_id") < GtSampleCap)
           .select(col("vec_id").as("cand_id"), col("v").as("cv2"))
-          .withColumn("cn", sqrt(expr(IvfDot(IvfDim, "cv2", "cv2"))))),
+          .withColumn("cn", sqrt(expr(IvfDot(IvfDim, "cv2", "cv2")))),
           col("q_id") =!= col("cand_id"))
         .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
           (col("qn") * col("cn"))),

@@ -117,7 +117,12 @@ object Refine {
     val seedRows: Array[(Long, Array[Double])] =
       vecs.orderBy("vec_id").limit(SemK)
         .select(col("vec_id"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        // null elements extract as NaN, not an unboxing NPE: the kernel
+        // skips NaN terms exactly as the dim-join skipped null dims
+        .map(r => (r.getLong(0),
+          Option(r.getSeq[java.lang.Double](1)).map(
+            _.map(x => if (x == null) Double.NaN else x.doubleValue).toArray)
+            .getOrElse(Array.empty[Double])))
         .sortBy(_._1)
     val asg = reps.select(col("rep"),
       org.apache.spark.sql.graftcol.NativeColumn.column(

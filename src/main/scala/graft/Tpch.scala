@@ -339,26 +339,32 @@ object Tpch {
     * rounds identically and the oracle hash-matches.
     *
     * Threshold shape history: round 2 shared the per-part sums between
-    * both consumers via localCheckpoint (one fact pass); round 15
-    * re-measured under the prepared-plan/AQE SF1 protocol and the
-    * checkpoint barrier LOST to recomputing the threshold as a direct
-    * global aggregate on the fact (min-of-6 alternating: 0.93 s → 0.87 s)
-    * — and plain plan-sharing without the checkpoint is worse still
-    * (1.25 s: the grouped agg runs twice). The dual-scan is also the
-    * friendlier 100 TB shape: the threshold pass is a column-pruned
-    * one-column scan with map-side partial aggregation (no shuffle),
-    * while the checkpoint materialized the full ~#parts-row table to
-    * executor-local storage and walled off AQE re-planning.
+    * both consumers via localCheckpoint (one fact pass, but a barrier
+    * that walls off AQE and materializes ~#parts rows to executor
+    * storage); round 15 replaced it with a dual-scan direct global
+    * aggregate, which won at SF1 (0.839 → 0.599 s) but LOST 3.5× under
+    * the driver's prepared-plan sf0.1 protocol (each cloned sample pays
+    * the second fact scan that the checkpoint had amortized into prepare
+    * time). Round 16 lands the shape that wins under BOTH protocols: the
+    * grand total comes from the ALREADY-REDUCED per-part stream via an
+    * empty-frame window — ONE fact scan, one shuffle, and the window
+    * runs over only ~#parts reduced rows (200k at SF1), collapsed to a
+    * single partition. At 100 TB #parts is bounded by the part catalog
+    * (millions, not the fact's billions), so a single-partition pass over
+    * the reduced stream stays cheap; if it ever didn't, the same total
+    * could come from a two-level rollup at the cost of doubling the
+    * fact shuffle.
     * (Caveat: the global cents total must stay under 2^53 for double
     * exactness — holds to ~90 trillion in total revenue.) */
   def q11(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val cents = round(col("l_extendedprice") * 100).cast("long")
     val pv = li(s, d).groupBy(col("l_partkey")).agg(sum(cents).as("c"))
-    val total = li(s, d)
-      .agg((sum(cents).cast(DoubleType) / 100.0 * lit(0.001)).as("threshold"))
-    pv.select(col("l_partkey"), (col("c").cast(DoubleType) / 100.0).as("part_value"))
-      .join(broadcast(total))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    pv.withColumn("threshold",
+        sum(col("c")).over(w).cast(DoubleType) / 100.0 * lit(0.001))
+      .select(col("l_partkey"), (col("c").cast(DoubleType) / 100.0).as("part_value"),
+        col("threshold"))
       .filter(col("part_value") > col("threshold"))
       .select("l_partkey", "part_value")
       .orderBy(desc("part_value"), asc("l_partkey"))

@@ -29,12 +29,17 @@ import org.apache.spark.sql.types._
   * the comparator replays Spark's window order `score DESC NULLS LAST,
   * id ASC` — doubles compare by `java.lang.Double.compare` (Spark's
   * DoubleType ordering: NaN above +Inf, −0.0 below +0.0), a null score
-  * ranks below every non-null, ties fall to the smaller id. Top-k of a
-  * union equals top-k of per-part top-k's under a total order, so merge
-  * order cannot change the result; `eval` emits the k best entries
-  * best-first, and the caller's `posexplode` position replays the
-  * window's `row_number`. Rows whose ID evaluates null are ignored
-  * (the window twin never produces a null id from its join keys). */
+  * ranks below every non-null, ties fall to the smaller id with a null
+  * id FIRST among score-ties (the window's default `id ASC NULLS
+  * FIRST`). Top-k of a union equals top-k of per-part top-k's under a
+  * total order, so merge order cannot change the result; `eval` emits
+  * the k best entries best-first, and the caller's `posexplode`
+  * position replays the window's `row_number`. Null ids are carried,
+  * ranked, and emitted exactly as the window twin ranks them (round 16
+  * — previously they were silently dropped, a divergence a future
+  * caller with a nullable id column would have hit without any test
+  * failing; current call sites derive ids from join keys and never
+  * produce one). */
 case class TopKByScore(
     scoreExpr: Expression,
     idExpr: Expression,
@@ -50,7 +55,7 @@ case class TopKByScore(
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("score", DoubleType, nullable = true),
-      StructField("id", LongType, nullable = false))),
+      StructField("id", LongType, nullable = true))),
     containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -70,12 +75,10 @@ case class TopKByScore(
 
   override def update(buf: Buffer, input: InternalRow): Buffer = {
     val idV = idExpr.eval(input)
-    if (idV != null) {
-      val sV = scoreExpr.eval(input)
-      buf.offer(new Entry(
-        sV == null, if (sV == null) 0.0 else sV.asInstanceOf[Double],
-        idV.asInstanceOf[Long]))
-    }
+    val sV = scoreExpr.eval(input)
+    buf.offer(new Entry(
+      sV == null, if (sV == null) 0.0 else sV.asInstanceOf[Double],
+      idV == null, if (idV == null) 0L else idV.asInstanceOf[Long]))
     buf
   }
 
@@ -91,7 +94,8 @@ case class TopKByScore(
     while (i < buf.size) {
       val e = buf.entries(i)
       out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](if (e.scoreNull) null else e.score, e.id))
+        Array[Any](if (e.scoreNull) null else e.score,
+          if (e.idNull) null else e.id))
       i += 1
     }
     new GenericArrayData(out)
@@ -104,7 +108,9 @@ case class TopKByScore(
     var i = 0
     while (i < buf.size) {
       val e = buf.entries(i)
-      bb.put(if (e.scoreNull) 1.toByte else 0.toByte)
+      // flags byte: bit 0 = score null, bit 1 = id null
+      val flags = (if (e.scoreNull) 1 else 0) | (if (e.idNull) 2 else 0)
+      bb.put(flags.toByte)
       bb.putDouble(e.score)
       bb.putLong(e.id)
       i += 1
@@ -118,7 +124,9 @@ case class TopKByScore(
     val n = bb.getInt
     var i = 0
     while (i < n) {
-      buf.offer(new Entry(bb.get() == 1.toByte, bb.getDouble, bb.getLong))
+      val flags = bb.get()
+      buf.offer(new Entry((flags & 1) != 0, bb.getDouble,
+        (flags & 2) != 0, bb.getLong))
       i += 1
     }
     buf
@@ -135,8 +143,12 @@ case class TopKByScore(
 }
 
 object TopKByScore {
-  /** `(score DESC NULLS LAST, id ASC)` rank key. */
-  final class Entry(val scoreNull: Boolean, val score: Double, val id: Long)
+  /** `(score DESC NULLS LAST, id ASC NULLS FIRST)` rank key. */
+  final class Entry(val scoreNull: Boolean, val score: Double,
+      val idNull: Boolean, val id: Long) {
+    def this(scoreNull: Boolean, score: Double, id: Long) =
+      this(scoreNull, score, idNull = false, id)
+  }
 
   /** true iff `a` ranks strictly before `b`. */
   private def before(a: Entry, b: Entry): Boolean = {
@@ -146,6 +158,7 @@ object TopKByScore {
       val c = java.lang.Double.compare(a.score, b.score)
       if (c != 0) return c > 0 // DESC
     }
+    if (a.idNull != b.idNull) return a.idNull // id ASC NULLS FIRST
     a.id < b.id
   }
 

@@ -374,29 +374,39 @@ object KernelPropertySpec extends Properties("graft.kernels") {
         Gen.oneOf(Gen.const(None),
           Gen.oneOf(-1.0, 0.0, -0.0, 0.5, 1.0, Double.NaN,
             Double.PositiveInfinity).map(Some(_))),
-        Gen.choose(0L, 12L))),
+        Gen.oneOf(Gen.const(Option.empty[Long]),
+          Gen.choose(0L, 12L).map(Some(_))))),
       Gen.choose(1, 4)) { (xs, k) =>
       // offered in one buffer AND split across two merged buffers — both
       // must equal the reference sort (score DESC NULLS LAST via
-      // Double.compare, id ASC)
-      val ord = new Ordering[(Option[Double], Long)] {
-        def compare(a: (Option[Double], Long), b: (Option[Double], Long)): Int =
+      // Double.compare, id ASC NULLS FIRST — Spark's window defaults)
+      def cmpId(a: Option[Long], b: Option[Long]): Int = (a, b) match {
+        case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+        case (None, Some(_)) => -1 // ASC NULLS FIRST
+        case (Some(_), None) => 1
+        case (None, None) => 0
+      }
+      val ord = new Ordering[(Option[Double], Option[Long])] {
+        def compare(a: (Option[Double], Option[Long]),
+            b: (Option[Double], Option[Long])): Int =
           (a._1, b._1) match {
             case (Some(x), Some(y)) =>
               val c = -java.lang.Double.compare(x, y)
-              if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+              if (c != 0) c else cmpId(a._2, b._2)
             case (Some(_), None) => -1
             case (None, Some(_)) => 1
-            case (None, None) => java.lang.Long.compare(a._2, b._2)
+            case (None, None) => cmpId(a._2, b._2)
           }
       }
       val expect = xs.sorted(ord).take(k)
-      def entry(x: (Option[Double], Long)) = new graft.functions.TopKByScore.Entry(
-        x._1.isEmpty, x._1.getOrElse(0.0), x._2)
+      def entry(x: (Option[Double], Option[Long])) =
+        new graft.functions.TopKByScore.Entry(
+          x._1.isEmpty, x._1.getOrElse(0.0), x._2.isEmpty, x._2.getOrElse(0L))
       def drain(b: graft.functions.TopKByScore.Buffer) =
         (0 until b.size).map { i =>
           val e = b.entries(i)
-          (if (e.scoreNull) None else Some(e.score), e.id)
+          (if (e.scoreNull) None else Some(e.score),
+            if (e.idNull) None else Some(e.id))
         }.toList
       val one = new graft.functions.TopKByScore.Buffer(k)
       xs.foreach(x => one.offer(entry(x)))
@@ -409,7 +419,8 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       val gotOne = drain(one)
       val gotMerged = drain(bl)
       // NaN-aware comparison: Option[Double] == fails on NaN != NaN
-      def same(a: List[(Option[Double], Long)], b: List[(Option[Double], Long)]) =
+      def same(a: List[(Option[Double], Option[Long])],
+          b: List[(Option[Double], Option[Long])]) =
         a.length == b.length && a.zip(b).forall { case ((s1, i1), (s2, i2)) =>
           i1 == i2 && ((s1, s2) match {
             case (Some(x), Some(y)) =>
@@ -458,7 +469,8 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Gen.listOf(Gen.zip(
         Gen.oneOf(Gen.const(None),
           Gen.oneOf(-1.5, 0.0, -0.0, 2.5, Double.NaN).map(Some(_))),
-        Gen.choose(0L, 99L))),
+        Gen.oneOf(Gen.const(Option.empty[Long]),
+          Gen.choose(0L, 99L).map(Some(_))))),
       Gen.choose(1, 5)) { (xs, k) =>
       val agg = graft.functions.TopKByScore(
         org.apache.spark.sql.catalyst.expressions.Literal(0.0),
@@ -467,16 +479,130 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       val buf = new graft.functions.TopKByScore.Buffer(k)
       xs.foreach { case (s, id) =>
         buf.offer(new graft.functions.TopKByScore.Entry(
-          s.isEmpty, s.getOrElse(0.0), id))
+          s.isEmpty, s.getOrElse(0.0), id.isEmpty, id.getOrElse(0L)))
       }
       val back = agg.deserialize(agg.serialize(buf))
       def drain(b: graft.functions.TopKByScore.Buffer) =
         (0 until b.size).map { i =>
           val e = b.entries(i)
-          (e.scoreNull, java.lang.Double.doubleToLongBits(e.score), e.id)
+          (e.scoreNull, java.lang.Double.doubleToLongBits(e.score),
+            e.idNull, e.id)
         }.toList
       Prop(back.k == buf.k && drain(back) == drain(buf)) :|
         s"orig=${drain(buf)} back=${drain(back)} xs=$xs k=$k"
+    }
+
+  // ---------- randomized partition-split merge properties (round 16):
+  // split a generated input into random sub-buffers, push each through
+  // the aggregate's real update path (BoundReference rows), serialize +
+  // deserialize every partial (the exchange), merge in a random order,
+  // and pin eval() equal to the single-buffer eval — merge-order /
+  // associativity coverage the width-7 Verify run only samples ----------
+
+  private def topkAgg(k: Int) = graft.functions.TopKByScore(
+    org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.catalyst.expressions.BoundReference(
+      1, org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.catalyst.expressions.Literal(k))
+
+  property("TopKByScore: random split + random-order merge == one buffer") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(
+        Gen.oneOf(Gen.const(None),
+          Gen.oneOf(-1.0, 0.0, -0.0, 0.5, 1.0, Double.NaN,
+            Double.PositiveInfinity).map(Some(_))),
+        Gen.oneOf(Gen.const(Option.empty[Long]),
+          Gen.choose(0L, 9L).map(Some(_))))),
+      Gen.choose(1, 4),
+      Gen.listOf(Gen.choose(0, 5)),    // split assignment per row
+      Gen.choose(0L, Long.MaxValue)) { (xs, k, splits, seed) =>
+      val agg = topkAgg(k)
+      def row(x: (Option[Double], Option[Long])) =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](x._1.map(Double.box).orNull, x._2.map(Long.box).orNull))
+      def evalList(b: graft.functions.TopKByScore.Buffer) = {
+        val arr = agg.eval(b)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2)
+          (if (r.isNullAt(0)) None
+           else Some(java.lang.Double.doubleToLongBits(r.getDouble(0))),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        }.toList
+      }
+      val one = agg.createAggregationBuffer()
+      xs.foreach(x => agg.update(one, row(x)))
+      // random sub-buffers: row i goes to bucket splits(i % ...) (cycled)
+      val nBuckets = 6
+      val parts = Array.fill(nBuckets)(agg.createAggregationBuffer())
+      xs.zipWithIndex.foreach { case (x, i) =>
+        val b = if (splits.isEmpty) 0 else splits(i % splits.length)
+        agg.update(parts(b), row(x))
+      }
+      // serde every partial, then merge in a seed-shuffled order
+      val order = new scala.util.Random(seed).shuffle((0 until nBuckets).toList)
+      val acc = agg.createAggregationBuffer()
+      order.foreach(i =>
+        agg.merge(acc, agg.deserialize(agg.serialize(parts(i)))))
+      Prop(evalList(acc) == evalList(one)) :|
+        s"merged=${evalList(acc)} one=${evalList(one)} xs=$xs k=$k order=$order"
+    }
+
+  private def gramAgg(scale: Int) = graft.functions.GramDecimalSum(
+    org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType), nullable = true),
+    scale)
+
+  property("GramDecimalSum: random split + random-order merge == one buffer") =
+    Prop.forAll(
+      Gen.listOf(Gen.oneOf(
+        Gen.const(Option.empty[List[Option[Float]]]),   // null vector row
+        Gen.choose(0, 5).flatMap(n => Gen.listOfN(n,
+          Gen.oneOf(Gen.const(Option.empty[Float]),     // null element
+            Gen.oneOf(-2.5f, -0.0f, 0.0f, 0.5f, 3.0f, Float.NaN)
+              .map(Some(_))))).map(Some(_)))),
+      Gen.listOf(Gen.choose(0, 5)),
+      Gen.choose(0L, Long.MaxValue)) { (vs, splits, seed) =>
+      val agg = gramAgg(6)
+      def row(v: Option[List[Option[Float]]]) =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](v.map(l =>
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              l.map(_.map(Float.box).orNull).toArray[Any])).orNull))
+      def evalCells(b: graft.functions.GramDecimalSum.Buffer) = {
+        val arr = agg.eval(b)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 3)
+          (r.getInt(0), r.getInt(1),
+            if (r.isNullAt(2)) None
+            else Some(r.getDecimal(2, 38, 6).toJavaBigDecimal))
+        }.toList
+      }
+      val one = agg.createAggregationBuffer()
+      vs.foreach(v => agg.update(one, row(v)))
+      val nBuckets = 6
+      val parts = Array.fill(nBuckets)(agg.createAggregationBuffer())
+      vs.zipWithIndex.foreach { case (v, i) =>
+        val b = if (splits.isEmpty) 0 else splits(i % splits.length)
+        agg.update(parts(b), row(v))
+      }
+      val order = new scala.util.Random(seed).shuffle((0 until nBuckets).toList)
+      val acc = agg.createAggregationBuffer()
+      order.foreach(i =>
+        agg.merge(acc, agg.deserialize(agg.serialize(parts(i)))))
+      val (got, expect) = (evalCells(acc), evalCells(one))
+      val sameCells = got.length == expect.length &&
+        got.zip(expect).forall { case ((i1, j1, s1), (i2, j2, s2)) =>
+          i1 == i2 && j1 == j2 && ((s1, s2) match {
+            case (Some(x), Some(y)) => x.compareTo(y) == 0
+            case (None, None) => true
+            case _ => false
+          })
+        }
+      Prop(sameCells) :| s"merged=$got one=$expect vs=$vs order=$order"
     }
 
   property("ArrayLongIntersectCount == size of the distinct intersection") =
