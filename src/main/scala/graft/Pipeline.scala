@@ -551,7 +551,7 @@ object Pipeline {
     * estimate are unchanged. Returns (members: one (doc_id, th) row per
     * document; repPairs: verified representative pairs (r1 < r2) with
     * their text hashes and est_jaccard ≥ 0.5). */
-  private def minhashScaffold(
+  private[graft] def minhashScaffold(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val byText = t(s, d, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("th"))
@@ -654,7 +654,6 @@ object Pipeline {
     * `keep_id` = min doc id of its component (keep iff doc_id = keep_id).
     * Oracle: DuckDB recursive CTE over the identical pair CTEs. */
   def dedupGroups(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // Round-11: propagate over the REPRESENTATIVE graph, not the
     // reconstructed full pair set. Identical-text groups are cliques
     // that share their rep's connections, so components over rep pairs
@@ -663,8 +662,85 @@ object Pipeline {
     // the min doc id the full-graph fixpoint would compute. At a
     // replicated corpus (group size g) this shrinks the fixpoint input
     // by ~g² while the output stays bit-identical.
+    //
+    // Round-16 adaptive solve (the broadcast-threshold posture): probe
+    // the rep graph with `limit(cap+1).collect` — bounded driver memory
+    // BY CONSTRUCTION — and when the whole graph fits under
+    // [[DedupFixpointDriverCap]] (~4M edges ≈ 64 MB, the class of
+    // Spark's own small-side adaptivity), solve components with a
+    // driver union-find in one job instead of paying the distributed
+    // fixpoint's per-round stage launches (measured at the 10× corpus:
+    // 242 edges / 470 nodes, yet ~1.2 s of scheduler floor across the
+    // init + 2 convergence rounds). Over the cap the collected probe is
+    // discarded and the same distributed min-label fixpoint as before
+    // runs — components of a 100 TB pair graph never route through the
+    // driver. PipelineSpec pins the two paths row-equal.
     val (members, repPairs) = minhashScaffold(s, d)
     val p = repPairs.select(col("r1"), col("r2"))
+    val probe = p.limit(DedupFixpointDriverCap + 1).collect()
+    val labelsRep =
+      if (probe.length <= DedupFixpointDriverCap)
+        s.createDataFrame(repComponentsDriver(
+            probe.map(r => (r.getLong(0), r.getLong(1)))))
+          .toDF("rep", "label")
+      else repComponentsDistributed(s, p)
+    // Expand rep components to documents. A doc is in the full pair set
+    // iff its rep pairs with another rep OR its identical-text group has
+    // ≥ 2 members (within-group pairs); its component label is its rep's
+    // propagated label, or the rep itself for a pure within-group clique.
+    val docRep = members.join(
+      members.groupBy("th").agg(min("doc_id").as("rep"),
+        count(lit(1)).as("gsz")), "th")
+    docRep.join(labelsRep, Seq("rep"), "left")
+      .filter(col("label").isNotNull || col("gsz") >= 2)
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep")).as("keep_id"))
+      .orderBy("doc_id")
+  }
+  /** Driver-solve ceiling for [[dedupGroups]]' rep-pair graph: 2²² edges
+    * (two longs each ≈ 64 MB collected) — the same order as Spark's own
+    * small-side broadcast adaptivity. Under it, components solve in one
+    * collect + union-find; over it, the distributed fixpoint runs. */
+  private[graft] val DedupFixpointDriverCap: Int = 1 << 22
+
+  /** Driver union-find over rep pairs, union-by-min-root so every tree's
+    * root IS its component's minimum rep id — exactly the label the
+    * distributed min-propagation fixpoint converges to. Path-compressed;
+    * O(edges · α). Returns one (rep, min-label) row per node appearing
+    * in any pair — the same node set as `edges.select(src).distinct`
+    * over the doubled edge list. */
+  private[graft] def repComponentsDriver(
+      pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // attach the larger root under the smaller: roots stay minima
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.iterator.map(x => (x, find(x))).toSeq
+  }
+
+  /** The distributed min-label fixpoint over the rep-pair graph — the
+    * over-cap path of [[dedupGroups]] (and the shape that ran
+    * unconditionally through round 15). Σlabel strictly decreases until
+    * the fixpoint, so it doubles as the convergence check AND the
+    * per-round materialization action; superseded label checkpoints are
+    * released so executor storage holds ≤2 snapshots. */
+  private[graft] def repComponentsDistributed(
+      s: SparkSession, p: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = p.union(p.select(col("r2"), col("r1")))
       .toDF("src", "dst").cache()
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
@@ -672,8 +748,6 @@ object Pipeline {
     var labelsRdd = edges.select(col("src")).distinct()
       .select(col("src").as("doc_id"), col("src").as("label"))
       .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    // Σlabel strictly decreases until the fixpoint, so it doubles as the
-    // convergence check AND the per-round materialization action
     def labelSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
       s.createDataset(rdd).toDF("doc_id", "label")
         .agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
@@ -708,19 +782,9 @@ object Pipeline {
       .localCheckpoint()
     labelsRdd.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    // Expand rep components to documents. A doc is in the full pair set
-    // iff its rep pairs with another rep OR its identical-text group has
-    // ≥ 2 members (within-group pairs); its component label is its rep's
-    // propagated label, or the rep itself for a pure within-group clique.
-    val docRep = members.join(
-      members.groupBy("th").agg(min("doc_id").as("rep"),
-        count(lit(1)).as("gsz")), "th")
-    docRep.join(labelsRep, Seq("rep"), "left")
-      .filter(col("label").isNotNull || col("gsz") >= 2)
-      .select(col("doc_id"),
-        coalesce(col("label"), col("rep")).as("keep_id"))
-      .orderBy("doc_id")
+    labelsRep
   }
+
   val dedupGroupsSql: String =
     raw"""WITH RECURSIVE $minhashPairsCtes,
          |cand AS (SELECT doc1, doc2 FROM pairs WHERE est_jaccard >= 0.5),
@@ -750,12 +814,14 @@ object Pipeline {
     val docs = t(s, d, "documents").select(col("doc_id"))
     val lab = docs.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("keep_id"), col("doc_id")))
-    val sizes = lab.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    lab.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"),
+    // cluster_size as a full-frame count window: ONE cluster-keyed
+    // shuffle of the corpus instead of the groupBy + join-back pair
+    // (round 16 A/B'd at 10×); per-cluster buffers are near-dup group
+    // sizes — tiny at any corpus scale
+    val w = Window.partitionBy("cluster_id")
+    lab.select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"),
-        col("cluster_size"))
+        count(lit(1)).over(w).as("cluster_size"))
       .orderBy("doc_id")
   }
   val dedupKeepCanonicalSql: String =
