@@ -491,6 +491,14 @@ object Tpch {
     * The remaining gap to the baseline is structural: this corpus ships
     * no partsupp, so q16 reads the 6M-row lineitem bridge where the
     * reference reads 800k partsupp rows.) */
+  /** q16 shape history: countDistinct's own two-phase expand IS the
+    * distinct — both explicit pre-distinct variants lost alternating
+    * A/Bs at SF1 (round 15: distinct before the part filter; round 16:
+    * semi-filter then distinct (partkey, suppkey) before attaching part
+    * attributes — mins 0.87/0.93 s current vs 1.16–1.47 s probe, the
+    * extra (partkey, suppkey) exchange never pays for the rows it
+    * removes because the count-distinct rewrite already dedups
+    * map-side). */
   def q16(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .select(col("l_partkey"), col("l_suppkey"))
