@@ -627,6 +627,14 @@ object Tpch {
 
   /** q21 adapted: suppliers whose line was the last to ship (> 30 days
     * after ordering) in a multi-supplier finalized order. */
+  /** q21 shape history (round 16): the full decorrelation — per-(order,
+    * supp) max-shipdate aggregate + (m1, n1, m2) windows replacing both
+    * the semi and anti fact joins — was oracle-exact but LOST a 3-pair
+    * alternating A/B under the driver protocol (0.44–0.49 s shipped vs
+    * 0.79–1.06 s probe): TPC-H orders average ~1 line per supplier, so
+    * the per-(order, supp) "reduction" removes almost nothing and the
+    * two window passes + join-back cost strictly more than the
+    * sort-merge semi/anti pair, which share one l1 exchange. */
   def q21(s: SparkSession, d: String): DataFrame = {
     val l1 = li(s, d)
     val l2 = li(s, d).select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
