@@ -53,7 +53,15 @@ object Learn {
     * materialized, so executor storage holds ≤2 label snapshots at any
     * time. Emits one row per multi-document component. The same algorithm
     * resolves MinHash-band buckets at production scale; the fingerprint
-    * families keep the oracle tractable. */
+    * families keep the oracle tractable.
+    *
+    * Round-16 adaptive solve (cf. [[Pipeline.dedupGroups]]): the star
+    * edge list is probed with `limit(cap+1).collect` — driver memory
+    * bounded by construction — and under
+    * [[Pipeline.DedupFixpointDriverCap]] components solve with the
+    * shared union-by-min-root union-find in one job; over the cap the
+    * probe is discarded and the distributed fixpoint below runs
+    * unchanged. LearnSpec pins the two paths equal. */
   def graphComponents(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val norm = expr(normExpr)
@@ -75,6 +83,40 @@ object Learn {
         .select(col("doc_id").as("u"), col("root").as("v")).distinct()
         .localCheckpoint()
     }
+    // adaptive small-graph solve: one bounded collect + union-find when
+    // the whole star-edge list fits under the shared driver cap
+    val probe = edges.limit(Pipeline.DedupFixpointDriverCap + 1).collect()
+    if (probe.length <= Pipeline.DedupFixpointDriverCap) {
+      val lblDriver = s.createDataFrame(Pipeline.repComponentsDriver(
+          probe.map(r => (r.getLong(0), r.getLong(1)))))
+        .toDF("node", "c")
+      release(edgeIds)
+      return lblDriver.groupBy(col("c").as("comp_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("node").as("min_doc"), max("node").as("max_doc"))
+        .orderBy(col("n_docs").desc, col("comp_id"))
+    }
+    val lblDist = componentLabelsDistributed(s, edges)
+    release(edgeIds) // result depends only on lblDist's checkpoint
+    lblDist.groupBy(col("c").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("node").as("min_doc"), max("node").as("max_doc"))
+      .orderBy(col("n_docs").desc, col("comp_id"))
+  }
+
+  /** Distributed min-label fixpoint over a star-edge list (u, v) — the
+    * over-cap path of [[graphComponents]]; one (node, c) row per edge
+    * endpoint with c = its component's minimum node id. LearnSpec pins
+    * it equal to [[Pipeline.repComponentsDriver]]. */
+  private[graft] def componentLabelsDistributed(
+      s: SparkSession, edges: DataFrame): DataFrame = {
+    def pinnedIds(body: => DataFrame): (DataFrame, Set[Int]) = {
+      val pre = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val df = body
+      (df, s.sparkContext.getPersistentRDDs.keySet.toSet -- pre)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     val (adj, adjIds) = pinnedIds {
       edges.union(edges.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
@@ -126,11 +168,8 @@ object Learn {
     }
     require(converged,
       s"component label propagation did not converge in $iter iterations")
-    release(edgeIds); release(adjIds) // result depends only on lbl's checkpoint
-    lbl.groupBy(col("c").as("comp_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        min("node").as("min_doc"), max("node").as("max_doc"))
-      .orderBy(col("n_docs").desc, col("comp_id"))
+    release(adjIds) // result depends only on lbl's checkpoint
+    lbl
   }
   val graphComponentsSql: String =
     """WITH RECURSIVE
