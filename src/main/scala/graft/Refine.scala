@@ -635,21 +635,25 @@ object Refine {
       .toDF("src", "dst", "pc")
       .groupBy("src", "dst").agg(sum("pc").as("wt"))
       .localCheckpoint() // vocabulary²-bounded, scanned once per round
-    val nodes = und.select(col("src").as("w")).distinct().localCheckpoint()
-    var lab = nodes.select(col("w"), col("w").as("lbl"))
+    var lab = und.select(col("src").as("w")).distinct()
+      .select(col("w"), col("w").as("lbl"))
     for (_ <- 1 to LpaIters) {
       val votes = und
         .join(lab.select(col("w").as("dst"), col("lbl")), "dst")
         .groupBy("src", "lbl").agg(sum("wt").as("v"))
       val aw = Window.partitionBy("src").orderBy(col("v").desc, col("lbl"))
-      val next = votes.withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
-        .select(col("src").as("w"), col("lbl").as("nl"))
       // no per-round checkpoint: the round count is a fixed 3, so the
       // unrolled plan executes once from the pinned edge table — and
-      // nothing superseded is left pinned in executor storage
-      lab = nodes.join(lab, "w").join(next, Seq("w"), "left")
-        .select(col("w"), coalesce(col("nl"), col("lbl")).as("lbl"))
+      // nothing superseded is left pinned in executor storage. No
+      // carry-forward join either (round 16): und is symmetrized, so
+      // EVERY node occurs as src and as dst; lab always covers all
+      // nodes (induction from the init), hence the dst join drops no
+      // edge and the rank-1 pick emits exactly one row per node — the
+      // oracle's LEFT JOIN carry-forward is a no-op here, and removing
+      // it deletes two joins per round from the unrolled plan.
+      lab = votes.withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("src").as("w"), col("lbl"))
     }
     (lab, und)
   }
@@ -673,14 +677,18 @@ object Refine {
     val e = und
       .join(lab.select(col("w").as("src"), col("lbl").as("cs")), "src")
       .join(lab.select(col("w").as("dst"), col("lbl").as("cd")), "dst")
-      .localCheckpoint() // labeled edges: read for W, in_c, and tot_c
-    val tot = e.agg(sum("wt").as("w2"))
-    val inc = e.filter(col("cs") === col("cd"))
-      .groupBy("cs").agg(sum("wt").as("win"))
-    e.groupBy("cs").agg(sum("wt").as("ktot"))
-      .join(inc, Seq("cs"), "left")
-      .withColumn("win", coalesce(col("win"), lit(0L)))
-      .crossJoin(broadcast(tot))
+    // ONE pass over the labeled edges (round 16 — was three: tot, in_c,
+    // tot_c, against a checkpoint): ktot and win fuse into one grouped
+    // aggregate (win's left-join + coalesce(0) becomes the conditional
+    // sum's natural 0), and W = Σ ktot rides an empty-frame window over
+    // the community-bounded rows. Long sums are exact, so w2, win, and
+    // ktot — and every double term below — are bit-identical.
+    e.groupBy("cs")
+      .agg(sum("wt").as("ktot"),
+        sum(when(col("cs") === col("cd"), col("wt")).otherwise(lit(0L)))
+          .as("win"))
+      .withColumn("w2", sum("ktot").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("term",
         (col("win").cast("double") / col("w2") -
           (col("ktot").cast("double") / col("w2")) *
