@@ -2945,25 +2945,33 @@ object Pipeline {
       s: SparkSession, d: String, checkpoint: Boolean): DataFrame = {
     def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val pairs = Q.bigramEdges(t(s, d, "documents").select(expr(wordsExpr).as("ws")))
-    val edges = cp(pairs.groupBy("src", "dst")
-      .agg(sum("pc").as("wt")))
+    // out-degree pre-joined ONCE onto the edge table (round 16): the od
+    // column rides the checkpoint, so each iteration's action no longer
+    // recomputes and re-broadcasts outdeg from the edge checkpoint. The
+    // contribution expression still reads floor((r·wt)/od) with the same
+    // association, so every fixed-point value is unchanged.
+    val edges = cp {
+      val e = pairs.groupBy("src", "dst").agg(sum("pc").as("wt"))
+      e.join(broadcast(e.groupBy(col("src")).agg(sum("wt").as("od"))), "src")
+    }
     val nodes = cp(edges.select(col("src").as("w"))
       .union(edges.select(col("dst"))).distinct())
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    val outdeg = edges.groupBy(col("src")).agg(sum("wt").as("od"))
-    var ranks = cp(nodes.crossJoin(broadcast(nn))
-      .select(col("w"), floor(lit(PrScale) / col("n")).as("r")))
+    // N is a scalar: count it once instead of re-aggregating + re-
+    // broadcasting the one-row nn table inside every iteration's action.
+    // lit(n) feeds the identical double expressions.
+    val n = nodes.count()
+    var ranks = cp(nodes
+      .select(col("w"), floor(lit(PrScale) / lit(n).cast("long")).as("r")))
     for (_ <- 1 to PrIters) {
       val contrib = edges
         .join(broadcast(ranks.withColumnRenamed("w", "src")), "src")
-        .join(broadcast(outdeg), "src")
         .select(col("dst").as("w"),
           floor(col("r").cast("double") * col("wt") / col("od")).as("ctr"))
         .groupBy("w").agg(sum("ctr").as("s"))
-      ranks = cp(nodes.crossJoin(broadcast(nn))
+      ranks = cp(nodes
         .join(broadcast(contrib), Seq("w"), "left")
         .select(col("w"),
-          (floor(lit(0.15) * lit(PrScale) / col("n")) +
+          (floor(lit(0.15) * lit(PrScale) / lit(n).cast("long")) +
             floor(lit(0.85) * coalesce(col("s"), lit(0L)))).as("r")))
     }
     ranks.select(col("w"), col("r").as("rank_e12"))
