@@ -551,6 +551,20 @@ object Pipeline {
     * estimate are unchanged. Returns (members: one (doc_id, th) row per
     * document; repPairs: verified representative pairs (r1 < r2) with
     * their text hashes and est_jaccard ≥ 0.5). */
+  /** `round(#equal lanes / NumHashes, 4)` through the codegen'd
+    * [[graft.functions.EqualLaneCount]] kernel — bit-identical to the
+    * `size(filter(zip_with(a, b, (x, y) -> x = y), v -> v)) / 32.0`
+    * HOF it replaces (MinHashSpec pins the two equal): the int count
+    * promotes to double through the same Divide, and the kernel replays
+    * zip_with's null/ragged semantics. One generated loop per candidate
+    * pair instead of three interpreted lambdas. */
+  private def estJaccard(a: Column, b: Column): Column =
+    round(org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.EqualLaneCount(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(a),
+        org.apache.spark.sql.graftcol.NativeColumn.expression(b)))
+      / lit(NumHashes).cast("double"), 4)
+
   private[graft] def minhashScaffold(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val byText = t(s, d, "documents")
@@ -577,8 +591,7 @@ object Pipeline {
       .select(col("r1"), col("r2"), col("th1"), col("th2"),
         col("mh1"), col("mh2")).distinct()
       .select(col("r1"), col("r2"), col("th1"), col("th2"),
-        round(expr(s"size(filter(zip_with(mh1, mh2, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)"), 4)
-          .as("est_jaccard"))
+        estJaccard(col("mh1"), col("mh2")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
     (members, repPairs)
   }
@@ -3817,28 +3830,46 @@ object Pipeline {
     val docs = t(s, d, "documents")
     val cut = broadcast(docs.agg((max(col("doc_id")).cast("long") / 2)
       .cast("long").as("cut")))
-    val bands = docs.select(col("doc_id"), minhashSignature.as("mh"))
+    // signatures once per DISTINCT text, joined back by text hash (round
+    // 16 — the exact-copy short-circuit the batch dedup family already
+    // uses): the signature is a pure function of the text, so every doc
+    // in an identical-text group reuses its representative's lanes
+    // bit-for-bit; at a duplicated corpus that divides the shingle-hash
+    // kernel work by the duplication factor. The th join is one keyed
+    // shuffle of (id, 32-char hash) rows — tiny next to the kernel.
+    val byText = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("th"))
+    val sigTbl = byText.groupBy("th").agg(min("doc_id").as("rep"))
+      .join(docs.select(col("doc_id").as("rep"), col("text")), "rep")
+      .select(col("th"), minhashSignature.as("mh"))
+    // per-doc signature table — the artifact a production pipeline
+    // precomputes; consumed by the band explode AND both verify joins
+    val docSig = byText.join(sigTbl, "th")
       .crossJoin(cut)
-      .select(col("doc_id"), col("cut"), col("mh"),
-        explode(minhashBandStructs).as("k"))
-      .select(col("doc_id"), col("cut"), col("mh"),
-        col("k.band").as("band"), col("k.bh").as("bh"))
-      // consumed by both the reference and new-batch branches — pin so the
-      // MinHash signatures are computed once (at production scale the
-      // reference half would be a precomputed signature table instead)
+      .select(col("doc_id"), col("cut"), col("mh"))
       .localCheckpoint()
+    // band rows carry (id, band, bh) ONLY — the collision join no longer
+    // ships a 32-lane array per row, and each (new, ref) pair verifies
+    // ONCE after the distinct instead of once per colliding band
+    val bands = docSig
+      .select(col("doc_id"), col("cut"), explode(minhashBandStructs).as("k"))
+      .select(col("doc_id"), col("cut"),
+        col("k.band").as("band"), col("k.bh").as("bh"))
     val ref = bands.filter(col("doc_id") <= col("cut"))
-      .select(col("band"), col("bh"), col("doc_id").as("ref_id"),
-        col("mh").as("mh_r"))
+      .select(col("band"), col("bh"), col("doc_id").as("ref_id"))
     val neu = bands.filter(col("doc_id") > col("cut"))
       .select(col("band").as("band2"), col("bh").as("bh2"),
-        col("doc_id").as("new_id"), col("mh").as("mh_n"))
-    val pairs = neu.join(ref,
+        col("doc_id").as("new_id"))
+    val cand = neu.join(ref,
         col("band2") === col("band") && col("bh2") === col("bh"))
+      .select(col("new_id"), col("ref_id")).distinct()
+    val pairs = cand
+      .join(docSig.select(col("doc_id").as("new_id"), col("mh").as("mh_n")),
+        "new_id")
+      .join(docSig.select(col("doc_id").as("ref_id"), col("mh").as("mh_r")),
+        "ref_id")
       .select(col("new_id"), col("ref_id"),
-        round(expr(s"size(filter(zip_with(mh_n, mh_r, (x, y) -> x = y), " +
-          s"v -> v)) / cast($NumHashes as double)"), 4).as("est_jaccard"))
-      .distinct()
+        estJaccard(col("mh_n"), col("mh_r")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.35)
     val perNew = pairs.groupBy("new_id")
       .agg(count(lit(1)).as("n_ref_dups"), max("est_jaccard").as("best_jaccard"))

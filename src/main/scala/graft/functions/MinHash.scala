@@ -594,6 +594,56 @@ object ArrayLongIntersectCount {
   }
 }
 
+/** Count of positions where two long arrays agree, as one generated
+  * loop — the MinHash pair-verify kernel. Replays
+  * `size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))` exactly:
+  * zip_with pads the shorter side with nulls, `x = y` with a null
+  * operand is null, and filter drops non-true — so the count is the
+  * number of indices below min(|a|, |b|) where both elements are
+  * non-null and equal. The HOF ran three interpreted lambdas per pair
+  * row (the band-collision verify evaluates this once per candidate
+  * pair — millions of rows at corpus scale); this is one generated
+  * loop. */
+case class EqualLaneCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "equal_lane_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EqualLaneCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.EqualLaneCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object EqualLaneCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 /** SimHash signature kernel as a native codegen'd Catalyst expression.
   *
   * `simhash_sig(text)` = the 32-bit SimHash of the document's

@@ -605,6 +605,29 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(sameCells) :| s"merged=$got one=$expect vs=$vs order=$order"
     }
 
+
+  property("EqualLaneCount == size(filter(zip_with(a,b,eq), id))") =
+    Prop.forAll(
+      Gen.listOf(Gen.oneOf(Gen.const(Option.empty[Long]),
+        Gen.choose(-3L, 3L).map(Some(_)))),
+      Gen.listOf(Gen.oneOf(Gen.const(Option.empty[Long]),
+        Gen.choose(-3L, 3L).map(Some(_))))) { (a, b) =>
+      val ga = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        a.map(_.map(Long.box).orNull).toArray[Any])
+      val gb = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        b.map(_.map(Long.box).orNull).toArray[Any])
+      val got = graft.functions.EqualLaneCount.compute(ga, gb)
+      // the HOF reference: zip_with pads with nulls, x = y with a null
+      // side is null, filter keeps only true
+      val n = math.max(a.length, b.length)
+      val expect = (0 until n).count { i =>
+        val x = if (i < a.length) a(i) else None
+        val y = if (i < b.length) b(i) else None
+        (x, y) match { case (Some(p), Some(q)) => p == q; case _ => false }
+      }
+      Prop(got == expect) :| s"got=$got expect=$expect a=$a b=$b"
+    }
+
   property("ArrayLongIntersectCount == size of the distinct intersection") =
     Prop.forAll(Gen.listOf(Gen.choose(-8L, 8L)), Gen.listOf(Gen.choose(-8L, 8L))) {
       (a, b) => // tiny range → heavy duplicates and overlaps
