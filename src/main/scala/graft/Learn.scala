@@ -55,13 +55,13 @@ object Learn {
     * resolves MinHash-band buckets at production scale; the fingerprint
     * families keep the oracle tractable.
     *
-    * Round-16 adaptive solve (cf. [[Pipeline.dedupGroups]]): the star
-    * edge list is probed with `limit(cap+1).collect` — driver memory
-    * bounded by construction — and under
+    * Round-16 adaptive solve (cf. [[Pipeline.dedupGroups]]): the pinned
+    * star-edge list is COUNTed (no driver memory), and under
     * [[Pipeline.DedupFixpointDriverCap]] components solve with the
-    * shared union-by-min-root union-find in one job; over the cap the
-    * probe is discarded and the distributed fixpoint below runs
-    * unchanged. LearnSpec pins the two paths equal. */
+    * shared union-by-min-root union-find in one collect; over the cap
+    * nothing is collected and the distributed fixpoint below runs
+    * against the same pinned table. ComponentPathsSpec pins the two
+    * paths equal. */
   def graphComponents(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val norm = expr(normExpr)
@@ -70,39 +70,37 @@ object Learn {
           concat(lit("f#"), md5(norm.cast("binary"))),
           concat(lit("p#"), md5(substring(norm, 1, 60).cast("binary"))))).as("k"))
     val roots = buckets.groupBy("k").agg(min("doc_id").as("root"))
-    def pinnedIds(body: => DataFrame): (DataFrame, Set[Int]) = {
-      val pre = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val df = body
-      (df, s.sparkContext.getPersistentRDDs.keySet.toSet -- pre)
-    }
-    def release(ids: Set[Int]): Unit = ids.foreach(id =>
-      s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    val (edges, edgeIds) = pinnedIds {
+    val (edges, edgeIds) = pinnedIds(s) {
       buckets.join(roots, "k")
         .filter(col("doc_id") =!= col("root"))
         .select(col("doc_id").as("u"), col("root").as("v")).distinct()
         .localCheckpoint()
     }
-    // adaptive small-graph solve: one bounded collect + union-find when
-    // the whole star-edge list fits under the shared driver cap
-    val probe = edges.limit(Pipeline.DedupFixpointDriverCap + 1).collect()
-    if (probe.length <= Pipeline.DedupFixpointDriverCap) {
-      val lblDriver = s.createDataFrame(Pipeline.repComponentsDriver(
-          probe.map(r => (r.getLong(0), r.getLong(1)))))
-        .toDF("node", "c")
-      release(edgeIds)
-      return lblDriver.groupBy(col("c").as("comp_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          min("node").as("min_doc"), max("node").as("max_doc"))
-        .orderBy(col("n_docs").desc, col("comp_id"))
-    }
-    val lblDist = componentLabelsDistributed(s, edges)
-    release(edgeIds) // result depends only on lblDist's checkpoint
-    lblDist.groupBy(col("c").as("comp_id"))
+    // adaptive small-graph solve: count the pinned star-edge list (no
+    // driver memory), collect + union-find only when it fits the cap
+    val lbl =
+      if (edges.count() <= Pipeline.DedupFixpointDriverCap)
+        s.createDataFrame(Pipeline.repComponentsDriver(
+            edges.collect().map(r => (r.getLong(0), r.getLong(1)))))
+          .toDF("node", "c")
+      else componentLabelsDistributed(s, edges)
+    release(s, edgeIds) // result depends only on lbl / its checkpoint
+    lbl.groupBy(col("c").as("comp_id"))
       .agg(count(lit(1)).as("n_docs"),
         min("node").as("min_doc"), max("node").as("max_doc"))
       .orderBy(col("n_docs").desc, col("comp_id"))
   }
+
+  /** Track which RDDs `body` pins (cache/localCheckpoint) so iterative
+    * ops can release superseded snapshots explicitly. */
+  private def pinnedIds(s: SparkSession)(
+      body: => DataFrame): (DataFrame, Set[Int]) = {
+    val pre = s.sparkContext.getPersistentRDDs.keySet.toSet
+    val df = body
+    (df, s.sparkContext.getPersistentRDDs.keySet.toSet -- pre)
+  }
+  private def release(s: SparkSession, ids: Set[Int]): Unit = ids.foreach(id =>
+    s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
   /** Distributed min-label fixpoint over a star-edge list (u, v) — the
     * over-cap path of [[graphComponents]]; one (node, c) row per edge
@@ -110,18 +108,11 @@ object Learn {
     * it equal to [[Pipeline.repComponentsDriver]]. */
   private[graft] def componentLabelsDistributed(
       s: SparkSession, edges: DataFrame): DataFrame = {
-    def pinnedIds(body: => DataFrame): (DataFrame, Set[Int]) = {
-      val pre = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val df = body
-      (df, s.sparkContext.getPersistentRDDs.keySet.toSet -- pre)
-    }
-    def release(ids: Set[Int]): Unit = ids.foreach(id =>
-      s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    val (adj, adjIds) = pinnedIds {
+    val (adj, adjIds) = pinnedIds(s) {
       edges.union(edges.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
     }
-    var (lbl, lblIds) = pinnedIds {
+    var (lbl, lblIds) = pinnedIds(s) {
       adj.select(col("u").as("node"), col("u").as("c")).distinct()
         .localCheckpoint()
     }
@@ -145,22 +136,22 @@ object Learn {
       val nbr = adj.join(lbl.withColumnRenamed("node", "u"), "u")
         .groupBy(col("v").as("node")).agg(min("c").as("nc"))
       // pinned because the shortcut below reads it twice (self-join)
-      val (prop, propIds) = pinnedIds {
+      val (prop, propIds) = pinnedIds(s) {
         lbl.join(nbr, Seq("node"), "left")
           .select(col("node"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
           .localCheckpoint()
       }
       // pointer jumping: follow the label one hop (c ← label(c)) so label
       // information travels 2^iter hops after iter rounds
-      val (next, nextIds) = pinnedIds {
+      val (next, nextIds) = pinnedIds(s) {
         prop.join(
             prop.select(col("node").as("c"), col("c").as("cc")), Seq("c"), "left")
           .select(col("node"), least(col("c"), coalesce(col("cc"), col("c"))).as("c"))
           .localCheckpoint()
       }
       val sum = labelSum(next)
-      release(propIds) // intermediate: `next` is materialized past it
-      release(lblIds) // superseded snapshot: free it once `next` is pinned
+      release(s, propIds) // intermediate: `next` is materialized past it
+      release(s, lblIds) // superseded snapshot: free it once `next` is pinned
       lbl = next; lblIds = nextIds
       converged = sum.compareTo(lastSum) == 0
       lastSum = sum
@@ -168,7 +159,7 @@ object Learn {
     }
     require(converged,
       s"component label propagation did not converge in $iter iterations")
-    release(adjIds) // result depends only on lbl's checkpoint
+    release(s, adjIds) // result depends only on lbl's checkpoint
     lbl
   }
   val graphComponentsSql: String =

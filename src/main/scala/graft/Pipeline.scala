@@ -676,25 +676,23 @@ object Pipeline {
     // replicated corpus (group size g) this shrinks the fixpoint input
     // by ~g² while the output stays bit-identical.
     //
-    // Round-16 adaptive solve (the broadcast-threshold posture): probe
-    // the rep graph with `limit(cap+1).collect` — bounded driver memory
-    // BY CONSTRUCTION — and when the whole graph fits under
-    // [[DedupFixpointDriverCap]] (~4M edges ≈ 64 MB, the class of
-    // Spark's own small-side adaptivity), solve components with a
-    // driver union-find in one job instead of paying the distributed
-    // fixpoint's per-round stage launches (measured at the 10× corpus:
-    // 242 edges / 470 nodes, yet ~1.2 s of scheduler floor across the
-    // init + 2 convergence rounds). Over the cap the collected probe is
-    // discarded and the same distributed min-label fixpoint as before
-    // runs — components of a 100 TB pair graph never route through the
-    // driver. PipelineSpec pins the two paths row-equal.
+    // Round-16 adaptive solve (the broadcast-threshold posture): pin the
+    // pair table once, COUNT it (no driver memory), and when the whole
+    // graph fits under [[DedupFixpointDriverCap]] solve components with
+    // a driver union-find instead of paying the distributed fixpoint's
+    // per-round stage launches (measured at the 10× corpus: 242 edges /
+    // 470 nodes, yet ~1.2 s of scheduler floor across the init + 2
+    // convergence rounds). Over the cap the same distributed min-label
+    // fixpoint as before runs against the already-pinned table —
+    // components of a 100 TB pair graph never route through the driver,
+    // and the expensive candidate-pair verify is never computed twice.
+    // DedupComponentPathsSpec pins the two paths row-equal.
     val (members, repPairs) = minhashScaffold(s, d)
-    val p = repPairs.select(col("r1"), col("r2"))
-    val probe = p.limit(DedupFixpointDriverCap + 1).collect()
+    val p = repPairs.select(col("r1"), col("r2")).localCheckpoint()
     val labelsRep =
-      if (probe.length <= DedupFixpointDriverCap)
+      if (p.count() <= DedupFixpointDriverCap)
         s.createDataFrame(repComponentsDriver(
-            probe.map(r => (r.getLong(0), r.getLong(1)))))
+            p.collect().map(r => (r.getLong(0), r.getLong(1)))))
           .toDF("rep", "label")
       else repComponentsDistributed(s, p)
     // Expand rep components to documents. A doc is in the full pair set
@@ -710,11 +708,15 @@ object Pipeline {
         coalesce(col("label"), col("rep")).as("keep_id"))
       .orderBy("doc_id")
   }
-  /** Driver-solve ceiling for [[dedupGroups]]' rep-pair graph: 2²² edges
-    * (two longs each ≈ 64 MB collected) — the same order as Spark's own
-    * small-side broadcast adaptivity. Under it, components solve in one
-    * collect + union-find; over it, the distributed fixpoint runs. */
-  private[graft] val DedupFixpointDriverCap: Int = 1 << 22
+  /** Driver-solve ceiling for [[dedupGroups]]' rep-pair graph: 2²¹ edges.
+    * Honest driver-memory math: the collect materializes boxed
+    * GenericRows (~100 B each with two boxed longs and schema refs), so
+    * the transient peak is ~200 MB at the cap plus ~100 MB of union-find
+    * HashMap — the class of Spark's own small-side broadcast
+    * adaptivity, and only ever paid AFTER an exact count() has shown the
+    * table fits. Over the cap, the distributed fixpoint runs and nothing
+    * is collected. */
+  private[graft] val DedupFixpointDriverCap: Long = 1L << 21
 
   /** Driver union-find over rep pairs, union-by-min-root so every tree's
     * root IS its component's minimum rep id — exactly the label the
@@ -761,14 +763,20 @@ object Pipeline {
     var labelsRdd = edges.select(col("src")).distinct()
       .select(col("src").as("doc_id"), col("src").as("label"))
       .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    def labelSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
+    // decimal(38,0), not long (cf. Learn.componentLabelsDistributed): this
+    // is the exclusive path for graphs over the driver cap — exactly the
+    // scale where a long Σlabel overflows (ANSI throw / non-ANSI
+    // wraparound would make "sum stalled ⇒ fixpoint" merely probabilistic)
+    def labelSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): java.math.BigDecimal =
       s.createDataset(rdd).toDF("doc_id", "label")
-        .agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
-        .head().getLong(0)
+        .agg(coalesce(org.apache.spark.sql.functions.sum(
+            col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
     var sum = labelSum(labelsRdd)
-    var lastSum = -1L
+    var lastSum: java.math.BigDecimal = null
     var iter = 0
-    while (sum != lastSum && iter < 50) {
+    while ((lastSum == null || sum.compareTo(lastSum) != 0) && iter < 50) {
       lastSum = sum
       val labels = s.createDataset(labelsRdd).toDF("doc_id", "label")
       val nbrMin = edges.join(labels, col("dst") === col("doc_id"))
@@ -783,7 +791,7 @@ object Pipeline {
       labelsRdd = nextRdd
       iter += 1
     }
-    if (sum != lastSum)
+    if (lastSum == null || sum.compareTo(lastSum) != 0)
       throw new IllegalStateException(
         s"dedup_groups: min-label propagation did not converge in $iter " +
           "rounds — a component's diameter exceeds the iteration cap; " +

@@ -123,6 +123,12 @@ object Refine {
           Option(r.getSeq[java.lang.Double](1)).map(
             _.map(x => if (x == null) Double.NaN else x.doubleValue).toArray)
             .getOrElse(Array.empty[Double])))
+        // a null/empty seed embedding joined no dimension rows in the
+        // explode formulation, so its cid never appeared in the rank —
+        // drop it here too (a zero-length seed's DecimalSqDevSum is null
+        // for EVERY rep, and null distance ranks FIRST in the argmin, so
+        // keeping it would silently collapse all clusters onto it)
+        .filter(_._2.nonEmpty)
         .sortBy(_._1)
     val asg = reps.select(col("rep"),
       org.apache.spark.sql.graftcol.NativeColumn.column(
