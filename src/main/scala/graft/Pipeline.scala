@@ -3838,46 +3838,38 @@ object Pipeline {
     val docs = t(s, d, "documents")
     val cut = broadcast(docs.agg((max(col("doc_id")).cast("long") / 2)
       .cast("long").as("cut")))
-    // signatures once per DISTINCT text, joined back by text hash (round
-    // 16 — the exact-copy short-circuit the batch dedup family already
-    // uses): the signature is a pure function of the text, so every doc
-    // in an identical-text group reuses its representative's lanes
-    // bit-for-bit; at a duplicated corpus that divides the shingle-hash
-    // kernel work by the duplication factor. The th join is one keyed
-    // shuffle of (id, 32-char hash) rows — tiny next to the kernel.
-    val byText = docs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("th"))
-    val sigTbl = byText.groupBy("th").agg(min("doc_id").as("rep"))
-      .join(docs.select(col("doc_id").as("rep"), col("text")), "rep")
-      .select(col("th"), minhashSignature.as("mh"))
-    // per-doc signature table — the artifact a production pipeline
-    // precomputes; consumed by the band explode AND both verify joins
-    val docSig = byText.join(sigTbl, "th")
+    // Shape history (round 16): a per-distinct-text signature table +
+    // dedup-before-verify rework was tried and REVERTED on calm-window
+    // A/B evidence (2.31 s this shape vs 6.36 s reworked at 10×,
+    // min-of-3 back-to-back): the small signature checkpoint AQE-
+    // coalesces to 1–2 partitions and serializes the downstream band
+    // explode + collision join, costing far more than the 10× kernel
+    // saving — scan-side signatures keep every heavy stage at scan
+    // width. (An earlier same-day A/B that favored the rework measured
+    // its baseline inside a host-interference burst; disclosed in
+    // BENCH_SF1.md.) Only the verify kernel swap survives: the jaccard
+    // runs through EqualLaneCount instead of three interpreted lambdas.
+    val bands = docs.select(col("doc_id"), minhashSignature.as("mh"))
       .crossJoin(cut)
-      .select(col("doc_id"), col("cut"), col("mh"))
-      .localCheckpoint()
-    // band rows carry (id, band, bh) ONLY — the collision join no longer
-    // ships a 32-lane array per row, and each (new, ref) pair verifies
-    // ONCE after the distinct instead of once per colliding band
-    val bands = docSig
-      .select(col("doc_id"), col("cut"), explode(minhashBandStructs).as("k"))
-      .select(col("doc_id"), col("cut"),
+      .select(col("doc_id"), col("cut"), col("mh"),
+        explode(minhashBandStructs).as("k"))
+      .select(col("doc_id"), col("cut"), col("mh"),
         col("k.band").as("band"), col("k.bh").as("bh"))
+      // consumed by both the reference and new-batch branches — pin so the
+      // MinHash signatures are computed once (at production scale the
+      // reference half would be a precomputed signature table instead)
+      .localCheckpoint()
     val ref = bands.filter(col("doc_id") <= col("cut"))
-      .select(col("band"), col("bh"), col("doc_id").as("ref_id"))
+      .select(col("band"), col("bh"), col("doc_id").as("ref_id"),
+        col("mh").as("mh_r"))
     val neu = bands.filter(col("doc_id") > col("cut"))
       .select(col("band").as("band2"), col("bh").as("bh2"),
-        col("doc_id").as("new_id"))
-    val cand = neu.join(ref,
+        col("doc_id").as("new_id"), col("mh").as("mh_n"))
+    val pairs = neu.join(ref,
         col("band2") === col("band") && col("bh2") === col("bh"))
-      .select(col("new_id"), col("ref_id")).distinct()
-    val pairs = cand
-      .join(docSig.select(col("doc_id").as("new_id"), col("mh").as("mh_n")),
-        "new_id")
-      .join(docSig.select(col("doc_id").as("ref_id"), col("mh").as("mh_r")),
-        "ref_id")
       .select(col("new_id"), col("ref_id"),
         estJaccard(col("mh_n"), col("mh_r")).as("est_jaccard"))
+      .distinct()
       .filter(col("est_jaccard") >= 0.35)
     val perNew = pairs.groupBy("new_id")
       .agg(count(lit(1)).as("n_ref_dups"), max("est_jaccard").as("best_jaccard"))
