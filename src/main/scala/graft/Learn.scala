@@ -79,11 +79,16 @@ object Learn {
     // adaptive small-graph solve: count the pinned star-edge list (no
     // driver memory), collect + union-find only when it fits the cap
     val lbl =
-      if (edges.count() <= Pipeline.DedupFixpointDriverCap)
+      if (edges.count() <= Pipeline.DedupFixpointDriverCap) {
+        // typed collect: no Row layer on the at-cap driver transient
+        // (cf. DedupFixpointDriverCap's memory math)
+        implicit val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)
         s.createDataFrame(Pipeline.repComponentsDriver(
-            edges.collect().map(r => (r.getLong(0), r.getLong(1)))))
+            edges.as[(Long, Long)].collect()))
           .toDF("node", "c")
-      else componentLabelsDistributed(s, edges)
+      } else componentLabelsDistributed(s, edges)
     release(s, edgeIds) // result depends only on lbl / its checkpoint
     lbl.groupBy(col("c").as("comp_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -92,14 +97,15 @@ object Learn {
   }
 
   /** Track which RDDs `body` pins (cache/localCheckpoint) so iterative
-    * ops can release superseded snapshots explicitly. */
-  private def pinnedIds(s: SparkSession)(
+    * ops can release superseded snapshots explicitly. Shared with
+    * [[Pipeline.dedupGroups]]'s pinned pair table (round 17). */
+  private[graft] def pinnedIds(s: SparkSession)(
       body: => DataFrame): (DataFrame, Set[Int]) = {
     val pre = s.sparkContext.getPersistentRDDs.keySet.toSet
     val df = body
     (df, s.sparkContext.getPersistentRDDs.keySet.toSet -- pre)
   }
-  private def release(s: SparkSession, ids: Set[Int]): Unit = ids.foreach(id =>
+  private[graft] def release(s: SparkSession, ids: Set[Int]): Unit = ids.foreach(id =>
     s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
   /** Distributed min-label fixpoint over a star-edge list (u, v) — the

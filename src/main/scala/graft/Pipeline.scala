@@ -688,13 +688,22 @@ object Pipeline {
     // and the expensive candidate-pair verify is never computed twice.
     // DedupComponentPathsSpec pins the two paths row-equal.
     val (members, repPairs) = minhashScaffold(s, d)
-    val p = repPairs.select(col("r1"), col("r2")).localCheckpoint()
+    val (p, pIds) = Learn.pinnedIds(s) {
+      repPairs.select(col("r1"), col("r2")).localCheckpoint()
+    }
     val labelsRep =
-      if (p.count() <= DedupFixpointDriverCap)
-        s.createDataFrame(repComponentsDriver(
-            p.collect().map(r => (r.getLong(0), r.getLong(1)))))
+      if (p.count() <= DedupFixpointDriverCap) {
+        implicit val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)
+        s.createDataFrame(repComponentsDriver(p.as[(Long, Long)].collect()))
           .toDF("rep", "label")
-      else repComponentsDistributed(s, p)
+      } else repComponentsDistributed(s, p)
+    // p's checkpointed RDD is dead on both paths here (driver: collected;
+    // distributed: labelsRep is itself checkpointed past it) — release it
+    // like every other pinned intermediate, one pinned RDD per call leaked
+    // otherwise (round-17 ADVICE).
+    Learn.release(s, pIds)
     // Expand rep components to documents. A doc is in the full pair set
     // iff its rep pairs with another rep OR its identical-text group has
     // ≥ 2 members (within-group pairs); its component label is its rep's
@@ -709,13 +718,19 @@ object Pipeline {
       .orderBy("doc_id")
   }
   /** Driver-solve ceiling for [[dedupGroups]]' rep-pair graph: 2²¹ edges.
-    * Honest driver-memory math: the collect materializes boxed
-    * GenericRows (~100 B each with two boxed longs and schema refs), so
-    * the transient peak is ~200 MB at the cap plus ~100 MB of union-find
-    * HashMap — the class of Spark's own small-side broadcast
-    * adaptivity, and only ever paid AFTER an exact count() has shown the
-    * table fits. Over the cap, the distributed fixpoint runs and nothing
-    * is collected. */
+    * Honest driver-memory math at the cap (round 17 — collected as a
+    * typed `(Long, Long)` Dataset, solved in a primitive open-addressing
+    * map): the collect materializes 2²¹ Tuple2 cells (~32–130 MB
+    * depending on boxing; no Row layer, no schema refs), and the
+    * union-find holds at most 2·2²¹ ≈ 4.2M entries in two parallel
+    * `long[]` arrays (2²³ slots at the cap, ≤ 0.5 load) — ~143 MB flat,
+    * no per-entry objects.
+    * Transient peak ≲ 300 MB — the class of Spark's own small-side
+    * broadcast adaptivity, paid only AFTER an exact count() has shown
+    * the table fits, and a future cap bump scales it linearly (a 2³⁰
+    * cap would need ~32 GB: revisit the collect before raising it that
+    * far). Over the cap, the distributed fixpoint runs and nothing is
+    * collected. */
   private[graft] val DedupFixpointDriverCap: Long = 1L << 21
 
   /** Driver union-find over rep pairs, union-by-min-root so every tree's
@@ -726,25 +741,78 @@ object Pipeline {
     * over the doubled edge list. */
   private[graft] def repComponentsDriver(
       pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long]()
+    // primitive open-addressing parent map (round 17): two long[] at 0.5
+    // max load instead of ~4M boxed java.util.HashMap nodes — the at-cap
+    // driver peak drops from hundreds of MB of Long/Node objects to two
+    // flat arrays (see DedupFixpointDriverCap's math)
+    val parent = new LongLongOpenMap(math.max(16, pairs.length * 2))
     def find(x: Long): Long = {
       var r = x
-      while (parent.get(r) != r) r = parent.get(r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      while (parent(c) != r) { val n = parent(c); parent.put(c, r); c = n }
       r
     }
     pairs.foreach { case (a, b) =>
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
+      if (!parent.contains(a)) parent.put(a, a)
+      if (!parent.contains(b)) parent.put(b, b)
       val ra = find(a); val rb = find(b)
       if (ra != rb) {
         // attach the larger root under the smaller: roots stay minima
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
-    import scala.jdk.CollectionConverters._
-    parent.keySet().asScala.iterator.map(x => (x, find(x))).toSeq
+    parent.keysIterator.map(x => (x, find(x))).toSeq
+  }
+
+  /** Minimal primitive long→long open-addressing map (linear probing,
+    * power-of-two capacity, grow at 0.7 load) for the driver union-find:
+    * two flat `long[]` plus a `boolean[]` occupancy lane — no per-entry
+    * node or boxing. Only the operations [[repComponentsDriver]] needs. */
+  private[graft] final class LongLongOpenMap(expected: Int) {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(16, expected) * 2 - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // splitmix64 finalizer multiplier
+      h ^= (h >>> 32)
+      var i = h.toInt & (cap - 1)
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def contains(k: Long): Boolean = used(slot(k))
+    /** Value for a present key; the union-find only reads keys it has put. */
+    def apply(k: Long): Long = {
+      val i = slot(k)
+      if (!used(i)) throw new NoSuchElementException(s"key $k")
+      vals(i)
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; n += 1
+        if (n.toLong * 10 > cap.toLong * 7) grow()
+      }
+      vals(slot(k)) = v // re-probe: grow() may have moved the slot
+    }
+    private def grow(): Unit = {
+      val (ok, ov, ou) = (keys, vals, used)
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) { val j = slot(ok(i)); used(j) = true; keys(j) = ok(i); vals(j) = ov(i) }
+        i += 1
+      }
+    }
+    def keysIterator: Iterator[Long] = {
+      val (ks, u) = (keys, used) // no implicit Array→Seq copy
+      (0 until cap).iterator.filter(u(_)).map(ks(_))
+    }
   }
 
   /** The distributed min-label fixpoint over the rep-pair graph — the

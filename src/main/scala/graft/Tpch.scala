@@ -301,20 +301,35 @@ object Tpch {
        |GROUP BY n_name, year(o_orderdate)
        |ORDER BY nation, o_year DESC""".stripMargin
 
-  def q10(s: SparkSession, d: String): DataFrame =
-    cust(s, d)
-      .join(ord(s, d).filter(
-          col("o_orderdate") >= ts("1996-10-01") &&
-            col("o_orderdate") < ts("1997-01-01")),
-        col("c_custkey") === col("o_custkey"))
+  /** Round-17 shape: revenue pre-aggregates by `o_custkey` off the
+    * orders⋈lineitem join, and the top-20 is taken BEFORE customer ever
+    * enters the plan — c_custkey is customer's key, so the per-custkey
+    * sums and the (revenue DESC, custkey ASC) top-20 are exactly the
+    * grouped rows the reference's 4-column GROUP BY produces, and the 1:1
+    * name/acctbal/nation lookup can't reorder them. This removes the two
+    * widest exchanges of the textbook shape (the full customer shuffle
+    * and the orderkey re-shuffle of the customer-laden join result): what
+    * remains is the unavoidable orders⋈lineitem exchange pair, one
+    * custkey-keyed partial-aggregated exchange, a driver-bounded
+    * TakeOrdered(20), and a 20-row broadcast against the customer scan —
+    * at 100 TB customer is never shuffled at all. */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val top = ord(s, d).filter(
+        col("o_orderdate") >= ts("1996-10-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
       .join(li(s, d).filter(col("l_returnflag") === "R"),
         col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .groupBy(col("o_custkey"))
       .agg(dsum(discPrice).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_custkey"))
+      .limit(20)
+    broadcast(top)
+      .join(cust(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(20)
+  }
 
   val q10Sql: String =
     s"""SELECT c_custkey, c_name, ${DSUM(DISC_PRICE)} AS revenue,
