@@ -1255,15 +1255,24 @@ object Pipeline {
     // arithmetic actually needed. Pure common-subexpression hoisting:
     // the same IEEE sqrt on the same array gives the same double, so
     // every cosine (and the oracle hash) is unchanged bit for bit.
+    // Round 17: the corpus-sized norm rides the codegen'd InnerProduct
+    // kernel (`norm2`) — the interpreted 64-term unrolled tree cost
+    // ~17 µs/row; the kernel's sequential loop accumulates the identical
+    // left-associative IEEE sum (its 0.0 seed is absorbed: the first
+    // term t₁ satisfies 0.0 + t₁ == t₁ unless every product is −0.0,
+    // impossible for this corpus), so the oracle hash is unchanged.
+    // pdist stays an unrolled expression: it runs 10 × k times total,
+    // and the L2 kernel's trailing sqrt could merge near-tie distances
+    // the oracle's unsqrted ranking keeps distinct.
     val lists = vecs
       .withColumn("cid",
         ivfCidExpr(centRows.map { case (c, cv) => (c, cv.toArray) }))
-      .withColumn("cn", sqrt(expr(IvfDot(IvfDim, "v", "v"))))
+      .withColumn("cn", norm2(col("v")))
       .select(col("vec_id"), col("v"), col("cid"), col("cn"))
     val probeW = Window.partitionBy("q_id").orderBy(asc("pdist"), asc("pcid"))
     val probes = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .withColumn("qn", sqrt(expr(IvfDot(IvfDim, "qv", "qv"))))
+      .withColumn("qn", norm2(col("qv")))
       .join(centLit.select(col("cid").as("pcid"), col("cv")))
       .withColumn("pdist", expr(IvfDist(IvfDim, "qv", "cv")))
       .withColumn("prn", row_number().over(probeW))
@@ -1306,7 +1315,11 @@ object Pipeline {
       .join(lists.select(col("vec_id").as("cand_id"), col("v").as("cv2"),
         col("cid").as("ccid"), col("cn")), col("pcid") === col("ccid") &&
           col("q_id") =!= col("cand_id"))
-      .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
+      // per-pair dot through the codegen'd kernel (round 17): the
+      // interpreted unrolled tree was ~17 µs/pair — the dominant cost of
+      // the whole search; the kernel loop is the identical IEEE sum (see
+      // the norm2 note in simAnnIvfCandidates), oracle hash unchanged
+      .withColumn("cos", dot(col("qv"), col("cv2")) /
         (col("qn") * col("cn")))
 
   /** The pre-round-15 row_number-window re-rank of [[simAnnIvf]]'s
@@ -4692,16 +4705,20 @@ object Pipeline {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     // norms hoisted once per side (same CSE as simAnnIvf's search —
     // identical IEEE doubles, so the ranking and the oracle are unchanged);
-    // top-5 selection through the map-side rerankTopK aggregate (round 15)
+    // top-5 selection through the map-side rerankTopK aggregate (round 15).
+    // Round 17: norm and per-pair dot ride the codegen'd InnerProduct
+    // kernel instead of the interpreted unrolled tree (the |q|×sample
+    // cosine scan is this op's dominant cost; see simAnnIvfCandidates'
+    // norm2 note for the bit-exactness argument — oracle unchanged).
     val brute = rerankTopK(
       broadcast(vecs.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
-          .withColumn("qn", sqrt(expr(IvfDot(IvfDim, "qv", "qv")))))
+          .withColumn("qn", norm2(col("qv"))))
         .join(vecs.filter(col("vec_id") < GtSampleCap)
           .select(col("vec_id").as("cand_id"), col("v").as("cv2"))
-          .withColumn("cn", sqrt(expr(IvfDot(IvfDim, "cv2", "cv2")))),
+          .withColumn("cn", norm2(col("cv2"))),
           col("q_id") =!= col("cand_id"))
-        .withColumn("cos", expr(IvfDot(IvfDim, "qv", "cv2")) /
+        .withColumn("cos", dot(col("qv"), col("cv2")) /
           (col("qn") * col("cn"))),
       "cos", "cos_sim", roundOut = true)
       .select(col("q_id"), col("cand_id"))
