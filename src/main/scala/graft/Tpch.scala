@@ -590,8 +590,19 @@ object Tpch {
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** The OR-of-conjunctions is kept verbatim after the join; each scan
+    * additionally pre-filters on the conjuncts the disjunction IMPLIES
+    * (brand ∈ {13,23,5} ∧ size ∈ [1,15] on part; quantity ∈ [1,30] on
+    * lineitem) — the classic q19 CNF pushdown, written explicitly so it
+    * reaches the scans regardless of the optimizer's CNF budget. At scale
+    * the filtered part side shrinks below the broadcast threshold and
+    * lineitem never ships rows outside the quantity envelope. */
   def q19(s: SparkSession, d: String): DataFrame =
-    li(s, d).join(part(s, d), col("l_partkey") === col("p_partkey"))
+    li(s, d).filter(col("l_quantity").between(1, 30))
+      .join(part(s, d).filter(
+          col("p_brand").isin("Brand#13", "Brand#23", "Brand#5") &&
+            col("p_size").between(1, 15)),
+        col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#13" && col("l_quantity").between(1, 11) &&
           col("p_size").between(1, 5)) ||

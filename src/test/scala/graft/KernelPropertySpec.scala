@@ -852,4 +852,29 @@ object KernelPropertySpec extends Properties("graft.kernels") {
         union.toSet == flat) :|
         s"b=$b n=${vec.length} flat=${flat.size} union=${union.length}"
     }
+
+  // ---------- LongLongOpenMap vs java.util.HashMap reference ----------
+
+  private val genOps: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      k <- Gen.oneOf(Gen.chooseNum(-8L, 8L), Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      v <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (k, v))
+
+  property("LongLongOpenMap replays HashMap put/get/contains, incl. growth") =
+    Prop.forAll(genOps, Gen.chooseNum(0, 4)) { (ops, cap) =>
+      // tiny initial capacity forces the grow path on most runs
+      val m = new Pipeline.LongLongOpenMap(cap)
+      val ref = new java.util.HashMap[Long, Long]()
+      ops.foreach { case (k, v) => m.put(k, v); ref.put(k, v) }
+      val sameEntries = m.keysIterator.map(k => (k, m(k))).toMap ==
+        {
+          import scala.jdk.CollectionConverters._
+          ref.asScala.map { case (k, v) => (k.longValue, v.longValue) }.toMap
+        }
+      val sameContains = ops.forall { case (k, _) => m.contains(k) } &&
+        !m.contains(ops.map(_._1).fold(7L)(_ + _ + 104729L)) ==
+          !ref.containsKey(ops.map(_._1).fold(7L)(_ + _ + 104729L))
+      Prop(sameEntries && sameContains) :| s"n=${ops.size} cap=$cap"
+    }
 }
