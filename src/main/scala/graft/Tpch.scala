@@ -312,7 +312,13 @@ object Tpch {
     * remains is the unavoidable orders⋈lineitem exchange pair, one
     * custkey-keyed partial-aggregated exchange, a driver-bounded
     * TakeOrdered(20), and a 20-row broadcast against the customer scan —
-    * at 100 TB customer is never shuffled at all. */
+    * at 100 TB customer is never shuffled at all.
+    *
+    * Round-17 A/B (alternating, min-of-3, same load): SF1 old 3.22 s vs
+    * new 2.23 s — the win grows with scale; at sf0.1 the new shape reads
+    * ~0.1–0.15 s SLOWER (the pre-rank adds a stage barrier where AQE had
+    * broadcast every join of the old shape anyway), which keeps q10 in
+    * the sf0.1 stage-floor set. Shipped: the scale-correct shape. */
   def q10(s: SparkSession, d: String): DataFrame = {
     val top = ord(s, d).filter(
         col("o_orderdate") >= ts("1996-10-01") &&
