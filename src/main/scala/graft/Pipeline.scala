@@ -456,7 +456,11 @@ object Pipeline {
     * per operator — measured 2–3× of each operator's runtime). Driver
     * cost is 64·d hashes; the literal is 64·d doubles — the same bounded
     * bookkeeping as the IVF centroid literal. */
-  private def planeMatrix(nPlanes: Int, d: Int): String = {
+  /** The md5-seeded hyperplane coefficients as driver values — consumed
+    * by the [[graft.functions.HyperplaneSigs]] kernel directly and
+    * rendered to the plan/oracle literal by [[planeMatrix]], so the
+    * kernel and the SQL twin read the exact same doubles. */
+  private[graft] def planeValues(nPlanes: Int, d: Int): Array[Array[Double]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     def lane(sx: String): Long = {
       val hex = mdig.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -464,11 +468,13 @@ object Pipeline {
     }
     (0 until nPlanes).map { p =>
       (0 until d).map { i =>
-        val c = (lane(s"plane${p}_$i") % 1000).toDouble / 1000.0 - 0.5
-        s"${c}D"
-      }.mkString("array(", ",", ")")
-    }.mkString("array(", ",", ")")
+        (lane(s"plane${p}_$i") % 1000).toDouble / 1000.0 - 0.5
+      }.toArray
+    }.toArray
   }
+  private def planeMatrix(nPlanes: Int, d: Int): String =
+    planeValues(nPlanes, d).map(_.map(c => s"${c}D")
+      .mkString("array(", ",", ")")).mkString("array(", ",", ")")
   /** Embedding width, probed from one row at plan time (driver-sized). */
   private def embDim(s: SparkSession, d: String): Int =
     t(s, d, "embeddings").select(size(col("embedding"))).head.getInt(0)
@@ -1106,18 +1112,19 @@ object Pipeline {
     * — hash-exact, not rows-only. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     val nBands = 16; val bandBits = 4
-    val pl = planeMatrix(nBands * bandBits, embDim(s, d))
-    val sigsExpr = expr(
-      s"""transform(sequence(0, ${nBands - 1}), b ->
-         |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, j) ->
-         |    acc + case when aggregate(
-         |        zip_with(v, element_at($pl, b * $bandBits + j + 1),
-         |          (x, w) -> x * w),
-         |        cast(0.0 as double), (a2, x) -> a2 + x) > 0
-         |      then shiftleft(1L, j) else 0L end))""".stripMargin)
+    // banded signatures through the codegen'd kernel (round 17): the
+    // nested HOF re-entered its interpreted lambdas nPlanes·d times per
+    // vector — the same interpreted-tree disease as the IVF cosines;
+    // HyperplaneSigs folds the identical 0.0-seeded projection sums, so
+    // buckets and the oracle are unchanged (simAnnLshSigsHof + spec pin
+    // the twins equal)
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val banded = vecs.select(col("vec_id"), posexplode(sigsExpr).as(Seq("band", "bsig")))
+    val sigs = org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.HyperplaneSigs(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+        planeValues(nBands * bandBits, embDim(s, d)), bandBits))
+    val banded = vecs.select(col("vec_id"), posexplode(sigs).as(Seq("band", "bsig")))
     val q = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("band"), col("bsig"))
     val c = banded.select(col("vec_id").as("cand_id"),
@@ -1138,6 +1145,23 @@ object Pipeline {
           dot(col("qv"), col("cv")) / (col("qn") * col("cn"))),
       "cos", "cos_sim", roundOut = true)
   }
+  /** The pre-round-17 nested-HOF formulation of [[simAnnLsh]]'s banded
+    * signatures over a column named `v` — executable documentation of
+    * what [[graft.functions.HyperplaneSigs]]'s generated loop computes;
+    * the equivalence spec pins the two equal over the corpus. */
+  private[graft] def simAnnLshSigsHof(
+      nBands: Int, bandBits: Int, d: Int): Column = {
+    val pl = planeMatrix(nBands * bandBits, d)
+    expr(
+      s"""transform(sequence(0, ${nBands - 1}), b ->
+         |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, j) ->
+         |    acc + case when aggregate(
+         |        zip_with(v, element_at($pl, b * $bandBits + j + 1),
+         |          (x, w) -> x * w),
+         |        cast(0.0 as double), (a2, x) -> a2 + x) > 0
+         |      then shiftleft(1L, j) else 0L end))""".stripMargin)
+  }
+
   val simAnnLshSql: String = {
     // list_reduce is a sequential left fold like Spark's `aggregate`, so the
     // plane-projection sums (whose SIGN picks the bucket bits) match

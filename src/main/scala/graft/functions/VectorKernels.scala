@@ -370,6 +370,82 @@ object PairProductsTile {
   * ASSUMES the corpus invariants of [[InnerProduct]]: non-null
   * elements, and THROWS on a vector whose length differs from the
   * centroids' d. */
+case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
+    bandBits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "hyperplane_sigs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      if (planes.nonEmpty && bandBits > 0 && planes.length % bandBits == 0 &&
+          planes.forall(_.length == planes(0).length))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a rectangular plane matrix whose row count " +
+          s"is a multiple of bandBits")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSigs.compute(v.asInstanceOf[ArrayData], planes, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSigs.compute($c, $ref, $bandBits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Banded hyperplane-LSH signatures in one generated loop — the codegen'd
+  * replay of the nested HOF
+  * `transform(sequence(0, nBands-1), b -> aggregate(sequence(0, bandBits-1),
+  * 0L, (acc, j) -> acc + case when aggregate(zip_with(v, plane[b*bandBits+j],
+  * (x, w) -> x*w), 0.0D, (a2, x) -> a2 + x) > 0 then 1L << j else 0L end))`
+  * whose interpreted lambdas re-entered per ELEMENT (nPlanes·d re-entries
+  * per vector). Projection sums accumulate 0.0-seeded left-to-right —
+  * the identical IEEE sequence, so every bucket bit (and the DuckDB
+  * oracle, which folds the same order via list_reduce) is unchanged.
+  * zip_with's ragged/null semantics are replayed: a length mismatch pads
+  * with null, a null element nulls its product, and a null-propagated sum
+  * fails `> 0` — in every such case the bit is 0, so the signature is the
+  * all-zero band array. The equivalence spec pins kernel == HOF. */
+object HyperplaneSigs {
+  def compute(v: ArrayData, planes: Array[Array[Double]], bandBits: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val d = planes(0).length
+    val nBands = planes.length / bandBits
+    val n = v.numElements()
+    var anyNull = false
+    var i = 0
+    while (i < n && !anyNull) { anyNull = v.isNullAt(i); i += 1 }
+    val degenerate = anyNull || n != d
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = 0L
+      if (!degenerate) {
+        var j = 0
+        while (j < bandBits) {
+          val w = planes(b * bandBits + j)
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += v.getDouble(k) * w(k); k += 1 }
+          if (s > 0) acc += (1L << j)
+          j += 1
+        }
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def prettyName: String = "nearest_centroid"

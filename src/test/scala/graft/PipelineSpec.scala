@@ -89,6 +89,51 @@ class PipelineSpec extends AnyFunSuite {
       s"IVF recalled only $recalled of ${brute.size} brute-force top-5 pairs")
   }
 
+  test("HyperplaneSigs kernel equals the nested-HOF banded signatures") {
+    import org.apache.spark.sql.functions.{col, transform => tfm, expr}
+    val nBands = 16; val bandBits = 4
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), tfm(col("embedding"), _.cast("double")).as("v"))
+    val dim = vecs.head().getSeq[Double](1).length
+    def run(df: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.Column): Map[Long, Seq[Long]] =
+      df.select(col("vec_id"), c.as("sigs")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def kernel(d: Int) = org.apache.spark.sql.graftcol.NativeColumn.column(
+      graft.functions.HyperplaneSigs(
+        org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+        Pipeline.planeValues(nBands * bandBits, d), bandBits))
+    val native = run(vecs, kernel(dim))
+    val hof = run(vecs, Pipeline.simAnnLshSigsHof(nBands, bandBits, dim))
+    assert(native == hof, "kernel sigs diverged from the nested HOF")
+    // degenerate rows: a null element and a ragged (short) vector both
+    // null-propagate every projection sum in the HOF → all-zero bands
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))))
+    val dirty = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L,
+        (0 until dim).map(i => if (i == 3) null else java.lang.Double.valueOf(0.5))),
+      org.apache.spark.sql.Row(2L, Seq(java.lang.Double.valueOf(1.0)))
+    ).asJava, schema)
+    val nd = run(dirty, kernel(dim))
+    val hd = run(dirty, Pipeline.simAnnLshSigsHof(nBands, bandBits, dim))
+    assert(nd == hd && nd.values.forall(_.forall(_ == 0L)),
+      "degenerate rows must produce all-zero bands in both formulations")
+    // forced-codegen invariance
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val forced = try run(vecs, kernel(dim)) finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    assert(native == forced)
+  }
+
   test("NearestCentroid kernel equals the HOF argmin, any codegen mode") {
     import org.apache.spark.sql.functions.{col, transform => tfm}
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
