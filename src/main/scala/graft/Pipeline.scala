@@ -3084,7 +3084,11 @@ object Pipeline {
       .union(edges.select(col("dst"))).distinct())
     // N is a scalar: count it once instead of re-aggregating + re-
     // broadcasting the one-row nn table inside every iteration's action.
-    // lit(n) feeds the identical double expressions.
+    // lit(n) feeds the identical double expressions. On the
+    // checkpoint=false (plan-audit) path this count recomputes the full
+    // bigram aggregation once — accepted: that path exists only so the
+    // spec can SEE the un-truncated iteration plan; it never runs in the
+    // registry (round-17 ADVICE).
     val n = nodes.count()
     var ranks = cp(nodes
       .select(col("w"), floor(lit(PrScale) / lit(n).cast("long")).as("r")))
