@@ -548,12 +548,25 @@ object Tpch {
 
   /** q17: per-part average-quantity threshold via a grouped self-join
     * (quantities are whole numbers → double sums are exact). */
+  /** Round-17 shape: the per-part avg-quantity threshold aggregates only
+    * lineitems of Brand#23 parts — brand is a part attribute, so "all
+    * lineitems of part X" for a surviving X is exactly the brand-join
+    * subset, and every threshold the outer filter reads is unchanged.
+    * The old shape's full-lineitem partkey exchange (the query's widest)
+    * shrinks ~25×, and both consumers (threshold agg + the quantity
+    * filter join) hang off the SAME brand-join subtree, so the planner
+    * reuses one partkey exchange for both sides of the final join. No
+    * broadcast hint on the brand parts: AQE broadcasts them at bench
+    * scales, and at 100 TB the 1/25 part slice correctly shuffle-joins. */
   def q17(s: SparkSession, d: String): DataFrame = {
-    val pa = li(s, d).groupBy(col("l_partkey").as("ap"))
-      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
-    li(s, d)
-      .join(part(s, d).filter(col("p_brand") === "Brand#23"),
+    val liBrand = li(s, d)
+      .join(part(s, d).filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val pa = liBrand.groupBy(col("l_partkey").as("ap"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
+    liBrand
       .join(pa, col("l_partkey") === col("ap"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
