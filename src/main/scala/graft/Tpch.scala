@@ -581,14 +581,27 @@ object Tpch {
        |JOIN pa ON l_partkey = ap
        |WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold""".stripMargin
 
+  /** Round-17 shape: the big-order restriction applies to ORDERS before
+    * customer ever joins — the textbook shape joined full
+    * customer⋈orders first and only then semi-filtered, a
+    * corpus×corpus join at 100 TB that the restricted shape never pays
+    * (the ~0.01% qualifying orders broadcast against customer and
+    * lineitem at bench scales; over-threshold runs reuse the HAVING's
+    * orderkey exchange for the final join). The final per-order
+    * re-aggregation is kept deliberately: a carried-sum variant (sum_qty
+    * straight from the HAVING aggregate, no lineitem re-join) was
+    * row-identical but LOST its alternating SF1 A/B (min 2.29 s vs
+    * 1.67 s old / 1.76 s this shape) — the re-join rides the reused
+    * exchange while the carried-sum plan forced a fresh orders
+    * exchange. */
   def q18(s: SparkSession, d: String): DataFrame = {
     val big = li(s, d).groupBy(col("l_orderkey").as("bigkey"))
       .agg(sum(col("l_quantity")).as("oq"))
       .filter(col("oq") > 300)
       .select("bigkey")
-    cust(s, d)
-      .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+    ord(s, d)
       .join(big, col("o_orderkey") === col("bigkey"), "left_semi")
+      .join(cust(s, d), col("c_custkey") === col("o_custkey"))
       .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"))
