@@ -117,6 +117,50 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(run); names.foreach(run) // warmup: JIT + codegen
+    // ---- Interference canary (round-18, per the r17 verdict) ----
+    // This box suffers hypervisor-level interference that is GUEST-
+    // INVISIBLE: loadavg/ps/PSI read idle while wall-clock degrades
+    // 2-50× (rounds 16-17 ledgers). Gating on loadavg therefore cannot
+    // work; instead gate on a measured canary — post-warmup samples of a
+    // known query against its known clean-window value. At the driver
+    // protocol (sf0.1, parts=8/shuffle=4, prepared plans) q1's clean
+    // class is 0.5-0.8 s across rounds 13-17, so min-of-3 > 0.95 s means
+    // the window is hot. On a hot canary: back off and retry (up to
+    // SPARK_GRAFT_CANARY_RETRIES, default 2, sleeping
+    // SPARK_GRAFT_CANARY_BACKOFF_SEC between attempts); if still hot,
+    // run anyway but stamp "poisoned":true with the canary evidence so
+    // the artifact self-adjudicates instead of requiring a judge re-run
+    // (BENCH_r15/r17 both breached the 2× bound purely from ambient
+    // load). The default threshold is only meaningful at the driver's
+    // own protocol, so it auto-disables off sf0.1 unless the caller sets
+    // SPARK_GRAFT_CANARY_SEC explicitly (0 disables outright). A post-
+    // suite canary catches bursts that START mid-suite.
+    val canaryName = sys.env.getOrElse("SPARK_GRAFT_CANARY_QUERY", "q1")
+    val canaryThresh: Double = sys.env.get("SPARK_GRAFT_CANARY_SEC")
+      .map(_.toDouble)
+      .getOrElse(if (sfDir.contains("sf0.1")) 0.95 else 0.0)
+    val canaryEnabled = canaryThresh > 0 && prepared.contains(canaryName)
+    def canarySamples(): Seq[Double] =
+      Seq.fill(3)(run(canaryName)).filter(_ >= 0)
+    def canaryHot(s: Seq[Double]): Boolean =
+      s.isEmpty || s.min > canaryThresh
+    val canaryRetries = sys.env.getOrElse("SPARK_GRAFT_CANARY_RETRIES", "2").toInt
+    val backoffSec = sys.env.getOrElse("SPARK_GRAFT_CANARY_BACKOFF_SEC", "30").toInt
+    val preAttempts = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    if (canaryEnabled) {
+      var attempt = 0
+      var hot = true
+      while (hot && attempt <= canaryRetries) {
+        val s = canarySamples()
+        preAttempts += s
+        hot = canaryHot(s)
+        attempt += 1
+        if (hot && attempt <= canaryRetries) {
+          System.err.println(f"[bench] canary hot (min ${if (s.isEmpty) -1.0 else s.min}%.3f s > $canaryThresh%.2f s), backing off ${backoffSec}s (attempt $attempt/$canaryRetries)")
+          Thread.sleep(backoffSec * 1000L)
+        }
+      }
+    }
     // steady-state wall time: median of five timed iterations per query
     // (three under-sampled — round 3 saw ±60% swings on unchanged queries
     // at the 200-500 ms magnitude). Iteration-MAJOR order — a full
@@ -164,7 +208,18 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ok) if ok.nonEmpty => ok(ok.size / 2) }.sum
     val load = s"""{"before":$loadBefore,"after":${loadAvg()}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"load":$load,"sf":"$sfDir"}""")
+    // Post-suite canary + self-adjudication: poisoned iff the window was
+    // hot at EITHER end (pre after all retries, or post). A poisoned
+    // artifact still carries full timings — the evidence (sample arrays,
+    // threshold) lets a reader re-adjudicate mechanically.
+    val postSamples = if (canaryEnabled) canarySamples() else Seq.empty[Double]
+    val poisoned = canaryEnabled &&
+      (canaryHot(preAttempts.last) || canaryHot(postSamples))
+    def jarr(s: Seq[Double]) = s.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val canaryJson =
+      if (!canaryEnabled) """{"enabled":false}"""
+      else s"""{"enabled":true,"query":"$canaryName","threshold_sec":$canaryThresh,"pre_attempts":${preAttempts.map(jarr).mkString("[", ",", "]")},"post":${jarr(postSamples)}}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"load":$load,"poisoned":$poisoned,"canary":$canaryJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -472,6 +472,57 @@ object Extras {
       |  ('status_bin', 'Binary')) t(col_name, arrow_type)
       |ORDER BY col_name""".stripMargin
 
+  /** Column-metadata plumbing (reference with_metadata/arrow_metadata/
+    * arrow_field, functions/__init__.py:3150-3256, and
+    * literal_with_metadata, __init__.py:191 / expr.py:844 — see
+    * graft.functions.ColumnMeta): attach field metadata (merge + overwrite
+    * semantics), round-trip it through a parquet write/read (Spark carries
+    * it in the footer's schema), then read it back out three ways — the
+    * field-pair enumeration, the single-key lookup column, and the
+    * arrow_field struct — against a literal oracle. */
+  def fnMetadata(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ColumnMeta
+    val dir = tmpDir("meta_parquet")
+    val base = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+    // merge path: second call preserves "entity" and overwrites "lang"
+    val tagged = ColumnMeta.withMetadata(
+      ColumnMeta.withMetadata(base, "n_name",
+        Map("entity" -> "nation", "lang" -> "en")),
+      "n_name", Map("lang" -> "en_US"))
+      .withColumn("src",
+        ColumnMeta.litWithMetadata("tpch", "src", Map("kind" -> "constant")))
+    tagged.write.mode("overwrite").parquet(dir)
+    val back = s.read.parquet(dir)
+    val fieldRows = back.schema.fields.toSeq.flatMap { f =>
+      Seq((s"${f.name}.type", TypeBridge.arrowTypeName(f.dataType))) ++
+        ColumnMeta.metadataPairs(f).map { case (k, v) => (s"${f.name}.meta.$k", v) }
+    }.toDF("item", "value")
+    val lookup = back.limit(1).select(
+      lit("lookup.n_name.lang").as("item"),
+      ColumnMeta.arrowMetadata(back, "n_name", "lang").as("value"))
+    val missing = back.limit(1).select(
+      lit("lookup.n_name.absent").as("item"),
+      coalesce(ColumnMeta.arrowMetadata(back, "n_name", "absent"),
+        lit("<null>")).as("value"))
+    val field = back.limit(1).select(
+      lit("field.n_name").as("item"),
+      to_json(ColumnMeta.arrowField(back, "n_name")).as("value"))
+    fieldRows.union(lookup).union(missing).union(field).orderBy("item")
+  }
+  val fnMetadataSql: String =
+    """SELECT * FROM (VALUES
+      |  ('field.n_name', '{"name":"n_name","data_type":"Utf8","nullable":true,"metadata":{"entity":"nation","lang":"en_US"}}'),
+      |  ('lookup.n_name.absent', '<null>'),
+      |  ('lookup.n_name.lang', 'en_US'),
+      |  ('n_name.meta.entity', 'nation'),
+      |  ('n_name.meta.lang', 'en_US'),
+      |  ('n_name.type', 'Utf8'),
+      |  ('n_nationkey.type', 'Int32'),
+      |  ('src.meta.kind', 'constant'),
+      |  ('src.type', 'Utf8')) t(item, value)
+      |ORDER BY item""".stripMargin
+
   /** register_record_batches analog (reference context.py:1002-1060):
     * an in-memory table from explicit row batches, one batch per
     * partition — the partition structure survives into the plan. */
@@ -665,6 +716,7 @@ object Extras {
     "rowop_describe" -> (rowopDescribe _),
     "fn_vector" -> (fnVector _),
     "fn_arrow_typeof" -> (fnArrowTypeof _),
+    "fn_metadata" -> (fnMetadata _),
     "mem_batches" -> (memBatches _),
     "udf_surface" -> (udfSurface _),
     "udtf_series" -> (udtfSeries _))
@@ -691,6 +743,7 @@ object Extras {
     "rowop_describe" -> rowopDescribeSql,
     "fn_vector" -> fnVectorSql,
     "fn_arrow_typeof" -> fnArrowTypeofSql,
+    "fn_metadata" -> fnMetadataSql,
     "mem_batches" -> memBatchesSql,
     "typed_cogroup" -> typedCogroupSql,
     "udf_surface" -> udfSurfaceSql,

@@ -776,6 +776,13 @@ object Pipeline {
     * two flat `long[]` plus a `boolean[]` occupancy lane — no per-entry
     * node or boxing. Only the operations [[repComponentsDriver]] needs. */
   private[graft] final class LongLongOpenMap(expected: Int) {
+    // `expected * 2 - 1` overflows Int at expected ≥ 2^30, which would
+    // yield a negative/zero capacity and corrupt the probe mask. Today's
+    // DedupFixpointDriverCap (2^21 edges → expected ≤ 2^22) is nowhere
+    // near, but the cap's scaladoc contemplates future bumps — fail loudly
+    // here instead of silently corrupting if one ever crosses 2^29.
+    require(expected >= 0 && expected <= (1 << 29),
+      s"LongLongOpenMap expected size $expected exceeds 2^29 (capacity math overflows Int)")
     private var cap = java.lang.Integer.highestOneBit(
       math.max(16, expected) * 2 - 1) << 1
     private var keys = new Array[Long](cap)

@@ -306,7 +306,16 @@ object Tpch {
     * enters the plan — c_custkey is customer's key, so the per-custkey
     * sums and the (revenue DESC, custkey ASC) top-20 are exactly the
     * grouped rows the reference's 4-column GROUP BY produces, and the 1:1
-    * name/acctbal/nation lookup can't reorder them. This removes the two
+    * name/acctbal/nation lookup can't reorder them.
+    *
+    * PRECONDITION (referential integrity): ranking before the inner join
+    * to customer is equivalent ONLY if every ranked o_custkey has a
+    * customer row — an orphan custkey in the top-20 would shrink the
+    * result below 20 where the textbook shape would have excluded it
+    * before ranking. TPC-H guarantees orders.o_custkey ⊆
+    * customer.c_custkey (and the DuckDB oracle pins it on this corpus);
+    * on a corpus without that guarantee, rank after the join. This
+    * removes the two
     * widest exchanges of the textbook shape (the full customer shuffle
     * and the orderkey re-shuffle of the customer-laden join result): what
     * remains is the unavoidable orders⋈lineitem exchange pair, one

@@ -375,6 +375,13 @@ case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def prettyName: String = "hyperplane_sigs"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // A NULL input vector is a DEGENERATE row, not a null result: in the HOF
+  // twin `zip_with(null, plane, …)` is null, the projection sum is null,
+  // `null > 0` is null, and the CASE's else-branch makes every bit 0 — so
+  // a null embedding lands in band-signature 0 for all bands instead of
+  // dropping out of the downstream posexplode. eval/doGenCode therefore
+  // bypass UnaryExpression's null-intolerant paths and feed compute(null).
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) =>
@@ -388,13 +395,23 @@ case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
       s"$prettyName requires array<double>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any =
-    HyperplaneSigs.compute(v.asInstanceOf[ArrayData], planes, bandBits)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    HyperplaneSigs.compute(
+      if (v == null) null else v.asInstanceOf[ArrayData], planes, bandBits)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val ref = ctx.addReferenceObj("planes", planes, "double[][]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneSigs.compute($c, $ref, $bandBits)")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.HyperplaneSigs.compute(
+            ${c.isNull} ? null : ${c.value}, $ref, $bandBits);""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -411,19 +428,26 @@ case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
   * the identical IEEE sequence, so every bucket bit (and the DuckDB
   * oracle, which folds the same order via list_reduce) is unchanged.
   * zip_with's ragged/null semantics are replayed: a length mismatch pads
-  * with null, a null element nulls its product, and a null-propagated sum
-  * fails `> 0` — in every such case the bit is 0, so the signature is the
-  * all-zero band array. The equivalence spec pins kernel == HOF. */
+  * with null, a null element nulls its product, a fully-NULL vector nulls
+  * every sum, and a null-propagated sum fails `> 0` — in every such case
+  * the bit is 0, so the signature is the all-zero band array (never a
+  * null row). NaN is replayed too: Spark's `>` uses the total ordering
+  * where NaN is greater than every number, so a NaN projection sum (e.g.
+  * Inf−Inf from a non-finite embedding) SETS the bit, matching the SQL
+  * twin and DuckDB (whose comparisons also order NaN greatest) — Java's
+  * native `s > 0` alone would silently flip it. The equivalence spec pins
+  * kernel == HOF including null-element, ragged, null-vector, and NaN
+  * rows, under forced codegen. */
 object HyperplaneSigs {
   def compute(v: ArrayData, planes: Array[Array[Double]], bandBits: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val d = planes(0).length
     val nBands = planes.length / bandBits
-    val n = v.numElements()
+    val n = if (v == null) -1 else v.numElements()
     var anyNull = false
     var i = 0
     while (i < n && !anyNull) { anyNull = v.isNullAt(i); i += 1 }
-    val degenerate = anyNull || n != d
+    val degenerate = v == null || anyNull || n != d
     val out = new Array[Any](nBands)
     var b = 0
     while (b < nBands) {
@@ -435,7 +459,8 @@ object HyperplaneSigs {
           var s = 0.0
           var k = 0
           while (k < d) { s += v.getDouble(k) * w(k); k += 1 }
-          if (s > 0) acc += (1L << j)
+          // NaN replays Spark's total ordering (NaN > 0 is TRUE in SQL)
+          if (s > 0 || java.lang.Double.isNaN(s)) acc += (1L << j)
           j += 1
         }
       }

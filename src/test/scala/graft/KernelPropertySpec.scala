@@ -877,4 +877,13 @@ object KernelPropertySpec extends Properties("graft.kernels") {
           !ref.containsKey(ops.map(_._1).fold(7L)(_ + _ + 104729L))
       Prop(sameEntries && sameContains) :| s"n=${ops.size} cap=$cap"
     }
+
+  property("LongLongOpenMap rejects expected sizes whose capacity math would overflow Int") =
+    // `expected * 2 - 1` overflows at 2^30; the guard trips at > 2^29 so a
+    // future DedupFixpointDriverCap bump fails loudly, never corrupts masks
+    Prop.throws(classOf[IllegalArgumentException]) {
+      new Pipeline.LongLongOpenMap((1 << 29) + 1)
+    } && Prop.throws(classOf[IllegalArgumentException]) {
+      new Pipeline.LongLongOpenMap(-1)
+    }
 }

@@ -118,12 +118,24 @@ class PipelineSpec extends AnyFunSuite {
     val dirty = spark.createDataFrame(Seq(
       org.apache.spark.sql.Row(1L,
         (0 until dim).map(i => if (i == 3) null else java.lang.Double.valueOf(0.5))),
-      org.apache.spark.sql.Row(2L, Seq(java.lang.Double.valueOf(1.0)))
+      org.apache.spark.sql.Row(2L, Seq(java.lang.Double.valueOf(1.0))),
+      // fully-NULL vector: HOF's zip_with(null,…) → null sums → bit 0
+      // everywhere, NOT a null row — the kernel must keep it in band 0
+      org.apache.spark.sql.Row(3L, null),
+      // all-NaN vector: every projection sum is NaN, and Spark's `>` total
+      // ordering makes NaN > 0 TRUE — every bit SET in both formulations
+      org.apache.spark.sql.Row(4L,
+        (0 until dim).map(_ => java.lang.Double.valueOf(Double.NaN)))
     ).asJava, schema)
     val nd = run(dirty, kernel(dim))
     val hd = run(dirty, Pipeline.simAnnLshSigsHof(nBands, bandBits, dim))
-    assert(nd == hd && nd.values.forall(_.forall(_ == 0L)),
+    assert(nd == hd, "dirty rows diverged between kernel and HOF")
+    assert(nd.keySet == Set(1L, 2L, 3L, 4L),
+      "no dirty row may drop out (null vector must still produce a row)")
+    assert(Seq(1L, 2L, 3L).forall(id => nd(id).forall(_ == 0L)),
       "degenerate rows must produce all-zero bands in both formulations")
+    assert(nd(4L).forall(_ == (1L << bandBits) - 1),
+      "NaN sums must SET every bit (Spark total ordering: NaN > 0)")
     // forced-codegen invariance
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.conf.set("spark.sql.codegen.fallback", "false")
