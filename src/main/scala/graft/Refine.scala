@@ -130,17 +130,28 @@ object Refine {
         // keeping it would silently collapse all clusters onto it)
         .filter(_._2.nonEmpty)
         .sortBy(_._1)
-    val asg = reps.select(col("rep"),
-      org.apache.spark.sql.graftcol.NativeColumn.column(
-        graft.functions.DecimalSqDevArgmin(
-          org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
-          seedRows.map(_._2), seedRows.map(_._1), 12)).as("cid"))
-    // same-cluster rep pairs above τ — the cluster-bounded quadratic
-    // stage. Norms fold ONCE per rep (a column, not a per-pair
-    // recomputation); nrm1·nrm2 is bit-identical to folding both norms
-    // inside the pair row, so the oracle's per-pair formula still
-    // hash-matches.
-    val rv = reps.withColumn("nrm", norm2(col("v"))).join(asg, "rep")
+    // cid + nrm in ONE projection over the checkpointed reps (round 18):
+    // the r17 shape computed them as two SEPARATE projections of the same
+    // 1:1 row set and paid two rep-keyed exchanges plus an SMJ to glue
+    // them back together. Fusing removes all three; the pair join's cid
+    // exchange is still built once and ReusedExchange serves both sides,
+    // exactly as it served the r17 asg branch. A/B (alternating min-of-3,
+    // same session, driver protocol, two sessions): fused 1.845/1.975 s
+    // vs r17 2.120/2.094 s — fused won every adjacent pair of the second
+    // session. REJECTED on the same A/B: fused + localCheckpoint barrier
+    // (to stop the join's inferred isnotnull(cid) filter from re-inlining
+    // the argmin below the projection — StageProbe shows the kernel folds
+    // twice per rep) read 2.905 vs 2.511 — the eager barrier costs more
+    // than the duplicated fold at this rep count, and the duplication is
+    // once per REP, not per pair, so it does not grow with the quadratic
+    // stage at scale either. Norms still fold ONCE per rep; nrm1·nrm2 is
+    // bit-identical to folding both norms inside the pair row, so the
+    // oracle's per-pair formula still hash-matches.
+    val rv = reps.select(col("rep"), col("v"), norm2(col("v")).as("nrm"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.DecimalSqDevArgmin(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
+            seedRows.map(_._2), seedRows.map(_._1), 12)).as("cid"))
     val pairs = rv.as("a").join(rv.as("b"),
         col("a.cid") === col("b.cid") && col("a.rep") < col("b.rep"))
       // try_divide: a zero vector's norm product is 0, and ANSI mode
@@ -164,9 +175,14 @@ object Refine {
     // the data itself — NaN orders ABOVE every number in both Spark and
     // DuckDB, so `NaN >= τ` alone would keep the pair and even win the
     // keeper election; the oracle SQL carries the same NOT isnan.
-    val selfCos = reps
+    // nrm is sqrt(inner_product(v,v)), so nrm*nrm is bitwise the
+    // norm2(v)*norm2(v) the oracle formula folds. rv is a plain
+    // projection, so CollapseProject re-inlines the kernels here — fine:
+    // this branch is once per rep (not per pair) and column pruning drops
+    // the argmin from it entirely.
+    val selfCos = rv
       .withColumn("cos", try_divide(dot(col("v"), col("v")),
-        norm2(col("v")) * norm2(col("v"))))
+        col("nrm") * col("nrm")))
       .select(col("rep"), col("cos"))
     val within = members.filter(col("vec_id") =!= col("rep"))
       .join(selfCos, "rep")
@@ -176,7 +192,7 @@ object Refine {
     cross.unionByName(within)
       .withColumn("rn", row_number().over(sel)).filter(col("rn") === 1)
       .join(members.select(col("vec_id").as("vid"), col("rep")), "vid")
-      .join(asg, "rep")
+      .join(rv.select(col("rep"), col("cid")), "rep")
       .select(col("vid").as("vec_id"), col("cid"), col("k").as("keeper"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_id")
