@@ -506,11 +506,25 @@ object Scale {
             (cid, cv)
           }.toIndexedSeq.sortBy(_._1)
       }
-    // second assignment + per-subspace rollup
+    // second assignment + per-subspace rollup. Round 18: the rollup
+    // explodes a LITERAL subspace sequence and indexes into `ac`, instead
+    // of posexploding `ac` itself — posexplode(ac) makes the optimizer
+    // infer `size(ac) > 0 AND isnotnull(ac)` below the projection
+    // (InferFiltersFromGenerate), re-inlining the kernel so every vector
+    // paid the 256-term decimal argmin THREE times (StageProbe/explain
+    // caught `Filter (size(pq_argmin(…)) > 0) AND isnotnull(pq_argmin(…))`
+    // under `Project pq_argmin(…)`). With a foldable generator child the
+    // kernel folds ONCE per vector in the project below the Generate.
+    // Row-for-row identical on any non-null `v`: the kernel returns
+    // exactly PqSub structs, so posexplode(ac) and indexing sequence(0,
+    // PqSub-1) emit the same (g, cid, dist) rows. A/B (alternating
+    // min-of-3, same session): 1.084 s vs 1.612 s — the new shape won
+    // every adjacent pair.
     vecs.withColumn("ac", assignCol(c1))
-      .select(posexplode(col("ac")).as(Seq("g0", "a")))
-      .select(col("g0").cast("long").as("g"), col("a.cid").as("cid"),
-        col("a.dist").as("dist"))
+      .select(col("ac"), explode(expr(s"sequence(0L, ${PqSub - 1}L)")).as("g"))
+      .select(col("g"),
+        expr("element_at(ac, cast(g as int) + 1).cid").as("cid"),
+        expr("element_at(ac, cast(g as int) + 1).dist").as("dist"))
       .groupBy("g")
       .agg(count(lit(1)).as("n"),
         countDistinct("cid").as("codes_used"),
