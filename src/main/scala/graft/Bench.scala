@@ -161,7 +161,7 @@ object Bench {
         hot = canaryHot(s)
         attempt += 1
         if (hot && attempt <= canaryRetries) {
-          System.err.println(f"[bench] canary hot (min ${if (s.isEmpty) -1.0 else s.min}%.3f s > $canaryThresh%.2f s), backing off ${backoffSec}s (attempt $attempt/$canaryRetries)")
+          System.err.println(f"[bench] canary hot (median ${if (s.isEmpty) -1.0 else s.sorted.apply(s.size / 2)}%.3f s > $canaryThresh%.2f s), backing off ${backoffSec}s (attempt $attempt/$canaryRetries)")
           Thread.sleep(backoffSec * 1000L)
         }
       }

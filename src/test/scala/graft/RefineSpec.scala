@@ -521,12 +521,18 @@ class RefineSpec extends AnyFunSuite {
   test("plan audit: no cartesian products; broadcasts where expected") {
     // semantic dedup: seed assignment is a map-side argmin kernel
     // (round 15 — no join at all), pair stage is an equi-join on cid —
-    // never a cartesian
+    // never a cartesian. Round 18: the kernel folds ONCE into the
+    // localCheckpoint-pinned rv, so the downstream plan must show the
+    // pinned scan and must NOT re-inline the argmin (its presence here
+    // would mean the pin failed and the kernel re-folds per consumer —
+    // the protocol-split regression the pin exists to prevent)
     val sem = Refine.dedupSemantic(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!sem.contains("CartesianProduct"), "dedup_semantic cartesian")
-    assert(sem.contains("decimal_sqdev_argmin"),
-      "dedup_semantic assignment should ride the argmin kernel")
+    assert(!sem.contains("decimal_sqdev_argmin"),
+      "argmin must stay pinned in the checkpointed rv, not re-inline downstream")
+    assert(sem.contains("Scan ExistingRDD"),
+      "the pinned rv should feed the downstream plan")
     // OOD scoring: the moment table joins broadcast, the reduce is keyed
     val ood = Refine.embOodMahalanobis(spark, sf)
       .queryExecution.executedPlan.toString
