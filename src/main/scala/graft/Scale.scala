@@ -459,6 +459,14 @@ object Scale {
     // round-trips exactly).
     val w = 64 / PqSub
     val vecs = t(s, d, "embeddings")
+      // Null embeddings drop HERE, upstream of the checkpoint, so the
+      // kernel never sees a null `v`: the r18 literal-sequence explode
+      // stopped dropping the null-`ac` rows that posexplode(ac) used to
+      // (a null vector would emit PqSub rows with null cid/dist,
+      // inflating `n` and deflating `mse`). The filter rides the scan —
+      // behind the checkpoint barrier, so no optimizer pass can re-inline
+      // it around the kernel (r18 ADVICE item 2).
+      .where(col("embedding").isNotNull)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .localCheckpoint() // scanned for seeds, update, and both argmins

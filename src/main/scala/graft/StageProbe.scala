@@ -28,8 +28,8 @@ object StageProbe {
     spark.sparkContext.setLogLevel("WARN")
     Q.cacheTables(spark, sfDir, parts)
 
-    final case class Row(id: Int, ms: Long, tasks: Int, inputMb: Double,
-        shufReadMb: Double, shufWriteMb: Double, name: String)
+    final case class Row(id: Int, ms: Long, submitMs: Long, tasks: Int,
+        inputMb: Double, shufReadMb: Double, shufWriteMb: Double, name: String)
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -38,7 +38,7 @@ object StageProbe {
           a <- si.completionTime; b <- si.submissionTime
         } yield a - b).getOrElse(-1L)
         val m = si.taskMetrics
-        rows.add(Row(si.stageId, ms, si.numTasks,
+        rows.add(Row(si.stageId, ms, si.submissionTime.getOrElse(0L), si.numTasks,
           m.inputMetrics.bytesRead / 1e6,
           (m.shuffleReadMetrics.localBytesRead +
             m.shuffleReadMetrics.remoteBytesRead) / 1e6,
@@ -52,17 +52,25 @@ object StageProbe {
       run() // warmup: JIT, codegen, file listing
       rows.clear()
       spark.sparkContext.addSparkListener(listener)
+      // watermark: warmup stage-completed events still queued in the
+      // async bus at registration time WOULD be delivered to the new
+      // listener — filter them out by submission time instead of hoping
+      // the queue drained (r18 ADVICE item 4)
+      val tReg = System.currentTimeMillis()
       val t0 = System.nanoTime()
       run()
       val wall = (System.nanoTime() - t0) / 1e9
       // listener delivery is async; completion events for the last stage
       // land within the bus's flush interval — a short settle is enough
-      // for a diagnostic (no public flush API on SparkContext)
+      // for a diagnostic (no public flush API on SparkContext). If the
+      // bus is slower than this, the header's stage-ms-sum vs wall gap
+      // flags the loss — treat a large gap as "re-run the probe".
       Thread.sleep(500)
       spark.sparkContext.removeSparkListener(listener)
       import scala.jdk.CollectionConverters._
       val rs = rows.asScala.toSeq.sortBy(_.id)
-      println(f"==== $n wall=$wall%.3f s stages=${rs.size} stage-ms-sum=${rs.map(_.ms).sum} ====")
+        .filter(_.submitMs >= tReg)
+      println(f"==== $n wall=$wall%.3f s stages=${rs.size} stage-ms-sum=${rs.map(_.ms).sum} (async bus: rows are best-effort; a stage-ms-sum far below wall means missed events) ====")
       rs.foreach { r =>
         println(f"[stage] ${r.id}%4d ${r.ms}%6d ms tasks=${r.tasks}%3d in=${r.inputMb}%8.1fMB sr=${r.shufReadMb}%8.1fMB sw=${r.shufWriteMb}%8.1fMB  ${r.name}")
       }

