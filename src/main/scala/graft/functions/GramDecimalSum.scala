@@ -30,9 +30,18 @@ import org.apache.spark.sql.types._
   * formulation computes; the term cast replays the engine's non-ANSI
   * `cast(double AS decimal(38, s))` ([[Decimal]]`(xy)` shortest-repr +
   * `changePrecision` HALF_UP, NaN/Inf/overflow → null term, skipped by
-  * sum); per-cell accumulation is java `BigDecimal.add` at scale s —
-  * EXACT, hence order-free, matching Spark's decimal `sum` under any
-  * partitioning. Group-existence parity with the explode twin: a cell
+  * sum) — since round 19 via [[GramDecimalSum.scaledLong]], a
+  * digit-parse of `Double.toString`'s shortest representation straight
+  * to the unscaled long at scale s (property-pinned against the
+  * `Decimal` path; values whose scaled form outgrows a Long take the
+  * original `Decimal` slow path). Per-cell accumulation is exact
+  * integer addition on the unscaled longs, spilling a cell to java
+  * `BigDecimal` on the first overflowing add — both EXACT at scale s,
+  * hence order-free, matching Spark's decimal `sum` under any
+  * partitioning (the r18 StageProbe adjudicated the BigDecimal
+  * multiply-add stream as emb_covariance's dominant cost; the long
+  * path removes the per-term BigDecimal parse/setScale/add churn).
+  * Group-existence parity with the explode twin: a cell
   * is emitted iff some row produced the pair (both operands non-null —
   * pairs with a null operand are never emitted, so an all-null
   * dimension pair yields a MISSING row, exactly like
@@ -70,7 +79,7 @@ case class GramDecimalSum(
       s"$prettyName requires array<float>, got ${other.simpleString}")
   }
 
-  override def createAggregationBuffer(): Buffer = new Buffer(0)
+  override def createAggregationBuffer(): Buffer = new Buffer(0, scale)
 
   override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = vec.eval(input)
@@ -93,12 +102,14 @@ case class GramDecimalSum(
             // non-ANSI Cast: NaN/Inf and overflow -> null term, skipped
             if (!java.lang.Double.isNaN(xy) &&
                 !java.lang.Double.isInfinite(xy)) {
-              val term = Decimal(xy)
-              if (term.changePrecision(38, scale)) {
-                val s = buf.sums(idx)
-                buf.sums(idx) =
-                  if (s == null) term.toJavaBigDecimal
-                  else s.add(term.toJavaBigDecimal)
+              val sc = GramDecimalSum.scaledLong(xy, scale)
+              if (sc != Long.MinValue) buf.addScaled(idx, sc)
+              else {
+                // scaled term outgrows a Long: original Decimal path
+                // (also owns the precision>38 -> null-term rule)
+                val term = Decimal(xy)
+                if (term.changePrecision(38, scale))
+                  buf.addBig(idx, term.toJavaBigDecimal)
               }
             }
           }
@@ -117,11 +128,8 @@ case class GramDecimalSum(
     var idx = 0
     while (idx < cells) {
       if (other.seen(idx)) buf.seen(idx) = true
-      val o = other.sums(idx)
-      if (o != null) {
-        val s = buf.sums(idx)
-        buf.sums(idx) = if (s == null) o else s.add(o)
-      }
+      if (other.big(idx) != null) buf.addBig(idx, other.big(idx))
+      else if (other.hasVal(idx)) buf.addScaled(idx, other.accL(idx))
       idx += 1
     }
     buf
@@ -136,12 +144,14 @@ case class GramDecimalSum(
         val idx = (j - 2) * (j - 1) / 2 + (i - 1)
         if (buf.seen(idx)) {
           val sxy =
-            if (buf.sums(idx) == null) null
-            else {
+            if (!buf.hasVal(idx)) null
+            else if (buf.big(idx) != null) {
               // decimal sum result semantics: overflow past (38, s) -> null
-              val dec = Decimal(buf.sums(idx))
+              val dec = Decimal(buf.big(idx))
               if (dec.changePrecision(38, scale)) dec else null
-            }
+            } else
+              // a Long-held sum has <= 19 digits: always fits (38, s)
+              Decimal(buf.accL(idx), 38, scale)
           out.add(new GenericInternalRow(Array[Any](i, j, sxy)))
         }
         i += 1
@@ -151,28 +161,35 @@ case class GramDecimalSum(
     new GenericArrayData(out.toArray)
   }
 
+  // Serde format: dim, then per cell a flag byte (bit0 seen, bit1
+  // has-value, bit2 spilled-to-BigDecimal) followed by the 8-byte
+  // unscaled long (long cells) or a length-prefixed BigInteger (spilled
+  // cells). Internal to one run's shuffle — no cross-version contract.
   override def serialize(buf: Buffer): Array[Byte] = {
     val cells = buf.dim * (buf.dim - 1) / 2
     val parts = new Array[Array[Byte]](cells)
     var total = 4
     var idx = 0
     while (idx < cells) {
-      parts(idx) =
-        if (buf.sums(idx) == null) null
-        else buf.sums(idx).unscaledValue().toByteArray
-      total += 1 + 4 + (if (parts(idx) == null) 0 else parts(idx).length)
+      if (buf.big(idx) != null) {
+        parts(idx) = buf.big(idx).unscaledValue().toByteArray
+        total += 1 + 4 + parts(idx).length
+      } else if (buf.hasVal(idx)) total += 1 + 8
+      else total += 1
       idx += 1
     }
     val bb = ByteBuffer.allocate(total)
     bb.putInt(buf.dim)
     idx = 0
     while (idx < cells) {
-      bb.put(if (buf.seen(idx)) 1.toByte else 0.toByte)
-      if (parts(idx) == null) bb.putInt(-1)
-      else {
+      val flags = ((if (buf.seen(idx)) 1 else 0) |
+        (if (buf.hasVal(idx)) 2 else 0) |
+        (if (parts(idx) != null) 4 else 0)).toByte
+      bb.put(flags)
+      if (parts(idx) != null) {
         bb.putInt(parts(idx).length)
         bb.put(parts(idx))
-      }
+      } else if (buf.hasVal(idx)) bb.putLong(buf.accL(idx))
       idx += 1
     }
     java.util.Arrays.copyOf(bb.array(), bb.position())
@@ -181,18 +198,20 @@ case class GramDecimalSum(
   override def deserialize(bytes: Array[Byte]): Buffer = {
     val bb = ByteBuffer.wrap(bytes)
     val d = bb.getInt
-    val buf = new Buffer(d)
+    val buf = new Buffer(d, scale)
     val cells = d * (d - 1) / 2
     var idx = 0
     while (idx < cells) {
-      buf.seen(idx) = bb.get() == 1.toByte
-      val len = bb.getInt
-      if (len >= 0) {
+      val flags = bb.get()
+      buf.seen(idx) = (flags & 1) != 0
+      buf.hasVal(idx) = (flags & 2) != 0
+      if ((flags & 4) != 0) {
+        val len = bb.getInt
         val payload = new Array[Byte](len)
         bb.get(payload)
-        buf.sums(idx) = new java.math.BigDecimal(
+        buf.big(idx) = new java.math.BigDecimal(
           new java.math.BigInteger(payload), scale)
-      }
+      } else if (buf.hasVal(idx)) buf.accL(idx) = bb.getLong
       idx += 1
     }
     buf
@@ -210,19 +229,120 @@ case class GramDecimalSum(
 object GramDecimalSum {
   /** Growable triangular state, cell (i, j) (1-based, i < j) at index
     * `(j−2)(j−1)/2 + (i−1)` — column-major by j, so growing the
-    * dimension appends cells without relocating existing ones. */
-  final class Buffer(initialDim: Int) {
+    * dimension appends cells without relocating existing ones.
+    *
+    * A cell's sum lives in `accL` as an unscaled long at `scale`
+    * (`hasVal` distinguishes a zero sum from no-non-null-term-yet) until
+    * an add overflows 64 bits or a term arrives that outgrows a Long —
+    * then the cell spills to an exact `BigDecimal` in `big` (invariant:
+    * `big(idx) != null` implies `hasVal(idx)`). Both representations
+    * are exact at `scale`, so spilling at ANY point yields the same
+    * final sum. */
+  final class Buffer(initialDim: Int, val scale: Int) {
     var dim: Int = initialDim
     private def cells(d: Int): Int = d * (d - 1) / 2
-    var sums: Array[java.math.BigDecimal] =
+    var accL: Array[Long] = new Array[Long](cells(initialDim))
+    var big: Array[java.math.BigDecimal] =
       new Array[java.math.BigDecimal](cells(initialDim))
+    var hasVal: Array[Boolean] = new Array[Boolean](cells(initialDim))
     var seen: Array[Boolean] = new Array[Boolean](cells(initialDim))
 
     def grow(d: Int): Unit = if (d > dim) {
-      sums = java.util.Arrays.copyOf(sums, cells(d))
+      accL = java.util.Arrays.copyOf(accL, cells(d))
+      big = java.util.Arrays.copyOf(big, cells(d))
+      hasVal = java.util.Arrays.copyOf(hasVal, cells(d))
       seen = java.util.Arrays.copyOf(seen, cells(d))
       dim = d
     }
+
+    /** Fold an unscaled-long term into the cell. */
+    def addScaled(idx: Int, v: Long): Unit = {
+      val b = big(idx)
+      if (b != null) big(idx) = b.add(java.math.BigDecimal.valueOf(v, scale))
+      else if (!hasVal(idx)) { hasVal(idx) = true; accL(idx) = v }
+      else {
+        val a = accL(idx)
+        val s = a + v
+        if (((a ^ s) & (v ^ s)) < 0)
+          // 64-bit overflow: spill, re-doing this add exactly
+          big(idx) = java.math.BigDecimal.valueOf(a, scale)
+            .add(java.math.BigDecimal.valueOf(v, scale))
+        else accL(idx) = s
+      }
+    }
+
+    /** Fold a BigDecimal term (already at `scale`) into the cell. */
+    def addBig(idx: Int, t: java.math.BigDecimal): Unit = {
+      val b = big(idx)
+      if (b != null) big(idx) = b.add(t)
+      else if (hasVal(idx))
+        big(idx) = java.math.BigDecimal.valueOf(accL(idx), scale).add(t)
+      else { hasVal(idx) = true; big(idx) = t }
+    }
+  }
+
+  private val POW10: Array[Long] = Array.iterate(1L, 19)(_ * 10)
+
+  /** The unscaled value at `scale` of HALF_UP(shortest-decimal-repr(x))
+    * — exactly what the engine's non-ANSI `cast(double AS
+    * decimal(38, scale))` produces for any finite x whose scaled value
+    * fits a Long ([[Decimal]]`(x)` parses `Double.toString`'s
+    * shortest representation into a BigDecimal; `changePrecision`
+    * rounds it HALF_UP to `scale`) — or `Long.MinValue` when it does
+    * not fit, sending the caller to the original Decimal slow path.
+    * `Long.MinValue` is unreachable as a genuine result because every
+    * fit check bounds the magnitude by `Long.MaxValue`. HALF_UP rounds
+    * away from zero, so the digit walk runs on the magnitude and the
+    * sign is applied last. Property-pinned against the Decimal path in
+    * KernelPropertySpec (including round-half boundaries, subnormals,
+    * and scientific-notation strings). */
+  private[graft] def scaledLong(x: Double, scale: Int): Long = {
+    val s = java.lang.Double.toString(x)
+    val n = s.length
+    var p = if (s.charAt(0) == '-') 1 else 0
+    val neg = p == 1
+    var mant = 0L
+    var sig = 0       // significant digits folded into mant
+    var fracLen = 0
+    var exp = 0
+    var inFrac = false
+    var done = false
+    while (p < n && !done) {
+      val c = s.charAt(p)
+      if (c == '.') inFrac = true
+      else if (c == 'E') {
+        exp = Integer.parseInt(s.substring(p + 1))
+        done = true
+      } else {
+        if (mant != 0 || c != '0') sig += 1
+        // Double.toString emits <= 17 significant digits; guard anyway
+        if (sig > 18) return Long.MinValue
+        mant = mant * 10 + (c - '0')
+        if (inFrac) fracLen += 1
+      }
+      p += 1
+    }
+    val shift = scale + exp - fracLen
+    val res =
+      if (mant == 0L) 0L
+      else if (shift >= 0) {
+        if (shift > 18) return Long.MinValue
+        val pow = POW10(shift)
+        if (mant > Long.MaxValue / pow) return Long.MinValue
+        mant * pow
+      } else {
+        val k = -shift
+        // mant < 10^18 (sig <= 18), so for k > 18 even 2·mant < 10^k:
+        // the discarded fraction is under one half -> rounds to zero
+        if (k > 18) 0L
+        else {
+          val pow = POW10(k)
+          val q = mant / pow
+          val r = mant - q * pow
+          if (2 * r >= pow) q + 1 else q
+        }
+      }
+    if (neg) -res else res
   }
 
   /** Column builder: `sum(cast(v[i]·v[j] AS decimal(38, s)))` over every

@@ -561,7 +561,9 @@ object KernelPropertySpec extends Properties("graft.kernels") {
         Gen.const(Option.empty[List[Option[Float]]]),   // null vector row
         Gen.choose(0, 5).flatMap(n => Gen.listOfN(n,
           Gen.oneOf(Gen.const(Option.empty[Float]),     // null element
-            Gen.oneOf(-2.5f, -0.0f, 0.0f, 0.5f, 3.0f, Float.NaN)
+            // 3e9f: squared products outgrow a scale-6 Long, mixing the
+            // r19 long fast path with the BigDecimal slow/spill path
+            Gen.oneOf(-2.5f, -0.0f, 0.0f, 0.5f, 3.0f, 3e9f, Float.NaN)
               .map(Some(_))))).map(Some(_)))),
       Gen.listOf(Gen.choose(0, 5)),
       Gen.choose(0L, Long.MaxValue)) { (vs, splits, seed) =>
@@ -885,5 +887,155 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       new Pipeline.LongLongOpenMap((1 << 29) + 1)
     } && Prop.throws(classOf[IllegalArgumentException]) {
       new Pipeline.LongLongOpenMap(-1)
+    }
+
+  // ---------- GramDecimalSum.scaledLong vs the engine's Decimal cast ----------
+
+  private val genFinite: Gen[Double] = Gen.oneOf(
+    // realistic embedding-product magnitudes
+    Gen.chooseNum(-10.0, 10.0),
+    // float×float products, the aggregate's actual input distribution
+    for { a <- Gen.chooseNum(-1e5f, 1e5f); b <- Gen.chooseNum(-1e5f, 1e5f) }
+      yield a.toDouble * b.toDouble,
+    // full-range doubles via random bits (finite only)
+    Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      .map(java.lang.Double.longBitsToDouble)
+      .retryUntil(d => !d.isNaN && !d.isInfinite),
+    // round-half boundaries at scale 12 (the HALF_UP edge), signed zero,
+    // subnormals, values straddling the Long-fit frontier
+    Gen.oneOf(0.5e-12, 1.5e-12, 2.5e-12, -0.5e-12, -2.5e-12, 0.0, -0.0,
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE, 4.9e-324,
+      9.2e6, -9.2e6, 9.223372036854775e6, 1e7, 1e25, -1e26, 123.4567e300))
+
+  property("GramDecimalSum.scaledLong replays Decimal(x).changePrecision(38,s) exactly") =
+    Prop.forAll(genFinite, Gen.oneOf(0, 6, 12)) { (x, s) =>
+      import org.apache.spark.sql.types.Decimal
+      val got = graft.functions.GramDecimalSum.scaledLong(x, s)
+      val ref = Decimal(x)
+      val refOk = ref.changePrecision(38, s)
+      if (got != Long.MinValue) {
+        // fast path claims a fit: must match the Decimal cast bit-for-bit
+        val refBd = ref.toJavaBigDecimal
+        Prop(refOk && refBd.scale == s &&
+          refBd.unscaledValue().bitLength() < 64 &&
+          refBd.unscaledValue().longValueExact() == got) :|
+          s"x=$x s=$s got=$got ref=${if (refOk) refBd else "overflow"}"
+      } else {
+        // fallback: only when the true scaled value cannot live in a Long
+        // (precision overflow also routes here, ref not ok)
+        Prop(!refOk || ref.toJavaBigDecimal.unscaledValue().bitLength() >= 63) :|
+          s"x=$x s=$s fell back but ref=${ref.toJavaBigDecimal}"
+      }
+    }
+
+  property("VectorDecimalStats: random split + serde merge == Decimal-path model") =
+    // the model below IS the pre-r19 implementation (per-term Decimal
+    // cast + BigDecimal accumulation); the property pins the long
+    // fast-path + spill rewrite to it, including the precision-p gate
+    // (p=8 nulls most terms at scale 12) and values that overflow a Long
+    Prop.forAll(
+      Gen.listOf(for {
+        v <- Gen.oneOf(
+          Gen.const(Option.empty[List[Option[Double]]]),
+          Gen.choose(0, 4).flatMap(n => Gen.listOfN(n,
+            Gen.oneOf(Gen.const(Option.empty[Double]),
+              Gen.oneOf(-2.5, 0.0, -0.0, 0.5, 3.0, 3e9, 1e30, Double.NaN)
+                .map(Some(_))))).map(Some(_)))
+        w <- Gen.oneOf(Option.empty[Double], Some(-3.0), Some(0.5), Some(2.0))
+      } yield (v, w)),
+      Gen.listOf(Gen.choose(0, 3)),
+      Gen.choose(0L, Long.MaxValue),
+      Gen.oneOf(8, 18, 38)) { (rows, splits, seed, prec) =>
+      import org.apache.spark.sql.types.Decimal
+      val scale = 12
+      val agg = graft.functions.VectorDecimalStats(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = true),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          1, org.apache.spark.sql.types.DoubleType, nullable = true),
+        prec, scale)
+      def row(r: (Option[List[Option[Double]]], Option[Double])) =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](r._1.map(l =>
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              l.map(_.map(Double.box).orNull).toArray[Any])).orNull,
+            r._2.map(Double.box).orNull))
+      // reference model: the original BigDecimal implementation
+      val dim = rows.flatMap(_._1).map(_.length).maxOption.getOrElse(0)
+      val mSums = new Array[java.math.BigDecimal](dim)
+      val mCounts = new Array[Long](dim)
+      rows.foreach {
+        case (Some(v), w) =>
+          v.zipWithIndex.foreach { case (e, i) =>
+            mCounts(i) += 1
+            (e, w) match {
+              case (Some(x0), Some(wv)) =>
+                val x = x0 * wv
+                if (!x.isNaN && !x.isInfinite) {
+                  val t = Decimal(x)
+                  if (t.changePrecision(prec, scale))
+                    mSums(i) =
+                      if (mSums(i) == null) t.toJavaBigDecimal
+                      else mSums(i).add(t.toJavaBigDecimal)
+                }
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+      // aggregate under random split + serde + random-order merge
+      val parts = Array.fill(3)(agg.createAggregationBuffer())
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val b = if (splits.isEmpty) 0 else splits(i % splits.length)
+        agg.update(parts(b % 3), row(r))
+      }
+      val acc = agg.createAggregationBuffer()
+      new scala.util.Random(seed).shuffle(List(0, 1, 2)).foreach(i =>
+        agg.merge(acc, agg.deserialize(agg.serialize(parts(i)))))
+      val st = agg.eval(acc)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val gotSums = st.getArray(0)
+      val gotCounts = st.getArray(1)
+      val same = gotSums.numElements() == dim && (0 until dim).forall { i =>
+        gotCounts.getLong(i) == mCounts(i) && {
+          (gotSums.isNullAt(i), mSums(i) == null) match {
+            case (true, true) => true
+            case (false, false) =>
+              gotSums.getDecimal(i, 38, scale).toJavaBigDecimal
+                .compareTo(mSums(i)) == 0
+            case _ => false
+          }
+        }
+      }
+      Prop(same) :| s"prec=$prec rows=$rows"
+    }
+
+  property("GramDecimalSum long accumulators spill to BigDecimal exactly on overflow") =
+    // 3e9f is exactly representable; 3e9*3e9 = 9e18 scaled at 0 sits one
+    // add below Long.MaxValue, so two rows force the 64-bit spill and the
+    // final sum (1.8e19, 20 digits) is only representable spilled
+    Prop.forAll(Gen.chooseNum(2, 5), Gen.chooseNum(0L, Long.MaxValue)) { (nRows, seed) =>
+      val agg = graft.functions.GramDecimalSum(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true), 0)
+      def row() = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](3e9f, 3e9f))))
+      // split rows across two partials, serde both, merge in random order
+      val parts = Array.fill(2)(agg.createAggregationBuffer())
+      (0 until nRows).foreach(i => agg.update(parts(i % 2), row()))
+      val acc = agg.createAggregationBuffer()
+      new scala.util.Random(seed).shuffle(List(0, 1)).foreach(i =>
+        agg.merge(acc, agg.deserialize(agg.serialize(parts(i)))))
+      val arr = agg.eval(acc)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val cell = arr.getStruct(0, 3)
+      val sum = cell.getDecimal(2, 38, 0).toJavaBigDecimal
+      val expect = new java.math.BigDecimal(9e18.toLong)
+        .multiply(java.math.BigDecimal.valueOf(nRows.toLong))
+      Prop(arr.numElements() == 1 && sum.compareTo(expect) == 0) :|
+        s"nRows=$nRows sum=$sum expect=$expect"
     }
 }
