@@ -283,6 +283,85 @@ object GramDecimalSum {
 
   private val POW10: Array[Long] = Array.iterate(1L, 19)(_ * 10)
 
+  /** Exact 128-bit fixed-point fast path for [[scaledLong]] (round 19).
+    *
+    * Goal: R = HALF_UP_scale(r) where r is the decimal repr
+    * `Double.toString(x)` emits. Any repr that round-trips to x satisfies
+    * |r − e| ≤ ulp(x)/2 where e is x's exact binary value m·2^k — so
+    * rounding e instead of r gives the SAME result whenever no rounding
+    * boundary (a half-multiple of one scale-unit) lies within ulp/2 of e.
+    * This routine computes e·10^scale exactly as a 128-bit integer
+    * (m·10^scale via multiplyHigh, then >> −k), rounds it half-up, and
+    * PROVES the boundary margin: in remainder units (2^k of a unit) the
+    * uncertainty is 10^scale·2^(k−1)·2^(−k) = 10^scale/2 = P/2 exactly,
+    * so the fast result is valid iff |rem − 2^(−k−1)| > P/2 — any nearer
+    * case (including exact .5 ties) returns [[FallbackToString]] and the
+    * caller replays the string walk. Requires 10^scale < 2^40 (scale ≤
+    * 12; P/2 must sit below the 2^63 remainder geometry) — larger scales
+    * always take the string walk. Property-pinned against the Decimal
+    * cast with boundary-jittered generators in KernelPropertySpec and a
+    * 20M-case sweep recorded in OPTIMIZATION_r19.md. */
+  private val FallbackToString = Long.MinValue
+
+  private def scaledLongFixed(x: Double, scale: Int): Long = {
+    val bits = java.lang.Double.doubleToRawLongBits(x)
+    val neg = bits < 0
+    val e = ((bits >>> 52) & 0x7ff).toInt
+    val f = bits & 0x000fffffffffffffL
+    if (e == 0x7ff) return FallbackToString // NaN/Inf (callers exclude)
+    val m = if (e > 0) f | (1L << 52) else f
+    if (m == 0L) return 0L // ±0.0
+    val k = if (e > 0) e - 1075 else -1074
+    // k >= 0 means |x| >= 2^52: scaled value far outside a Long for any
+    // scale >= 1, and for scale 0 the string walk's fit checks own it
+    if (k >= 0) return FallbackToString
+    val p = POW10(scale)
+    val halfP = p >>> 1 // dist > P/2 <=> dist > halfP (P even, or P=1: >0)
+    val hi = Math.multiplyHigh(m, p) // m, p > 0: signed == unsigned
+    val lo = m * p
+    val s2 = -k // 1..1074
+    if (s2 <= 63) {
+      if ((hi >>> (s2 - 1)) != 0L) return FallbackToString // >= 2^63
+      val i = (hi << (64 - s2)) | (lo >>> s2)
+      val rem = lo & ((1L << s2) - 1)
+      val h = 1L << (s2 - 1)
+      val dist = if (rem >= h) rem - h else h - rem
+      if (dist <= halfP) return FallbackToString
+      if (rem > h) {
+        if (i == Long.MaxValue) return FallbackToString // i+1 hits 2^63
+        if (neg) -(i + 1) else i + 1
+      } else if (neg) -i else i
+    } else if (s2 == 64) {
+      val i = hi // prod < 2^113 -> hi < 2^49: fits with room for +1
+      if (lo < 0) { // unsigned lo >= 2^63 = H: rounds up, dist = lo - 2^63
+        val dist = lo - Long.MinValue
+        if (dist <= halfP) return FallbackToString
+        if (neg) -(i + 1) else i + 1
+      } else { // dist = 2^63 - lo
+        if (lo != 0L && (Long.MinValue - lo) <= halfP) return FallbackToString
+        if (neg) -i else i
+      }
+    } else if (s2 <= 127) {
+      val sh = s2 - 64 // 1..63
+      val i = hi >>> sh
+      val remHi = hi & ((1L << sh) - 1)
+      val hHi = 1L << (sh - 1) // H = 2^(s2-1): hi word hHi, lo word 0
+      if (remHi == hHi) { // rem >= H, dist = lo as unsigned
+        if (java.lang.Long.compareUnsigned(lo, halfP) <= 0) return FallbackToString
+        if (neg) -(i + 1) else i + 1
+      } else if (remHi > hHi) { // dist = (remHi-hHi)*2^64 + lo >= 2^64 > P/2
+        if (neg) -(i + 1) else i + 1
+      } else { // remHi < hHi: dist = H - rem
+        val d = hHi - remHi
+        // d >= 2: dist >= 2^64 > P/2. d == 1: dist = 2^64 - lo
+        if (d == 1L &&
+            java.lang.Long.compareUnsigned(lo, -halfP) >= 0)
+          return FallbackToString
+        if (neg) -i else i
+      }
+    } else 0L // s2 >= 128: e*10^scale < 2^113/2^128, margin >= 2^127-2^113
+  }
+
   /** The unscaled value at `scale` of HALF_UP(shortest-decimal-repr(x))
     * — exactly what the engine's non-ANSI `cast(double AS
     * decimal(38, scale))` produces for any finite x whose scaled value
@@ -295,8 +374,23 @@ object GramDecimalSum {
     * away from zero, so the digit walk runs on the magnitude and the
     * sign is applied last. Property-pinned against the Decimal path in
     * KernelPropertySpec (including round-half boundaries, subnormals,
-    * and scientific-notation strings). */
+    * and scientific-notation strings).
+    *
+    * Round 19: the common case rides [[scaledLongFixed]] — an exact
+    * 128-bit fixed-point rounding of the BINARY value with a proven
+    * margin to the nearest rounding boundary — and only
+    * boundary-ambiguous values (incl. every exact .5 tie), scales > 12,
+    * and |x| ≥ 2^52 pay the `Double.toString` walk below. The per-term
+    * cost drops from ~300 ns (string alloc + digit parse) to ~10 ns. */
   private[graft] def scaledLong(x: Double, scale: Int): Long = {
+    if (scale <= 12) {
+      val fast = scaledLongFixed(x, scale)
+      if (fast != FallbackToString) return fast
+    }
+    scaledLongViaString(x, scale)
+  }
+
+  private[graft] def scaledLongViaString(x: Double, scale: Int): Long = {
     val s = java.lang.Double.toString(x)
     val n = s.length
     var p = if (s.charAt(0) == '-') 1 else 0

@@ -570,10 +570,26 @@ case class DecimalSqDevSum(child: Expression, cents: Array[Double], scale: Int)
 }
 
 object DecimalSqDevSum {
+  /** Since round 19 the per-term work rides [[GramDecimalSum.scaledLong]]
+    * (the emb_covariance rewrite's digit-parse of `Double.toString`'s
+    * shortest representation straight to the unscaled long at `scale`,
+    * property-pinned bit-for-bit against the `Decimal` cast) and the
+    * accumulator is exact integer addition, spilling to `BigDecimal` on
+    * the first 64-bit overflow or outsized term. Both forms are exact at
+    * `scale`, so the sum is order-free and value-identical to the
+    * BigDecimal-per-term loop it replaces: a term whose scaled form fits
+    * a Long has ≤ 19 digits, so the old path's `changePrecision(38, s)`
+    * gate always passed for it, and a Long-held final sum (≤ 19 digits)
+    * always fits `(38, s)`. The r18 StageProbe adjudicated the per-term
+    * BigDecimal parse/setScale/add churn as the dominant cost of every
+    * [[DecimalSqDevSum]]/[[DecimalSqDevArgmin]] consumer (triplet
+    * mining's margin pass, the IVF/kmeans assign stages). */
   def compute(v: ArrayData, cents: Array[Double], scale: Int)
       : org.apache.spark.sql.types.Decimal = {
     val d = math.min(v.numElements(), cents.length)
-    var acc: java.math.BigDecimal = null
+    var accL = 0L
+    var any = false
+    var big: java.math.BigDecimal = null // spilled accumulator (implies any)
     var i = 0
     while (i < d) {
       if (!v.isNullAt(i)) {
@@ -581,20 +597,40 @@ object DecimalSqDevSum {
         val sq = dx * dx
         // non-ANSI Cast: NaN/Inf and overflow -> null term, skipped by sum
         if (!java.lang.Double.isNaN(sq) && !java.lang.Double.isInfinite(sq)) {
-          val term = Decimal(sq)
-          if (term.changePrecision(38, scale))
-            acc = if (acc == null) term.toJavaBigDecimal
-                  else acc.add(term.toJavaBigDecimal)
+          val sc = GramDecimalSum.scaledLong(sq, scale)
+          if (sc != Long.MinValue) {
+            any = true
+            if (big != null)
+              big = big.add(java.math.BigDecimal.valueOf(sc, scale))
+            else {
+              val s = accL + sc
+              if (((accL ^ s) & (sc ^ s)) < 0)
+                // 64-bit overflow: spill, re-doing this add exactly
+                big = java.math.BigDecimal.valueOf(accL, scale)
+                  .add(java.math.BigDecimal.valueOf(sc, scale))
+              else accL = s
+            }
+          } else {
+            // scaled term outgrows a Long: original Decimal path (also
+            // owns the precision>38 -> skipped-term rule)
+            val term = Decimal(sq)
+            if (term.changePrecision(38, scale)) {
+              val t = term.toJavaBigDecimal
+              big = if (big != null) big.add(t)
+                    else java.math.BigDecimal.valueOf(accL, scale).add(t)
+              any = true
+            }
+          }
         }
       }
       i += 1
     }
-    if (acc == null) null
-    else {
+    if (!any) null
+    else if (big != null) {
       // decimal sum result semantics: overflow past (38, scale) -> null
-      val dec = Decimal(acc)
+      val dec = Decimal(big)
       if (dec.changePrecision(38, scale)) dec else null
-    }
+    } else Decimal(accL, 38, scale) // <= 19 digits: always fits (38, s)
   }
 }
 
@@ -746,13 +782,26 @@ object PqArgmin {
     var g = 0
     while (g < s) {
       val gc = cents(g); val gi = cids(g)
-      var bestDist: java.math.BigDecimal = null
+      // best distance: long-held unscaled-at-12 unless spilled to bestB
+      var bestL = 0L
+      var bestB: java.math.BigDecimal = null
       var bestNull = true
+      var bestSet = false
       var bestCid = 0L
       var c = 0
       while (c < gc.length) {
         val cv = gc(c)
-        var acc: java.math.BigDecimal = null
+        // Accumulator replay (round 19, the emb_covariance playbook):
+        // terms ride GramDecimalSum.scaledLong — exact unscaled longs at
+        // scale 12 summed by integer addition — spilling to BigDecimal on
+        // the first 64-bit overflow or outsized term. The per-Add
+        // CheckOverflow gate (result precision > 20 + j -> null) is
+        // replayed ONLY on the spilled path: a Long-held value has <= 19
+        // digits, and the gate's minimum bound is 20, so a long-mode add
+        // can never trip it — value-identical to the BigDecimal chain.
+        var accL = 0L
+        var accB: java.math.BigDecimal = null
+        var started = false
         var isNull = false
         var j = 0
         while (j < w && !isNull) {
@@ -766,37 +815,72 @@ object PqArgmin {
             if (java.lang.Double.isNaN(sq) ||
                 java.lang.Double.isInfinite(sq)) isNull = true
             else {
-              val term = Decimal(sq)
-              if (!term.changePrecision(20, 12)) isNull = true
-              else if (acc == null) acc = term.toJavaBigDecimal
-              else {
-                // Add node i (1-based term count i = j + 1): result type
-                // (20 + j, 12), CheckOverflow -> null past that precision
-                val a2 = acc.add(term.toJavaBigDecimal)
-                if (a2.precision() > 20 + j) isNull = true else acc = a2
+              val sc = GramDecimalSum.scaledLong(sq, 12)
+              if (sc != Long.MinValue) {
+                // fits a Long => <= 19 digits => changePrecision(20, 12)
+                // on the term always succeeded on the old path
+                if (accB != null) {
+                  val a2 = accB.add(java.math.BigDecimal.valueOf(sc, 12))
+                  if (a2.precision() > 20 + j) isNull = true else accB = a2
+                } else if (!started) { started = true; accL = sc }
+                else {
+                  val s2 = accL + sc
+                  if (((accL ^ s2) & (sc ^ s2)) < 0) {
+                    // 64-bit overflow: spill, re-doing this add exactly
+                    val a2 = java.math.BigDecimal.valueOf(accL, 12)
+                      .add(java.math.BigDecimal.valueOf(sc, 12))
+                    if (a2.precision() > 20 + j) isNull = true else accB = a2
+                  } else accL = s2
+                }
+              } else {
+                // term outgrows a Long: original Decimal path (owns the
+                // precision-20 term gate)
+                val term = Decimal(sq)
+                if (!term.changePrecision(20, 12)) isNull = true
+                else {
+                  val t = term.toJavaBigDecimal
+                  if (!started) { started = true; accB = t }
+                  else {
+                    val base =
+                      if (accB != null) accB
+                      else java.math.BigDecimal.valueOf(accL, 12)
+                    val a2 = base.add(t)
+                    if (a2.precision() > 20 + j) isNull = true else accB = a2
+                  }
+                }
               }
             }
           }
           j += 1
         }
-        if (isNull) acc = null
         // array_min struct ordering: null dist first, then exact decimal
         // compare, tie to the lower cid
         val take =
           if (c == 0) true
-          else if (acc == null && !bestNull) true
-          else if (acc == null && bestNull) gi(c) < bestCid
+          else if (isNull && !bestNull) true
+          else if (isNull && bestNull) gi(c) < bestCid
           else if (bestNull) false
+          else if (accB == null && bestB == null)
+            accL < bestL || (accL == bestL && gi(c) < bestCid)
           else {
-            val cmp = acc.compareTo(bestDist)
+            val a = if (accB != null) accB
+                    else java.math.BigDecimal.valueOf(accL, 12)
+            val b = if (bestB != null) bestB
+                    else java.math.BigDecimal.valueOf(bestL, 12)
+            val cmp = a.compareTo(b)
             cmp < 0 || (cmp == 0 && gi(c) < bestCid)
           }
-        if (take) { bestDist = acc; bestNull = acc == null; bestCid = gi(c) }
+        if (take) {
+          bestL = accL; bestB = accB; bestNull = isNull
+          bestSet = started && !isNull; bestCid = gi(c)
+        }
         c += 1
       }
       val dec =
-        if (bestNull) null
-        else { val d0 = Decimal(bestDist); d0.changePrecision(prec, 12); d0 }
+        if (bestNull || !bestSet) null
+        else if (bestB != null) {
+          val d0 = Decimal(bestB); d0.changePrecision(prec, 12); d0
+        } else Decimal(bestL, prec, 12) // <= 19 digits: fits (prec >= 20)
       out(g) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](dec, bestCid))
       g += 1

@@ -928,6 +928,46 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       }
     }
 
+  /** Values engineered to land ON or within a few ulps of a scale-s
+    * rounding boundary ((j + 1/2)·10^−s, the HALF_UP tie line) or an
+    * exact unit multiple (j·10^−s) — the cases where the r19 128-bit
+    * fixed-point fast path MUST detect ambiguity and fall back to the
+    * string walk. The double arithmetic constructing the target is
+    * itself inexact; that is the point — it scatters values across the
+    * ambiguity margin from both sides. */
+  private val genBoundaryScaled: Gen[(Double, Int)] = for {
+    s <- Gen.oneOf(0, 6, 12)
+    j <- Gen.oneOf(Gen.chooseNum(0L, 4000L), Gen.chooseNum(0L, 4000000000L),
+      Gen.chooseNum(0L, 4000000000000000L))
+    half <- Gen.oneOf(0L, 1L)
+    ulps <- Gen.chooseNum(-4, 4)
+    sign <- Gen.oneOf(1.0, -1.0)
+  } yield {
+    var v = (2.0 * j + half) / 2.0 / math.pow(10.0, s)
+    var u = ulps
+    while (u > 0) { v = Math.nextUp(v); u -= 1 }
+    while (u < 0) { v = Math.nextDown(v); u += 1 }
+    (sign * v, s)
+  }
+
+  property("scaledLong fixed fast path == string walk at rounding boundaries") =
+    Prop.forAll(genBoundaryScaled) { case (x, s) =>
+      import org.apache.spark.sql.types.Decimal
+      val got = graft.functions.GramDecimalSum.scaledLong(x, s)
+      val viaString = graft.functions.GramDecimalSum.scaledLongViaString(x, s)
+      val ref = Decimal(x)
+      val refOk = ref.changePrecision(38, s)
+      val decimalAgrees =
+        if (got == Long.MinValue) true // fit rules re-checked by callers
+        else refOk && {
+          val bd = ref.toJavaBigDecimal
+          bd.scale == s && bd.unscaledValue().bitLength() < 64 &&
+            bd.unscaledValue().longValueExact() == got
+        }
+      Prop(got == viaString && decimalAgrees) :|
+        s"x=$x s=$s got=$got viaString=$viaString"
+    }
+
   property("VectorDecimalStats: random split + serde merge == Decimal-path model") =
     // the model below IS the pre-r19 implementation (per-term Decimal
     // cast + BigDecimal accumulation); the property pins the long
@@ -1037,5 +1077,154 @@ object KernelPropertySpec extends Properties("graft.kernels") {
         .multiply(java.math.BigDecimal.valueOf(nRows.toLong))
       Prop(arr.numElements() == 1 && sum.compareTo(expect) == 0) :|
         s"nRows=$nRows sum=$sum expect=$expect"
+    }
+
+  // ---------- r19: DecimalSqDevSum / PqArgmin scaled-long rewrites ----------
+
+  /** Element generator straddling every boundary of the r19 long fast
+    * path at scale 12: small values (pure long mode), |dx| ≈ 3.03e3
+    * (sq ≈ 9.2e6, the Long-fit frontier of a single term), |dx| ≈ 1e3–3e3
+    * (terms fit but a few adds overflow 64 bits), |dx| ≥ 2e4 (sq ≥ 4e8:
+    * term outgrows a Long → Decimal slow path; also ≥ 1e8 trips
+    * PqArgmin's precision-20 term gate), 1e30 (precision-38 overflow →
+    * skipped/null term), NaN, nulls, signed zero. */
+  private val genSqDevElem: Gen[Option[Double]] = Gen.frequency(
+    2 -> Gen.const(Option.empty[Double]),
+    8 -> Gen.chooseNum(-5.0, 5.0).map(Some(_)),
+    6 -> Gen.chooseNum(-3.1e3, 3.1e3).map(Some(_)),
+    4 -> Gen.oneOf(3.03e3, -3.035e3, 3.04e3, 2.0e4, -2.5e4, 1.1e4,
+      1e30, -1e15, 0.0, -0.0, Double.NaN).map(Some(_)))
+
+  property("DecimalSqDevSum long fast path + spill == Decimal-path model") =
+    // the model below IS the pre-r19 implementation (per-term Decimal
+    // cast + BigDecimal accumulation); the property pins the scaled-long
+    // rewrite to it across the Long-fit frontier, 64-bit accumulator
+    // spill, precision-38 term skip, null/NaN handling, and both scales
+    Prop.forAll(
+      Gen.listOf(genSqDevElem),
+      Gen.listOf(Gen.oneOf(Gen.chooseNum(-3.1e3, 3.1e3),
+        Gen.oneOf(0.0, 2.0e4, -1.9e4))),
+      Gen.oneOf(6, 12)) { (v, cList, scale) =>
+      import org.apache.spark.sql.types.Decimal
+      val cents = cList.toArray
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(_.map(Double.box).orNull).toArray[Any])
+      val d = math.min(v.length, cents.length)
+      var acc: java.math.BigDecimal = null
+      var i = 0
+      while (i < d) {
+        v(i).foreach { x =>
+          val dx = x - cents(i); val sq = dx * dx
+          if (!sq.isNaN && !sq.isInfinite) {
+            val t = Decimal(sq)
+            if (t.changePrecision(38, scale))
+              acc = if (acc == null) t.toJavaBigDecimal
+                    else acc.add(t.toJavaBigDecimal)
+          }
+        }
+        i += 1
+      }
+      val expect =
+        if (acc == null) null
+        else { val dec = Decimal(acc)
+          if (dec.changePrecision(38, scale)) dec else null }
+      val got = graft.functions.DecimalSqDevSum.compute(in, cents, scale)
+      val same = (got, expect) match {
+        case (null, null) => true
+        case (null, _) | (_, null) => false
+        case (a, b) => a.toJavaBigDecimal.compareTo(b.toJavaBigDecimal) == 0 &&
+          a.toJavaBigDecimal.scale == b.toJavaBigDecimal.scale
+      }
+      Prop(same) :| s"got=$got expect=$expect v=$v cents=$cList scale=$scale"
+    }
+
+  property("PqArgmin long fast path + spill == Decimal-chain model") =
+    // model = the pre-r19 implementation: per-term Decimal cast with the
+    // precision-20 term gate, BigDecimal Add chain with the per-node
+    // CheckOverflow gate (precision > 20 + j -> null chain), array_min
+    // struct ordering (null dist first, ties to lower cid)
+    Prop.forAll(
+      Gen.chooseNum(1, 3), // subspaces
+      Gen.chooseNum(1, 3), // width
+      Gen.chooseNum(1, 4), // centroids per subspace
+      Gen.listOf(genSqDevElem),
+      Gen.chooseNum(0L, Long.MaxValue)) { (s, w, k, vRaw, seed) =>
+      import org.apache.spark.sql.types.Decimal
+      val rnd = new scala.util.Random(seed)
+      val centPool = Array(0.0, 1.5, -2.0, 3.03e3, 2.0e4, -1.9e4, 1e7)
+      val cents = Array.fill(s, k, w)(centPool(rnd.nextInt(centPool.length)))
+      val cids = Array.fill(s)(rnd.shuffle((1 to k).toList).map(_.toLong).toArray)
+      val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        vRaw.map(_.map(Double.box).orNull).toArray[Any])
+      val got = graft.functions.PqArgmin.compute(v, cents, cids)
+      // reference model (pre-r19 code, verbatim semantics)
+      val prec = 19 + w
+      val expect = new Array[Any](s)
+      var g = 0
+      while (g < s) {
+        val gc = cents(g); val gi = cids(g)
+        var bestDist: java.math.BigDecimal = null
+        var bestNull = true
+        var bestCid = 0L
+        var c = 0
+        while (c < gc.length) {
+          val cv = gc(c)
+          var acc: java.math.BigDecimal = null
+          var isNull = false
+          var j = 0
+          while (j < w && !isNull) {
+            val idx = g * w + j
+            if (idx >= v.numElements() || v.isNullAt(idx)) isNull = true
+            else {
+              val dx = v.getDouble(idx) - cv(j)
+              val sq = dx * dx
+              if (java.lang.Double.isNaN(sq) ||
+                  java.lang.Double.isInfinite(sq)) isNull = true
+              else {
+                val term = Decimal(sq)
+                if (!term.changePrecision(20, 12)) isNull = true
+                else if (acc == null) acc = term.toJavaBigDecimal
+                else {
+                  val a2 = acc.add(term.toJavaBigDecimal)
+                  if (a2.precision() > 20 + j) isNull = true else acc = a2
+                }
+              }
+            }
+            j += 1
+          }
+          if (isNull) acc = null
+          val take =
+            if (c == 0) true
+            else if (acc == null && !bestNull) true
+            else if (acc == null && bestNull) gi(c) < bestCid
+            else if (bestNull) false
+            else {
+              val cmp = acc.compareTo(bestDist)
+              cmp < 0 || (cmp == 0 && gi(c) < bestCid)
+            }
+          if (take) { bestDist = acc; bestNull = acc == null; bestCid = gi(c) }
+          c += 1
+        }
+        val dec =
+          if (bestNull) null
+          else { val d0 = Decimal(bestDist); d0.changePrecision(prec, 12); d0 }
+        expect(g) = (dec, bestCid)
+        g += 1
+      }
+      val same = (0 until s).forall { gi =>
+        val row = got.getStruct(gi, 2)
+        val (ed, ec) = expect(gi).asInstanceOf[(Decimal, Long)]
+        row.getLong(1) == ec && {
+          (row.isNullAt(0), ed == null) match {
+            case (true, true) => true
+            case (false, false) =>
+              row.getDecimal(0, prec, 12).toJavaBigDecimal
+                .compareTo(ed.toJavaBigDecimal) == 0
+            case _ => false
+          }
+        }
+      }
+      Prop(same) :| s"got=$got expect=${expect.toList} v=$vRaw " +
+        s"cents=${cents.map(_.map(_.toList).toList).toList} cids=${cids.map(_.toList).toList}"
     }
 }
