@@ -4241,15 +4241,28 @@ object Pipeline {
     val byText = docs.select(col("doc_id"), md5(col("text")).as("th"))
       .localCheckpoint() // read thrice: rep election + both expansions
     val members = byText.select("doc_id", "th")
+    // Round 19 (barrier fusion, the dedup_semantic single-pin pattern):
+    // the MinHash signature and the distinct-shingle hash array are
+    // computed in ONE projection over the distinct-content reps and
+    // pinned by ONE localCheckpoint — previously `bands` and `repStats`
+    // each re-derived their kernel column from a text-carrying repDocs
+    // pin and pinned it separately (three barriers; the r18 StageProbe
+    // read 186 + 97 ms of barrier stages plus their driver gaps). Both
+    // kernels still fold exactly once per rep (the checkpoint
+    // materializes them); `bands` re-runs only the cheap band-slice
+    // explode per self-join side, from the pinned `mh` attribute.
     val repDocs = byText.groupBy("th").agg(min("doc_id").as("rep"))
       .join(docs.select(col("doc_id").as("rep"), col("text")), "rep")
+      .select(col("rep"), col("th"), minhashSignature.as("mh"),
+        org.apache.spark.sql.graftcol.NativeColumn.column(
+          graft.functions.ShingleHashes(
+            org.apache.spark.sql.graftcol.NativeColumn.expression(col("text"))))
+          .as("hsh"))
+      .withColumn("nsh", size(col("hsh")).cast("long"))
       .localCheckpoint() // distinct-content subset: all heavy stages below
-    val bands = repDocs.select(col("rep"), col("th"), minhashSignature.as("mh"))
+    val bands = repDocs
       .select(col("rep"), col("th"), explode(minhashBandStructs).as("k"))
       .select(col("rep"), col("th"), col("k.band").as("band"), col("k.bh").as("bh"))
-      // the self-join below evaluates both sides independently (the alias
-      // split defeats exchange reuse) — pin the band table once
-      .localCheckpoint()
     val repCand = bands.select(col("band"), col("bh"), col("rep").as("r1"),
         col("th").as("th1"))
       .join(bands.select(col("band").as("b2"), col("bh").as("h2"),
@@ -4265,14 +4278,7 @@ object Pipeline {
     // the banding hash's own determinism argument, gate-checked.
     // Zero-overlap candidates are filtered to match the previous
     // inner-join-then-count semantics (and the oracle's).
-    val repStats = repDocs
-      .select(col("th"),
-        org.apache.spark.sql.graftcol.NativeColumn.column(
-          graft.functions.ShingleHashes(
-            org.apache.spark.sql.graftcol.NativeColumn.expression(col("text"))))
-          .as("hsh"))
-      .withColumn("nsh", size(col("hsh")).cast("long"))
-      .localCheckpoint() // joined by three consumers below
+    val repStats = repDocs.select(col("th"), col("hsh"), col("nsh"))
     val repVerify = repCand
       .join(repStats.select(col("th").as("th1"), col("hsh").as("h1"),
         col("nsh").as("nsh1")), "th1")
