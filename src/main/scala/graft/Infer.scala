@@ -45,8 +45,8 @@ object Infer {
     val tot = m.agg(sum("nj").as("n"), sum("s1").as("gs1"),
       sum("s2").as("gs2"), count(lit(1)).as("k"))
     val parts = m
-      .select((col("s1").cast("double") * col("s1") / col("nj"))
-        .cast(DecimalType(38, 12)).as("t"))
+      .select(ddec(col("s1").cast("double") * col("s1") / col("nj"),
+        precision = 38, scale = 12).as("t"))
       .agg(sum("t").cast("double").as("sb"))
     parts.crossJoin(tot)
       .withColumn("ssb",

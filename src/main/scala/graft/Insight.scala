@@ -45,16 +45,16 @@ object Insight {
     val nDf = cnt.agg(sum("c").as("n"))
     val mi = cnt.join(broadcast(cl), "lang").join(broadcast(cs), "source")
       .crossJoin(broadcast(nDf))
-      .select(((col("c").cast("double") / col("n")) *
+      .select(ddec((col("c").cast("double") / col("n")) *
         log(col("c").cast("double") * col("n") /
-          (col("cl").cast("double") * col("cs"))))
-        .cast(DecimalType(38, 12)).as("t"))
+          (col("cl").cast("double") * col("cs"))),
+        precision = 38, scale = 12).as("t"))
       .agg(sum("t").cast("double").as("mi"))
     def entropy(m: DataFrame, cc: String, out: String): DataFrame =
       m.crossJoin(broadcast(nDf))
-        .select((-(col(cc).cast("double") / col("n")) *
-          log(col(cc).cast("double") / col("n")))
-          .cast(DecimalType(38, 12)).as("t"))
+        .select(ddec(-(col(cc).cast("double") / col("n")) *
+          log(col(cc).cast("double") / col("n")),
+          precision = 38, scale = 12).as("t"))
         .agg(sum("t").cast("double").as(out))
     mi.crossJoin(entropy(cl, "cl", "hx")).crossJoin(entropy(cs, "cs", "hy"))
       .crossJoin(nDf)
@@ -107,8 +107,8 @@ object Insight {
       .crossJoin(broadcast(nDf))
     val e = col("rn").cast("double") * col("cn") / col("n")
     val chi2 = grid
-      .select((((col("c") - e) * (col("c") - e)) / e)
-        .cast(DecimalType(38, 12)).as("t"))
+      .select(ddec(((col("c") - e) * (col("c") - e)) / e,
+        precision = 38, scale = 12).as("t"))
       .agg(sum("t").cast("double").as("chi2"))
     chi2.crossJoin(broadcast(dims)).crossJoin(nDf)
       .select(col("n").cast("long").as("n"),
@@ -320,15 +320,15 @@ object Insight {
       count(lit(1)).as("k"))
     val parts = g.crossJoin(broadcast(tot))
       .select(
-        ((col("nj").cast("double")) *
+        ddec((col("nj").cast("double")) *
           (col("s1").cast("double") / col("nj") -
             col("ss1").cast("double") / col("nn")) *
           (col("s1").cast("double") / col("nj") -
-            col("ss1").cast("double") / col("nn")))
-          .cast(DecimalType(38, 12)).as("ssb"),
-        (col("s2").cast("double") -
-          col("s1").cast("double") * col("s1") / col("nj"))
-          .cast(DecimalType(38, 12)).as("ssw"))
+            col("ss1").cast("double") / col("nn")),
+          precision = 38, scale = 12).as("ssb"),
+        ddec(col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("nj"),
+          precision = 38, scale = 12).as("ssw"))
       .agg(sum("ssb").cast("double").as("ssb"),
         sum("ssw").cast("double").as("ssw"))
     parts.crossJoin(tot)
@@ -467,13 +467,13 @@ object Insight {
     a.join(b, col("i") === col("ib") && col("label_a") < col("label_b"))
       .groupBy("label_a", "label_b")
       .agg(
-        sqrt(sum(((col("cxa") - col("cxb")) * (col("cxa") - col("cxb")))
-          .cast(DecimalType(38, 12))).cast("double")).as("l2"),
-        (sum((col("cxa") * col("cxb")).cast(DecimalType(38, 12)))
+        sqrt(sum(ddec((col("cxa") - col("cxb")) * (col("cxa") - col("cxb")),
+          precision = 38, scale = 12)).cast("double")).as("l2"),
+        (sum(ddec(col("cxa") * col("cxb"), precision = 38, scale = 12))
           .cast("double") /
-          sqrt(sum((col("cxa") * col("cxa")).cast(DecimalType(38, 12)))
+          sqrt(sum(ddec(col("cxa") * col("cxa"), precision = 38, scale = 12))
             .cast("double") *
-            sum((col("cxb") * col("cxb")).cast(DecimalType(38, 12)))
+            sum(ddec(col("cxb") * col("cxb"), precision = 38, scale = 12))
               .cast("double"))).as("cos"))
       .select(col("label_a").cast("long").as("label_a"),
         col("label_b").cast("long").as("label_b"),
@@ -627,7 +627,7 @@ object Insight {
       ", 16, 10) as bigint), 2) = 0 then 1.0 else -1.0 end")
     val proj = e.crossJoin(jdf)
       .groupBy("vec_id", "j")
-      .agg((sum((sgn * col("x")).cast(DecimalType(38, 12)))
+      .agg((sum(ddec(sgn * col("x"), precision = 38, scale = 12))
         .cast("double") / 4.0).as("p"))
     def pair(df: DataFrame, dim: String, v: String, out: String) = {
       val a = df.select(col("vec_id").as("va"), col(dim).as("da"),
@@ -636,8 +636,8 @@ object Insight {
         col(v).as("xb"))
       a.join(b, col("da") === col("db") && col("va") < col("vb"))
         .groupBy("va", "vb")
-        .agg(sqrt(sum(((col("xa") - col("xb")) * (col("xa") - col("xb")))
-          .cast(DecimalType(38, 12))).cast("double")).as(out))
+        .agg(sqrt(sum(ddec((col("xa") - col("xb")) * (col("xa") - col("xb")),
+          precision = 38, scale = 12)).cast("double")).as(out))
     }
     pair(e, "i", "x", "d_orig")
       .join(pair(proj, "j", "p", "d_proj"), Seq("va", "vb"))

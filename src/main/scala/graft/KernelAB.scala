@@ -93,8 +93,57 @@ object KernelAB {
     println(s"sweep: $n cases, $mism mismatches")
   }
 
+  /** The engine's non-ANSI Cast(double → decimal(p,s)) body, verbatim —
+    * the legacy leg of the `cast` A/B. */
+  def legacyCast(x: Double, p: Int, s: Int): Decimal =
+    try {
+      val d = Decimal(x)
+      if (d.changePrecision(p, s)) d else null
+    } catch { case _: NumberFormatException => null }
+
+  /** Interleaved same-JVM A/B of Q.ddec's fast cast vs the engine Cast
+    * on measure-shaped doubles (price×(1−disc) magnitudes, scale 6 —
+    * the TPC-H dsum distribution) plus a value-identity check. */
+  def castAB(): Unit = {
+    val rnd = new scala.util.Random(42)
+    val n = 4000000
+    val xs = Array.fill(n)(
+      (rnd.nextInt(9000000) + 90000) / 100.0 * (1.0 - rnd.nextInt(11) / 100.0))
+    // warmup both paths
+    xs.take(200000).foreach { x =>
+      legacyCast(x, 30, 6); graft.functions.FastDoubleToDecimal.cast(x, 30, 6, true)
+    }
+    var sinkL = 0L; var sinkN = 0L
+    (1 to 5).foreach { round =>
+      // identityHashCode: data-dependent but allocation-free — a
+      // BigDecimal-materializing sink (hashCode/toUnscaledLong) would
+      // dominate the fast leg and hide the cast cost being measured
+      val t0 = System.nanoTime()
+      xs.foreach { x =>
+        val r = legacyCast(x, 30, 6)
+        if (r != null) sinkL += System.identityHashCode(r) & 1 }
+      val t1 = System.nanoTime()
+      xs.foreach { x =>
+        val r = graft.functions.FastDoubleToDecimal.cast(x, 30, 6, true)
+        if (r != null) sinkN += System.identityHashCode(r) & 1 }
+      val t2 = System.nanoTime()
+      println(f"round $round: engine-cast ${(t1 - t0) / 1e6}%8.1f ms   " +
+        f"fast ${(t2 - t1) / 1e6}%8.1f ms  (${n} casts, decimal(30,6))")
+    }
+    var mism = 0
+    xs.take(500000).foreach { x =>
+      val a = legacyCast(x, 30, 6)
+      val b = graft.functions.FastDoubleToDecimal.cast(x, 30, 6, true)
+      val ok = (a == null && b == null) ||
+        (a != null && b != null &&
+          a.toJavaBigDecimal == b.toJavaBigDecimal)
+      if (!ok) mism += 1 }
+    println(s"cast mismatches=$mism sinks=$sinkL/$sinkN")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.contains("sweep")) { sweep(); return }
+    if (args.contains("cast")) { castAB(); return }
     val rnd = new scala.util.Random(42)
     val n = 20000
     val d = 64

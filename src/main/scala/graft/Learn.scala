@@ -263,7 +263,7 @@ object Learn {
         col("st").getField("dist").as("dist"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n"),
-        sum(col("dist").cast(DecimalType(38, 12))).cast(DoubleType)
+        sum(ddec(col("dist"), precision = 38, scale = 12)).cast(DoubleType)
           .as("inertia"))
       .join(norms, "cid")
       .select(col("cid"), col("n"),
@@ -506,7 +506,7 @@ object Learn {
     t(s, d, "events")
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
       .withColumn("n", sum("c").over(byUser))
-      .withColumn("term", (-p * log(p)).cast(DecimalType(30, 12)))
+      .withColumn("term", ddec(-p * log(p), scale = 12))
       .groupBy("user_id")
       .agg(max("n").as("n_events"), count(lit(1)).as("n_types"),
         sum("term").cast("double").as("h"))
@@ -627,7 +627,7 @@ object Learn {
           TileB))).as("p"))
       .select(col("p.i"), col("p.j"), col("p.xy"))
       .groupBy("i", "j")
-      .agg(sum(col("xy").cast(DecimalType(38, 12))).as("sxy"))
+      .agg(sum(ddec(col("xy"), precision = 38, scale = 12)).as("sxy"))
   }
 
   val embCovarianceSql: String =

@@ -314,8 +314,8 @@ object Mining {
         col("av") =!= col("vec_id"))
       .groupBy(col("av"), col("al"), col("vec_id").as("bv"),
         col("label").as("bl"))
-      .agg(sqrt(sum(((col("ax") - col("x")) * (col("ax") - col("x")))
-        .cast(DecimalType(38, 12))).cast("double")).as("dist"))
+      .agg(sqrt(sum(ddec((col("ax") - col("x")) * (col("ax") - col("x")),
+        precision = 38, scale = 12)).cast("double")).as("dist"))
     val wPos = Window.partitionBy("av")
       .orderBy(col("dist").desc, col("bv"))
     val wNeg = Window.partitionBy("av").orderBy(col("dist"), col("bv"))

@@ -2093,7 +2093,7 @@ object Pipeline {
     val cnt = t(s, d, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     val z = cnt.agg(
-      sum(sqrt(col("n_docs")).cast("decimal(30,12)")).as("z"))
+      sum(ddec(sqrt(col("n_docs")), scale = 12)).as("z"))
     cnt.join(broadcast(z))
       .withColumn("weight",
         round(sqrt(col("n_docs")) / col("z").cast("double"), 6))
@@ -2511,8 +2511,8 @@ object Pipeline {
     perDoc.join(bc, Seq("h1", "h1b", "h12", "h12b")).join(uc, Seq("h1", "h1b"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("k"),
-        (log((col("c2").cast("double") + 1) / (col("c1") + col("v")))
-          .cast(DecimalType(26, 12)) * col("k").cast(DecimalType(10, 0)))
+        (ddec(log((col("c2").cast("double") + 1) / (col("c1") + col("v"))),
+          precision = 26, scale = 12) * col("k").cast(DecimalType(10, 0)))
           .as("klp"))
       .groupBy("doc_id")
       .agg(sum("k").as("n_bigrams"),
@@ -3320,8 +3320,8 @@ object Pipeline {
     val ev = t(s, d, "events")
     val st = ev.groupBy("event_type").agg(
       count(lit(1)).as("n"),
-      sum(col("value").cast(DecimalType(30, 6))).cast("double").as("s1"),
-      sum((col("value") * col("value")).cast(DecimalType(30, 12)))
+      sum(ddec(col("value"))).cast("double").as("s1"),
+      sum(ddec(col("value") * col("value"), scale = 12))
         .cast("double").as("s2"))
     val mv = st.select(col("event_type"), col("n"),
       (col("s1") / col("n")).as("m1"),
@@ -3430,8 +3430,7 @@ object Pipeline {
     o.join(broadcast(rt), "source").join(broadcast(ct), "w")
       .crossJoin(broadcast(nn))
       .select(col("n"), col("r_levels"), col("c_levels"),
-        ((col("o") - e) * (col("o") - e) / e)
-          .cast(DecimalType(30, 6)).as("term"))
+        ddec((col("o") - e) * (col("o") - e) / e).as("term"))
       .groupBy("n", "r_levels", "c_levels")
       .agg(sum("term").cast("double").as("chi2_raw"))
       .select(col("n"), col("r_levels"), col("c_levels"),
@@ -3595,7 +3594,7 @@ object Pipeline {
       .select(col("doc_id"), explode(expr(wordsExpr)).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .withColumn("wc", sum("c").over(byDoc))
-      .withColumn("term", (-p * log(p)).cast(DecimalType(30, 12)))
+      .withColumn("term", ddec(-p * log(p), scale = 12))
       .groupBy("doc_id")
       .agg(max("wc").as("n_words"), count(lit(1)).as("n_unique"),
         sum("term").cast("double").as("e_raw"))
@@ -3754,7 +3753,7 @@ object Pipeline {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_gaps"),
         dsum(col("gap_s")).as("sx"),
-        sum((col("gap_s") * col("gap_s")).cast(DecimalType(38, 6)))
+        sum(ddec(col("gap_s") * col("gap_s"), precision = 38))
           .cast("double").as("sxx"))
       .select(col("event_type"), col("n_gaps"),
         round(col("sx") / col("n_gaps"), 6).as("mean_gap_s"),
@@ -3820,7 +3819,7 @@ object Pipeline {
         col("n_event").cast("double") / col("n_risk"))
       .withColumn("ln_term",
         when(col("n_event") < col("n_risk"),
-          log(lit(1.0) - col("hazard")).cast(DecimalType(38, 12))))
+          ddec(log(lit(1.0) - col("hazard")), precision = 38, scale = 12)))
       .withColumn("n_zero",
         sum(when(col("n_event") === col("n_risk"), 1L).otherwise(0L))
           .over(wCum))
@@ -3909,7 +3908,7 @@ object Pipeline {
           cx, 12)).cast("double")).as("dist"))
     val st = dist.agg(count(lit(1)).as("n"),
       dsum(col("dist")).as("s1"),
-      sum((col("dist") * col("dist")).cast(DecimalType(38, 12)))
+      sum(ddec(col("dist") * col("dist"), precision = 38, scale = 12))
         .cast("double").as("s2"))
     dist.crossJoin(broadcast(st))
       .withColumn("z", (col("dist") - col("s1") / col("n"))
@@ -4455,8 +4454,8 @@ object Pipeline {
         aExpr.as("a"), bExpr.as("b"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        round(sum(((col("b") - col("a")) / greatest(col("a"), col("b")))
-          .cast(DecimalType(30, 12))).cast("double") / count(lit(1)), 6)
+        round(sum(ddec((col("b") - col("a")) / greatest(col("a"), col("b")),
+          scale = 12)).cast("double") / count(lit(1)), 6)
           .as("mean_silhouette"),
         round(davg(col("a")), 6).as("mean_intra"))
       .orderBy("label")
@@ -4513,14 +4512,14 @@ object Pipeline {
       val ranked = Q.distPos(v, "pos", col("c").desc, col("g"))
         .select((col("pos") + 1).as("rnk"), col("c"))
       val p = ranked.select(
-        log(col("rnk").cast("double")).cast(DecimalType(30, 12)).as("lx"),
-        log(col("c").cast("double")).cast(DecimalType(30, 12)).as("ly"))
+        ddec(log(col("rnk").cast("double")), scale = 12).as("lx"),
+        ddec(log(col("c").cast("double")), scale = 12).as("ly"))
       val a = p.agg(count(lit(1)).as("n"),
         sum("lx").cast("double").as("sx"), sum("ly").cast("double").as("sy"),
-        sum((col("lx").cast("double") * col("lx").cast("double"))
-          .cast(DecimalType(30, 12))).cast("double").as("sxx"),
-        sum((col("lx").cast("double") * col("ly").cast("double"))
-          .cast(DecimalType(30, 12))).cast("double").as("sxy"))
+        sum(ddec(col("lx").cast("double") * col("lx").cast("double"),
+          scale = 12)).cast("double").as("sxx"),
+        sum(ddec(col("lx").cast("double") * col("ly").cast("double"),
+          scale = 12)).cast("double").as("sxy"))
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
       a.select(lit(kind).as("gram_type"), col("n").as("vocab_size"),

@@ -219,7 +219,7 @@ object Polish {
   def statJarqueBera(s: SparkSession, d: String): DataFrame = {
     val x = col("value")
     def dsumPow(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+      sum(ddec(c, precision = 38, scale = 12)).cast(DoubleType)
     val agg = t(s, d, "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -354,7 +354,8 @@ object Polish {
       .groupBy("doc_id", "w")
       .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
       .withColumn("wscore",
-        (col("deg").cast("double") / col("freq")).cast(DecimalType(38, 12)))
+        ddec(col("deg").cast("double") / col("freq"),
+          precision = 38, scale = 12))
     val pscore = occ.join(wordStats.select("doc_id", "w", "wscore"),
         Seq("doc_id", "w"))
       .groupBy("doc_id", "pid")
@@ -453,8 +454,8 @@ object Polish {
           col("syy").cast("double") / m
             - (col("sy").cast("double") / m) * (col("sy").cast("double") / m))))
         .select(col("seg"),
-          ((col("dmax") - col("dmin")) / when(col("sd") > 0, col("sd")))
-            .cast(DecimalType(38, 12)).as("rs"))
+          ddec((col("dmax") - col("dmin")) / when(col("sd") > 0, col("sd")),
+            precision = 38, scale = 12).as("rs"))
         .agg((sum("rs").cast("double") / k).as("avg_rs"))
     }
     val r8 = rs(8).withColumnRenamed("avg_rs", "rs8")
@@ -537,9 +538,9 @@ object Polish {
       .join(broadcast(glob), "cohort")
       .crossJoin(broadcast(tot))
       .withColumn("term",
-        (abs(col("c").cast("double") / col("n") -
+        ddec(abs(col("c").cast("double") / col("n") -
           col("g").cast("double") / col("nn")) -
-          col("g").cast("double") / col("nn")).cast(DecimalType(38, 12)))
+          col("g").cast("double") / col("nn"), precision = 38, scale = 12))
       .groupBy("event_type", "hr", "n")
       .agg((lit(0.5) * (sum("term").cast("double") + 1.0)).as("tvd0"))
       .select(col("event_type"), col("hr"), col("n"),
@@ -594,11 +595,11 @@ object Polish {
       .agg(sum("c").as("n_g"),
         sum(col("c").cast("double") * col("midrank")).as("r_g"))
     val nk = grp.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
-      sum((col("r_g") * col("r_g") / col("n_g").cast("double"))
-        .cast(DecimalType(38, 6))).cast("double").as("s"))
+      sum(ddec(col("r_g") * col("r_g") / col("n_g").cast("double"),
+        precision = 38)).cast("double").as("s"))
     val ties = mid.agg(sum(
-      (col("m").cast("double") * col("m") * col("m") -
-        col("m").cast("double")).cast(DecimalType(38, 6)))
+      ddec(col("m").cast("double") * col("m") * col("m") -
+        col("m").cast("double"), precision = 38))
       .cast("double").as("t3"))
     nk.crossJoin(broadcast(ties))
       .withColumn("nd", col("n").cast("double"))
@@ -833,7 +834,7 @@ object Polish {
       .withColumn("cos", try_divide(col("dot"), col("nrm") * lit(cnorm)))
       .filter(col("cos").isNotNull)
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("cos").cast(DecimalType(38, 12))).cast("double") /
+        round(sum(ddec(col("cos"), precision = 38, scale = 12)).cast("double") /
           count(lit(1)), 6).as("mean_cos"),
         round(min("cos"), 6).as("min_cos"),
         round(max("cos"), 6).as("max_cos"),
@@ -983,11 +984,11 @@ object Polish {
     val rj = rk.groupBy("event_type", "k")
       .agg(count(lit(1)).as("n"), sum("midrank").as("rj"))
     val ties = rk.select("day", "y", "teq").distinct()
-      .agg(coalesce(sum((col("teq").cast("double") * col("teq") * col("teq") -
-        col("teq").cast("double")).cast(DecimalType(38, 6)))
+      .agg(coalesce(sum(ddec(col("teq").cast("double") * col("teq") * col("teq") -
+        col("teq").cast("double"), precision = 38))
         .cast("double"), lit(0.0)).as("tt"))
     rj.groupBy("k", "n")
-      .agg(sum((col("rj") * col("rj")).cast(DecimalType(38, 6)))
+      .agg(sum(ddec(col("rj") * col("rj"), precision = 38))
         .cast("double").as("s2"))
       .crossJoin(broadcast(ties))
       .withColumn("nd", col("n").cast("double"))
@@ -1275,7 +1276,7 @@ object Polish {
       .withColumn("vi", (col("syy") - col("sy") * col("sy") / col("nd")) /
         (col("nd") - 1.0))
     val svi = item.groupBy("k", "n")
-      .agg(sum(col("vi").cast(DecimalType(38, 6))).cast("double").as("svi"))
+      .agg(sum(ddec(col("vi"), precision = 38)).cast("double").as("svi"))
     val tot = comp.groupBy("day").agg(sum("y").as("td"))
       .agg(count(lit(1)).as("nt"),
         sum(col("td").cast(d38)).cast("double").as("st"),
@@ -1347,9 +1348,9 @@ object Polish {
     val nn = tr.agg(sum("nij").as("nn"), countDistinct("event_type").as("k"))
     tr.join(broadcast(ni), "event_type")
       .crossJoin(broadcast(nn))
-      .withColumn("term", (-(col("nij").cast("double") / col("nn")) *
-        log(col("nij").cast("double") / col("ni")))
-        .cast(DecimalType(38, 12)))
+      .withColumn("term", ddec(-(col("nij").cast("double") / col("nn")) *
+        log(col("nij").cast("double") / col("ni")),
+        precision = 38, scale = 12))
       .groupBy("nn", "k")
       .agg(sum("term").cast("double").as("h"))
       .select(col("nn").as("n_transitions"), col("k").as("n_states"),
@@ -1395,13 +1396,17 @@ object Polish {
       .filter(col("n") >= 2)
       .select(log(col("n").cast("double")).as("x"),
         log(col("v").cast("double")).as("y"))
-    val dec = DecimalType(38, 12)
     dv.agg(count(lit(1)).as("m"),
-        sum(col("x").cast(dec)).cast("double").as("sx"),
-        sum(col("y").cast(dec)).cast("double").as("sy"),
-        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
-        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
-        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+        sum(ddec(col("x"), precision = 38, scale = 12))
+          .cast("double").as("sx"),
+        sum(ddec(col("y"), precision = 38, scale = 12))
+          .cast("double").as("sy"),
+        sum(ddec(col("x") * col("x"), precision = 38, scale = 12))
+          .cast("double").as("sxx"),
+        sum(ddec(col("x") * col("y"), precision = 38, scale = 12))
+          .cast("double").as("sxy"),
+        sum(ddec(col("y") * col("y"), precision = 38, scale = 12))
+          .cast("double").as("syy"))
       .withColumn("md", col("m").cast("double"))
       .withColumn("dx", col("md") * col("sxx") - col("sx") * col("sx"))
       .withColumn("dy", col("md") * col("syy") - col("sy") * col("sy"))
@@ -1503,14 +1508,15 @@ object Polish {
     * quantized to DECIMAL(38,12) so the calendar-bounded sums are
     * order-independent; DW < 1.5 flags positive autocorrelation. */
   def statDurbinWatson(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(38, 12)
     dailyTrendResiduals(s, d)
       .withColumn("ep", lag("e", 1).over(Window.orderBy("t0")))
       .agg(max("n").as("n0"),
         sum(when(col("ep").isNotNull,
-          ((col("e") - col("ep")) * (col("e") - col("ep"))).cast(dec)))
+          ddec((col("e") - col("ep")) * (col("e") - col("ep")),
+            precision = 38, scale = 12)))
           .cast("double").as("num"),
-        sum((col("e") * col("e")).cast(dec)).cast("double").as("den"))
+        sum(ddec(col("e") * col("e"), precision = 38, scale = 12))
+          .cast("double").as("den"))
       .withColumn("dw", col("num") / when(col("den") > 0, col("den")))
       .select(col("n0").as("n_days"), round(col("dw"), 6).as("dw"),
         round(lit(1.0) - col("dw") / 2.0, 6).as("rho_approx"),
@@ -1541,17 +1547,17 @@ object Polish {
     * terms involving e² are per-row quantized to DECIMAL(38,12); the R²
     * chain is one fixed double tree. */
   def statBreuschPagan(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(38, 12)
     dailyTrendResiduals(s, d)
       .withColumn("u", col("e") * col("e"))
       .agg(max("n").as("n0"),
         sum(col("t0").cast(DecimalType(38, 0))).cast("double").as("st"),
-        sum(col("u").cast(dec)).cast("double").as("su"),
+        sum(ddec(col("u"), precision = 38, scale = 12)).cast("double").as("su"),
         sum((col("t0") * col("t0")).cast(DecimalType(38, 0)))
           .cast("double").as("stt"),
-        sum((col("t0").cast("double") * col("u")).cast(dec))
-          .cast("double").as("stu"),
-        sum((col("u") * col("u")).cast(dec)).cast("double").as("suu"))
+        sum(ddec(col("t0").cast("double") * col("u"),
+          precision = 38, scale = 12)).cast("double").as("stu"),
+        sum(ddec(col("u") * col("u"), precision = 38, scale = 12))
+          .cast("double").as("suu"))
       .withColumn("nd", col("n0").cast("double"))
       .withColumn("dx", col("nd") * col("stt") - col("st") * col("st"))
       .withColumn("dy", col("nd") * col("suu") - col("su") * col("su"))
@@ -1619,8 +1625,8 @@ object Polish {
       .agg(count(lit(1)).as("n"),
         sum(when(col("d0") > 0, col("midrank")).otherwise(0.0)).as("wplus"))
     val ties = midr.agg(sum(
-      (col("m2").cast("double") * col("m2") * col("m2") -
-        col("m2").cast("double")).cast(DecimalType(38, 6)))
+      ddec(col("m2").cast("double") * col("m2") * col("m2") -
+        col("m2").cast("double"), precision = 38))
       .cast("double").as("t3"))
     agg0.crossJoin(broadcast(ties))
       .withColumn("nd", col("n").cast("double"))
@@ -1737,11 +1743,11 @@ object Polish {
       .withColumn("s2", (col("syy") - col("sy") * col("sy") / col("nid")) /
         (col("nid") - 1.0))
     val agg0 = g.agg(count(lit(1)).as("k"), sum("ni").as("nn"),
-      sum(((col("nid") - 1.0) * col("s2")).cast(DecimalType(38, 12)))
+      sum(ddec((col("nid") - 1.0) * col("s2"), precision = 38, scale = 12))
         .cast("double").as("sp_num"),
-      sum(((col("nid") - 1.0) * log(col("s2"))).cast(DecimalType(38, 12)))
+      sum(ddec((col("nid") - 1.0) * log(col("s2")), precision = 38, scale = 12))
         .cast("double").as("sln"),
-      sum((lit(1.0) / (col("nid") - 1.0)).cast(DecimalType(38, 12)))
+      sum(ddec(lit(1.0) / (col("nid") - 1.0), precision = 38, scale = 12))
         .cast("double").as("sinv"))
     agg0
       .withColumn("kd", col("k").cast("double"))

@@ -117,15 +117,37 @@ object Q {
   /** Timestamp literal (all date columns in the corpus are timestamps). */
   def ts(s: String): Column = to_timestamp(lit(s))
 
+  /** A/B escape hatch for [[ddec]] (measurement only): `off` routes the
+    * quantization through the engine's `Cast`, so the two per-row paths
+    * can be timed under the exact grading protocol in back-to-back legs.
+    * Both paths are value-identical (FastDoubleToDecimal's property
+    * pins), so the toggle can never change a result, only per-row cost. */
+  private val ddecFast: Boolean =
+    !sys.env.get("SPARK_GRAFT_DDEC_FAST").contains("off")
+
+  /** Per-row double→decimal quantization under every exact-sum aggregate:
+    * bit-identical to `c.cast(DecimalType(precision, scale))` (non-ANSI)
+    * but ~30× cheaper per row — the r19 fixed-point fast path
+    * ([[graft.functions.FastDoubleToDecimal]]) instead of the engine
+    * cast's `Double.toString` + BigDecimal parse. The child must already
+    * be a double (every corpus measure is). */
+  def ddec(c: Column, precision: Int = 30, scale: Int = 6): Column =
+    if (ddecFast)
+      org.apache.spark.sql.graftcol.NativeColumn.column(
+        graft.functions.FastDoubleToDecimal(
+          org.apache.spark.sql.graftcol.NativeColumn.expression(c),
+          precision, scale))
+    else c.cast(DecimalType(precision, scale))
+
   /** Exact, order-independent sum of a double measure, surfaced as double.
     * Scale 6 because every corpus measure is a product of ≤3 two-decimal
     * values — the cast then never rounds, so Spark and the DuckDB oracle
     * agree bit-for-bit regardless of aggregation order. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
+  def dsum(c: Column): Column = sum(ddec(c)).cast(DoubleType)
 
   /** Exact average of a double measure (decimal sum / count), as double. */
   def davg(c: Column): Column =
-    sum(c.cast(DecimalType(30, 6))).cast(DoubleType) / count(c)
+    sum(ddec(c)).cast(DoubleType) / count(c)
 
   /** Skew-safe equi-join: the big (skewed) side spreads each key over
     * `salts` deterministic sub-keys derived from full row content; the

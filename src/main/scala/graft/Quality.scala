@@ -304,8 +304,8 @@ object Quality {
       col("p").as("pb"))
     a.join(bb, col("bin") === col("bin_b") && col("source_a") < col("source_b"))
       .select(col("source_a"), col("source_b"),
-        ((col("pa") - col("pb")) * log(col("pa") / col("pb")))
-          .cast(DecimalType(38, 12)).as("term"))
+        ddec((col("pa") - col("pb")) * log(col("pa") / col("pb")),
+          precision = 38, scale = 12).as("term"))
       .groupBy("source_a", "source_b")
       .agg(round(sum("term").cast("double"), 6).as("psi"))
       .orderBy("source_a", "source_b")
@@ -372,9 +372,9 @@ object Quality {
     val pb = col("c_b").cast("double") / col("n_b")
     val mid = (pa + pb) * 0.5
     m.select(col("source_a"), col("source_b"),
-        (when(col("c_a") > 0, pa * log(pa / mid)).otherwise(lit(0.0)) * 0.5 +
-          when(col("c_b") > 0, pb * log(pb / mid)).otherwise(lit(0.0)) * 0.5)
-          .cast(DecimalType(38, 12)).as("term"))
+        ddec(when(col("c_a") > 0, pa * log(pa / mid)).otherwise(lit(0.0)) * 0.5 +
+          when(col("c_b") > 0, pb * log(pb / mid)).otherwise(lit(0.0)) * 0.5,
+          precision = 38, scale = 12).as("term"))
       .groupBy("source_a", "source_b")
       .agg(round(sum("term").cast("double"), 6).as("jsd"))
       .orderBy("source_a", "source_b")

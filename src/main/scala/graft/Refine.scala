@@ -716,10 +716,10 @@ object Refine {
       .withColumn("w2", sum("ktot").over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("term",
-        (col("win").cast("double") / col("w2") -
+        ddec(col("win").cast("double") / col("w2") -
           (col("ktot").cast("double") / col("w2")) *
-            (col("ktot").cast("double") / col("w2")))
-          .cast(DecimalType(38, 12)))
+            (col("ktot").cast("double") / col("w2")),
+          precision = 38, scale = 12))
       .agg(count(lit(1)).as("n_communities"),
         round(sum("term").cast("double"), 6).as("modularity"))
   }
@@ -784,7 +784,6 @@ object Refine {
     * in one keyed pass; scoring is a broadcast join + per-vector decimal
     * reduce; the top-10 is a TakeOrdered, never a full sort. */
   def embOodMahalanobis(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(38, 12)
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i0", "xf")))
@@ -793,14 +792,17 @@ object Refine {
       .localCheckpoint() // scanned twice: moments + scoring
     val st = e.groupBy("label", "i")
       .agg(count(lit(1)).as("n"),
-        sum(col("x").cast(dec)).cast("double").as("s1"),
-        sum((col("x") * col("x")).cast(dec)).cast("double").as("s2"))
+        sum(ddec(col("x"), precision = 38, scale = 12))
+          .cast("double").as("s1"),
+        sum(ddec(col("x") * col("x"), precision = 38, scale = 12))
+          .cast("double").as("s2"))
     val mu = col("s1") / col("n")
     val varc = (col("s2") - col("s1") * col("s1") / col("n")) /
       (col("n") - 1) + lit(1e-6)
     e.join(broadcast(st), Seq("label", "i"))
       .groupBy("vec_id", "label")
-      .agg(sum(((col("x") - mu) * (col("x") - mu) / varc).cast(dec))
+      .agg(sum(ddec((col("x") - mu) * (col("x") - mu) / varc,
+          precision = 38, scale = 12))
         .cast("double").as("m2"))
       .orderBy(col("m2").desc, col("vec_id")).limit(10)
       .select(col("vec_id"), col("label"), round(col("m2"), 6).as("m2"))
@@ -868,7 +870,7 @@ object Refine {
         when(col("k") === col("t") - 1, pow(lit(0.7), col("k")))
           .otherwise(lit(0.3) * pow(lit(0.7), col("k"))))
       .groupBy("event_type")
-      .agg(sum((col("y") * col("wt")).cast(DecimalType(38, 12)))
+      .agg(sum(ddec(col("y") * col("wt"), precision = 38, scale = 12))
           .cast("double").as("forecast"),
         max(when(col("k") === 0, col("y"))).as("last_actual"))
       .select(col("event_type"), col("last_actual"),
@@ -1020,8 +1022,8 @@ object Refine {
       .localCheckpoint() // |sources|-bounded, read for MSW + both sides
     val tot = m.agg(sum("nj").as("n"), count(lit(1)).as("k"),
       sum("s2").cast("double").as("gs2"),
-      sum((col("s1").cast("double") * col("s1") / col("nj"))
-        .cast(DecimalType(38, 12))).cast("double").as("sb"))
+      sum(ddec(col("s1").cast("double") * col("s1") / col("nj"),
+        precision = 38, scale = 12)).cast("double").as("sb"))
     val msw = (col("gs2") - col("sb")) / (col("n") - col("k"))
     val a = m.select(col("source").as("src_a"), col("nj").as("na"),
       (col("s1").cast("double") / col("nj")).as("ma"))
@@ -1135,8 +1137,8 @@ object Refine {
         ((col("axy") - m * (col("bxs") + col("cxs")) + col("np") * m * m) /
           (col("sxx") - col("n") * m * m)).as("r"))
     rho.select(col("n"),
-        ((col("r") * col("r")) / (col("n") - col("k")))
-          .cast(DecimalType(38, 12)).as("term"))
+        ddec((col("r") * col("r")) / (col("n") - col("k")),
+          precision = 38, scale = 12).as("term"))
       .groupBy("n")
       .agg(sum("term").cast("double").as("srho"))
       .select(col("n").cast("long").as("n"),
@@ -1484,7 +1486,6 @@ object Refine {
     * and Σln = 0 divides by zero. The ln terms accumulate as exact
     * decimals. */
   def embIntrinsicDim(s: SparkSession, d: String): DataFrame = {
-    val dec = DecimalType(38, 12)
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .localCheckpoint()
@@ -1513,7 +1514,8 @@ object Refine {
     val ratios = nn.groupBy("q_id")
       .agg(min(when(col("rk") === 1, col("dist"))).as("d1"),
         min(when(col("rk") === 2, col("dist"))).as("d2"))
-      .select(log(col("d2") / col("d1")).cast(dec).as("lr"))
+      .select(ddec(log(col("d2") / col("d1")),
+        precision = 38, scale = 12).as("lr"))
     ratios.agg(count(lit(1)).as("n_anchors"),
         sum("lr").cast("double").as("slr"))
       .select(col("n_anchors"),

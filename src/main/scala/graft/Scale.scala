@@ -501,7 +501,7 @@ object Scale {
         (col("i0") % w).cast("long").as("j"), col("x"),
         expr(s"element_at(ac, cast(i0 div $w as int) + 1).cid").as("cid"))
       .groupBy("g", "cid", "j")
-      .agg((sum(col("x").cast(DecimalType(30, 12))).cast("double") /
+      .agg((sum(ddec(col("x"), scale = 12)).cast("double") /
         count(lit(1))).as("cx"))
       .collect()
     val c1: IndexedSeq[IndexedSeq[(Long, Array[Double])]] =

@@ -526,7 +526,7 @@ object Stats {
         when(lag(col("d"), 1).over(w) === col("d") - expr("interval 1 day"),
           lag(col("v"), 1).over(w)))
       .withColumn("v_ma7",
-        round(sum(col("v0").cast(DecimalType(30, 6))).over(ma).cast("double") /
+        round(sum(ddec(col("v0"))).over(ma).cast("double") /
           count(lit(1)).over(ma), 6))
       .select("user_id", "d", "n_events", "v", "v_lag1", "v_prev_day", "v_ma7")
       .orderBy("user_id", "d")
@@ -686,10 +686,10 @@ object Stats {
   def statCorrMatrix(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
     val sums = Seq(count(lit(1)).cast("double").as("n")) ++
-      CorrCols.map(c => sum(col(c).cast(DecimalType(30, 6))).cast("double").as(s"s_$c")) ++
+      CorrCols.map(c => sum(ddec(col(c))).cast("double").as(s"s_$c")) ++
       (for (i <- CorrCols.indices; j <- i until CorrCols.length) yield {
         val (a, b) = (CorrCols(i), CorrCols(j))
-        sum((col(a) * col(b)).cast(DecimalType(30, 8))).cast("double").as(s"p_${a}_$b")
+        sum(ddec(col(a) * col(b), scale = 8)).cast("double").as(s"p_${a}_$b")
       })
     val agg = li.agg(sums.head, sums.tail: _*)
     val pairs = for (i <- CorrCols.indices; j <- i until CorrCols.length) yield {
@@ -942,7 +942,7 @@ object Stats {
   def statSpearman(s: SparkSession, d: String): DataFrame = {
     val m = t(s, d, "events").groupBy("user_id")
       .agg(count(lit(1)).as("x"),
-        sum(col("value").cast(DecimalType(30, 6))).as("y"))
+        sum(ddec(col("value"))).as("y"))
     val p = Q.distPos(Q.distPos(m, "px", col("x"), col("user_id")),
       "py", col("y"), col("user_id"))
     val gx = p.groupBy("x").agg(min("px").as("lox"), max("px").as("hix"))
@@ -964,10 +964,10 @@ object Stats {
       // y is already DECIMAL(38,6): squaring it overflows the decimal
       // lattice differently per engine — take the (deterministic) double
       // product per row, then quantize for the order-independent sum
-      sum((col("y").cast("double") * col("y").cast("double"))
-        .cast(DecimalType(38, 6))).cast("double").as("ayy"),
-      sum((col("x").cast("double") * col("y").cast("double"))
-        .cast(DecimalType(38, 6))).cast("double").as("axy"))
+      sum(ddec(col("y").cast("double") * col("y").cast("double"),
+        precision = 38)).cast("double").as("ayy"),
+      sum(ddec(col("x").cast("double") * col("y").cast("double"),
+        precision = 38)).cast("double").as("axy"))
     def corr(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
         sxy: Column): Column =
       (n * sxy - sx * sy) /

@@ -147,6 +147,11 @@ object Unparser {
       case other => unsupportedExpr(s"literal of type ${other.simpleString}", e)
     }
     case Cast(child, dt, _, _) => s"CAST(${port(child)} AS ${typeName(dt, e)})"
+    // Q.ddec's fast cast IS `CAST(x AS DECIMAL(p,s))` (bit-identical by
+    // its property pins) — render it as the cast it replaces, so the
+    // round-tripped SQL text is unchanged by the r19 rewrite
+    case graft.functions.FastDoubleToDecimal(child, p, s, _) =>
+      s"CAST(${port(child)} AS ${typeName(DecimalType(p, s), e)})"
     case Not(IsNull(child)) => s"(${port(child)} IS NOT NULL)"
     case IsNull(child) => s"(${port(child)} IS NULL)"
     case IsNotNull(child) => s"(${port(child)} IS NOT NULL)"

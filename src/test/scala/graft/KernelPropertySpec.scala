@@ -1227,4 +1227,71 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       Prop(same) :| s"got=$got expect=${expect.toList} v=$vRaw " +
         s"cents=${cents.map(_.map(_.toList).toList).toList} cids=${cids.map(_.toList).toList}"
     }
+
+  // ---------- FastDoubleToDecimal vs the engine's non-ANSI Cast ----------
+
+  /** The verbatim model of `Cast(double → decimal(p, s))` under
+    * `!ansiEnabled` (Cast.castToDecimal): `Decimal(d)` parses
+    * `Double.toString`, `changePrecision` rounds HALF_UP and nulls on
+    * overflow, NaN/Inf raise NumberFormatException inside `Decimal(d)`
+    * which the cast catches to null. */
+  private def engineCastModel(x: Double, p: Int, s: Int)
+      : org.apache.spark.sql.types.Decimal =
+    try {
+      val d = org.apache.spark.sql.types.Decimal(x)
+      if (d.changePrecision(p, s)) d else null
+    } catch { case _: NumberFormatException => null }
+
+  private val genCastTarget: Gen[(Int, Int)] = Gen.oneOf(
+    // every (precision, scale) Q.ddec ships at, plus the domain corners
+    (30, 6), (30, 8), (30, 12), (38, 12), (38, 6), (38, 0), (26, 12), (19, 0))
+
+  private val genAnyDouble: Gen[Double] = Gen.frequency(
+    10 -> genFinite,
+    1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
+
+  property("FastDoubleToDecimal.cast replays the non-ANSI Cast bit-for-bit") =
+    Prop.forAll(genAnyDouble, genCastTarget) { case (x, (p, s)) =>
+      val got = graft.functions.FastDoubleToDecimal.cast(x, p, s, ansi = false)
+      val ref = engineCastModel(x, p, s)
+      val same = (got, ref) match {
+        case (null, null) => true
+        case (null, _) | (_, null) => false
+        // equals on java BigDecimal: value AND scale — representation-exact
+        case (g, r) => g.toJavaBigDecimal == r.toJavaBigDecimal &&
+          g.precision == r.precision && g.scale == r.scale
+      }
+      Prop(same) :| s"x=$x p=$p s=$s got=$got ref=$ref"
+    }
+
+  property("FastDoubleToDecimal.cast ANSI mode: same values, throw on overflow") =
+    Prop.forAll(genAnyDouble, genCastTarget) { case (x, (p, s)) =>
+      val ref = engineCastModel(x, p, s)
+      if (ref == null && !x.isNaN && !x.isInfinite) {
+        // finite precision overflow: ANSI Cast throws NUMERIC_VALUE_OUT_OF_RANGE
+        Prop(Prop.throws(classOf[ArithmeticException]) {
+          graft.functions.FastDoubleToDecimal.cast(x, p, s, ansi = true)
+        }) :| s"x=$x p=$p s=$s expected ANSI throw"
+      } else {
+        val got = graft.functions.FastDoubleToDecimal.cast(x, p, s, ansi = true)
+        val same = (got, ref) match {
+          case (null, null) => true // NaN/Inf: null in BOTH modes (probed)
+          case (null, _) | (_, null) => false
+          case (g, r) => g.toJavaBigDecimal == r.toJavaBigDecimal
+        }
+        Prop(same) :| s"x=$x p=$p s=$s got=$got ref=$ref"
+      }
+    }
+
+  property("FastDoubleToDecimal.cast == engine Cast at HALF_UP tie lines") =
+    Prop.forAll(genBoundaryScaled, Gen.oneOf(30, 38)) { case ((x, s), p) =>
+      val got = graft.functions.FastDoubleToDecimal.cast(x, p, s, ansi = false)
+      val ref = engineCastModel(x, p, s)
+      val same = (got, ref) match {
+        case (null, null) => true
+        case (null, _) | (_, null) => false
+        case (g, r) => g.toJavaBigDecimal == r.toJavaBigDecimal
+      }
+      Prop(same) :| s"x=$x p=$p s=$s got=$got ref=$ref"
+    }
 }

@@ -388,4 +388,72 @@ class ScaleUtilitiesSpec extends AnyFunSuite {
       causes(e).exists(c => c.getMessage != null &&
         c.getMessage.contains("length mismatch")), e.toString)
   }
+
+  test("Q.ddec fast cast == engine decimal cast, row-exact, codegen and interpreted") {
+    import org.apache.spark.sql.types.DecimalType
+    // edge doubles: NaN/Inf (cast → null even under ANSI), signed zero,
+    // HALF_UP tie neighborhoods, the Long-fit frontier at scale 6
+    // (~9.2e12), values beyond it (slow path), subnormals — plus corpus
+    // measures. Precision-overflow values are asserted separately below
+    // (both legs must THROW identically in this ANSI session).
+    val edges = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0, 1.0000005, -1.0000005, 2.5e-6, -2.5e-6, 0.5e-6,
+      9.2e12, 9.3e12, -9.3e12, 1e19, -1e19, java.lang.Double.MIN_VALUE,
+      123.456789, -987.654321, 4999.995, 0.1 + 0.2)
+    // decimal(30, s) holds 30−s integral digits: drop magnitudes that
+    // overflow at this scale (both legs THROW identically under ANSI —
+    // asserted separately below), keep everything else
+    def syn(scale: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(edges.filter(x =>
+        x.isNaN || x.isInfinite || math.abs(x) < math.pow(10, 30 - scale))
+        .map(Tuple1(_)), 3))
+      .toDF("m")
+    val corpus = Q.t(spark, sf, "lineitem")
+      .select((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("m"))
+      .limit(2000)
+    for (scale <- Seq(6, 12); df <- Seq(syn(scale), corpus)) {
+      def run(): Seq[String] = df.select(
+          Q.ddec(col("m"), scale = scale).as("fast"),
+          col("m").cast(DecimalType(30, scale)).as("ref"))
+        .collect().map(r => s"${r.get(0)}|${r.get(1)}").toSeq
+      // forced codegen (no silent interpreted fallback hiding a janino
+      // compile failure), then interpreted — all three must agree
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val rowsCodegen = try run() finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+      }
+      rowsCodegen.foreach { s =>
+        val Array(f, r) = s.split("\\|", 2); assert(f == r, s"fast=$f ref=$r")
+      }
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val rowsInterp = try run() finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+      assert(rowsCodegen == rowsInterp)
+      // and the aggregate the cast exists for: bit-identical sums
+      val sums = df.agg(
+        sum(Q.ddec(col("m"), scale = scale)).cast("double").as("fast"),
+        sum(col("m").cast(DecimalType(30, scale))).cast("double").as("ref"))
+        .head()
+      assert(java.lang.Double.doubleToRawLongBits(sums.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(sums.getDouble(1)))
+    }
+    // precision overflow under this ANSI session: BOTH legs throw the
+    // engine's NUMERIC_VALUE_OUT_OF_RANGE SparkArithmeticException
+    val over = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Tuple1(1e25)), 1)).toDF("m")
+    def rootCauses(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: rootCauses(t.getCause)
+    for (c <- Seq(Q.ddec(col("m")), col("m").cast(DecimalType(30, 6)))) {
+      val e = intercept[Exception](over.select(c).collect())
+      assert(rootCauses(e).exists(x =>
+        x.isInstanceOf[ArithmeticException] ||
+          Option(x.getMessage).exists(_.contains("NUMERIC_VALUE_OUT_OF_RANGE"))),
+        e.toString)
+    }
+  }
 }
