@@ -77,11 +77,22 @@ object RakeTop3 {
     s.substring(from, until)
   }
 
-  /** Spark's double→DECIMAL(38,12) cast, verbatim. */
+  /** Spark's double→DECIMAL(38,12) cast, verbatim — r19: the common case
+    * rides [[GramDecimalSum.scaledLong]]'s fixed-point fast path
+    * (bit-identical by its property pins; `BigDecimal.valueOf(u, 12)` is
+    * the same value and scale the Decimal walk produces), falling back
+    * to the original path when the scaled value outgrows a Long. */
   private def quantize12(x: Double): java.math.BigDecimal = {
-    val dec = Decimal(x)
-    dec.changePrecision(38, 12)
-    dec.toJavaBigDecimal
+    // NaN/Inf must reach the Decimal path (which throws, as the original
+    // did) — scaledLong's string walk is undefined on non-finite reprs
+    val u = if (java.lang.Double.isFinite(x)) GramDecimalSum.scaledLong(x, 12)
+            else Long.MinValue
+    if (u != Long.MinValue) java.math.BigDecimal.valueOf(u, 12)
+    else {
+      val dec = Decimal(x)
+      dec.changePrecision(38, 12)
+      dec.toJavaBigDecimal
+    }
   }
 
   def top3(text: String): GenericArrayData = {

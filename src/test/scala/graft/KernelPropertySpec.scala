@@ -1283,6 +1283,44 @@ object KernelPropertySpec extends Properties("graft.kernels") {
       }
     }
 
+  property("DecimalEntry.toDec fast integer rounding == exact BigDecimal model") =
+    Prop.forAll(Gen.oneOf(
+      // the measure distribution the moving-sum kernel actually sees
+      Gen.chooseNum(-1e6, 1e6),
+      // values whose ×1e6 product lands on or near .5 ties
+      for { j <- Gen.chooseNum(0L, 4000000000L); u <- Gen.chooseNum(-3, 3)
+            s <- Gen.oneOf(1.0, -1.0) } yield {
+        var v = s * (2.0 * j + 1.0) / 2.0 / 1e6
+        var d = u
+        while (d > 0) { v = Math.nextUp(v); d -= 1 }
+        while (d < 0) { v = Math.nextDown(v); d += 1 }
+        v
+      },
+      // beyond-Long magnitudes (fallback path) and subnormals
+      Gen.oneOf(1e13, -1e13, 9.3e12, 1e19, -1e19, 1e25, 0.0, -0.0,
+        java.lang.Double.MIN_VALUE, 4.9e-324, 2.5e-7, -2.5e-7, 0.5e-6),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        .map(java.lang.Double.longBitsToDouble)
+        .retryUntil(d => !d.isNaN && !d.isInfinite))) { v =>
+      val got = scala.util.Try(graft.functions.DecimalEntry.toDec(v))
+      val ref = scala.util.Try {
+        val w = v * 1e6
+        val refJbd = new java.math.BigDecimal(w)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .movePointLeft(6)
+        org.apache.spark.sql.types.Decimal(refJbd, 38, 6)
+      }
+      val same = (got, ref) match {
+        case (scala.util.Success(g), scala.util.Success(r)) =>
+          g.toJavaBigDecimal.compareTo(r.toJavaBigDecimal) == 0 &&
+            g.scale == r.scale
+        // beyond decimal(38,6): BOTH paths must raise (same overflow)
+        case (scala.util.Failure(_), scala.util.Failure(_)) => true
+        case _ => false
+      }
+      Prop(same) :| s"v=$v got=$got ref=$ref"
+    }
+
   property("FastDoubleToDecimal.cast == engine Cast at HALF_UP tie lines") =
     Prop.forAll(genBoundaryScaled, Gen.oneOf(30, 38)) { case ((x, s), p) =>
       val got = graft.functions.FastDoubleToDecimal.cast(x, p, s, ansi = false)
