@@ -52,14 +52,21 @@ object Bench {
           System.err.println(s"[bench] $name='$v' is not a number; using $default")
           default }
       }.getOrElse(default)
-    // sf0.1 is ~17 MB of single-row-group parquet: 8-way cache partitioning
-    // and 4 shuffle partitions beat 32-way (task-launch overhead dominates
-    // at this input size, measured in round 1). At real scale the same
-    // knobs are sized to cores × executors; AQE (off here — its stage
-    // re-optimization costs more than it saves on sub-second queries)
-    // would be on for a 100 TB run.
-    val parts = envInt("SPARK_GRAFT_BENCH_PARTS", 8)
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "4")
+    // Scaling-honest defaults (r19 verdict item 2): when the env doesn't
+    // pin them, parts/shuffle derive from SPARK_GRAFT_CPUS so a lower-core
+    // run genuinely exposes less parallelism — the former fixed 8/4
+    // capped every query at 8 tasks regardless of core count, which made
+    // the driver's 8-vs-32-core scaling ratios read ≈1 by construction.
+    // cpus → parts = cpus, shuffle = cpus/2 (floors 8/4 keep tiny-core
+    // runs sane); at cpus=8 this reproduces the old 8/4 exactly, so the
+    // historical 8-core artifacts stay comparable. Explicit env overrides
+    // win, as before. At real scale the same knobs are sized to cores ×
+    // executors; AQE (off here — its stage re-optimization costs more
+    // than it saves on sub-second queries) would be on for a 100 TB run.
+    val cpusN = try cpus.trim.toInt catch { case _: NumberFormatException => 32 }
+    val parts = envInt("SPARK_GRAFT_BENCH_PARTS", math.max(8, cpusN))
+    val shuffle = envInt("SPARK_GRAFT_BENCH_SHUFFLE",
+      math.max(4, cpusN / 2)).toString
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,7 +83,18 @@ object Bench {
     // in-memory, repartitioned so stages parallelize past the corpus's
     // single-row-group parquet layout. Not counted in query timings, same
     // as the reference's separately-reported setup row (BASELINE.md).
-    Q.cacheTables(spark, sfDir, parts)
+    //
+    // SPARK_GRAFT_BENCH_UNCACHED=true (r19 verdict item 1) registers the
+    // tables as plain parquet views instead — every timed sample then
+    // scans parquet inside the timed region, so scan I/O, filter pushdown
+    // and ReadSchema pruning (the dominant cost at 100 TB) are measured.
+    // This is a second recorded lane, not the acceptance protocol: the
+    // driver's own invocation (env unset) keeps the cached protocol every
+    // prior round's artifact used, so the round-over-round comparison
+    // stays like-for-like. Artifacts from this lane stamp "uncached":true.
+    val uncached = sys.env.get("SPARK_GRAFT_BENCH_UNCACHED").contains("true")
+    if (uncached) Q.registerAll(spark, sfDir)
+    else Q.cacheTables(spark, sfDir, parts)
 
     // SPARK_GRAFT_BENCH_ONLY="q11 q16" restricts the run for iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -165,8 +183,12 @@ object Bench {
     // canary (for SF1 attempt ledgers: a poisoned attempt dies in
     // seconds instead of burning the full suite).
     val canaryName = sys.env.getOrElse("SPARK_GRAFT_CANARY_QUERY", "q1")
+    // The default threshold is calibrated to q1's clean class under the
+    // CACHED protocol; the uncached lane's q1 includes parquet scans, so
+    // its clean class is different — auto-disable there too (callers arm
+    // it explicitly once the lane's clean class is established).
     val canaryThresh: Double = envDouble("SPARK_GRAFT_CANARY_SEC",
-      if (sfDir.contains("sf0.1")) 0.95 else 0.0)
+      if (sfDir.contains("sf0.1") && !uncached) 0.95 else 0.0)
     val canaryEnabled = canaryThresh > 0 && prepared.contains(canaryName)
     def canarySamples(): Seq[Double] =
       Seq.fill(3)(run(canaryName)).filter(_ >= 0)
@@ -301,7 +323,10 @@ object Bench {
     val canaryJson =
       if (!canaryEnabled) """{"enabled":false}"""
       else s"""{"enabled":true,"query":"$canaryName","threshold_sec":$canaryThresh,"pre_attempts":${preAttempts.map(jarr).mkString("[", ",", "]")},"mid":${midAttempts.map(jarr).mkString("[", ",", "]")},"mid_hot":$midHot,"post":${jarr(postSamples)}}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"aborted":$aborted,"load":$load,"poisoned":$poisoned,"canary":$canaryJson,"sf":"$sfDir"}""")
+    // "uncached" is stamped only when the lane knob is on, so driver-run
+    // artifacts (env unset) keep the exact historical JSON shape.
+    val laneJson = if (uncached) ""","uncached":true""" else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"aborted":$aborted,"load":$load,"poisoned":$poisoned,"canary":$canaryJson,"sf":"$sfDir"$laneJson}""")
     spark.stop()
   }
 }

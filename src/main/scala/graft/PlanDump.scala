@@ -12,11 +12,21 @@ import java.nio.file.{Files, Paths}
   * (no names = all of Tpch.benchOrder). */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <outDir> <suffix> [name...]")
+      sys.exit(2)
+    }
     val (Array(outDir, suffix), only) = args.splitAt(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val parts = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS", "8").toInt
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "4")
+    // mirror Bench's core-derived defaults so dumped plans match the
+    // session the bench actually runs (r20: 8/4 pinned → cpus-derived)
+    val cpusN = try cpus.trim.toInt catch { case _: NumberFormatException => 32 }
+    val parts = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS",
+      math.max(8, cpusN).toString).toInt
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE",
+      math.max(4, cpusN / 2).toString)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +39,12 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Q.cacheTables(spark, sfDir, parts)
+    // SPARK_GRAFT_BENCH_UNCACHED=true mirrors Bench's uncached lane:
+    // plans then show the parquet scans (PushedFilters / ReadSchema)
+    // instead of InMemoryRelation.
+    if (sys.env.get("SPARK_GRAFT_BENCH_UNCACHED").contains("true"))
+      Q.registerAll(spark, sfDir)
+    else Q.cacheTables(spark, sfDir, parts)
     new java.io.File(outDir).mkdirs()
     val names = if (only.nonEmpty) only.toSeq else Tpch.benchOrder
     names.foreach { n =>

@@ -118,10 +118,16 @@ object Q {
   def ts(s: String): Column = to_timestamp(lit(s))
 
   /** A/B escape hatch for [[ddec]] (measurement only): `off` routes the
-    * quantization through the engine's `Cast`, so the two per-row paths
-    * can be timed under the exact grading protocol in back-to-back legs.
+    * quantization through the engine's `Cast`, so the Cast-node swap can
+    * be timed under the exact grading protocol in back-to-back legs.
     * Both paths are value-identical (FastDoubleToDecimal's property
-    * pins), so the toggle can never change a result, only per-row cost. */
+    * pins), so the toggle can never change a result, only per-row cost.
+    * SCOPE: this reverts ONLY the expression-level Cast swap. The
+    * kernel-internal scaledLong rewrites (GramDecimalSum,
+    * DecimalSqDevSum, PqArgmin, WordEntropyStats, Rake.quantize12,
+    * DecimalEntry) stay on the fast path regardless — their A/B
+    * instrument is [[KernelAB]], so an `off` leg is NOT a full pre-r19
+    * baseline. */
   private val ddecFast: Boolean =
     !sys.env.get("SPARK_GRAFT_DDEC_FAST").contains("off")
 
@@ -207,6 +213,94 @@ object Q {
       .withColumn("__pos", col("__off") + row_number().over(w) - 1)
       .withColumn(out, expr(bin).cast("long"))
       .drop("__pid", "__off", "__pos")
+  }
+
+  /** Distributed exact ntile via broadcast boundary rows — SQL-identical
+    * buckets to [[distNtile]] (and hence to `ntile(buckets) OVER (ORDER
+    * BY order...)`), but the frame being bucketed NEVER shuffles: only a
+    * narrow projection of the order columns goes through the range
+    * shuffle, the buckets-1 exact boundary rows (the last order tuple of
+    * each bucket) are collected, and the assignment is a map-side
+    * lexicographic comparison against those broadcast literals.
+    *
+    * Motivation (r19 verdict item 6 / guide §2.3–2.4): event_rfm chained
+    * three [[distNtile]] calls, each range-shuffling and checkpointing
+    * the progressively wider user frame. With boundaries, the three
+    * quartile columns are plain projections over one pinned frame —
+    * per ntile the shuffle carries only the order columns and nothing
+    * joins back.
+    *
+    * Requirements (same as [[distNtile]]): the order must be a TOTAL
+    * order (tie-break key), so "row sorts strictly after boundary k" is
+    * exactly "global position > boundary position". Null order values
+    * are handled with Spark's default null placement (asc = nulls first,
+    * desc = nulls last). The caller should pin `df` if its lineage is
+    * expensive — the frame is traversed once per ntile for the boundary
+    * pass plus once by the final consumer. */
+  def ntileByBoundaries(df: DataFrame, buckets: Int, out: String,
+      order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftcol.NativeColumn
+    // split each order Column into (value column, ascending?)
+    val parsed: Seq[(Column, Boolean)] = order.map(NativeColumn.sortOrder)
+    val oNames = parsed.indices.map(i => s"__o$i")
+    val sortCols = parsed.zip(oNames).map { case ((_, asc), n) =>
+      if (asc) col(n).asc else col(n).desc }
+    val keyed = df
+      .select(parsed.zip(oNames).map { case ((c, _), n) => c.as(n) }: _*)
+      .repartitionByRange(rangeParts(df), sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      // consumed twice (size census + boundary extraction): pin it
+      .localCheckpoint()
+    val sizes = keyed.groupBy("__pid").agg(count(lit(1)).as("pn")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = sizes.map(_._2).sum
+    val q = n / buckets
+    val r = n % buckets
+    // last 0-based global position of bucket k (k = 1..buckets-1); the
+    // same split [[distNtile]]'s bin expression encodes (first n%B
+    // buckets take q+1 rows). q == 0 → each row its own bucket.
+    val boundPos: Seq[Long] = (1 until buckets).map { k =>
+      if (q == 0L) k - 1L
+      else if (k <= r) k.toLong * (q + 1) - 1
+      else r * (q + 1) + (k - r).toLong * q - 1
+    }.filter(p => p >= 0 && p < n)
+    val bRows: Seq[org.apache.spark.sql.Row] = if (boundPos.isEmpty) Seq.empty
+    else {
+      val offsets = sizes.map(_._1)
+        .zip(sizes.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+      val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      keyed.join(offDf, "__pid")
+        .withColumn("__pos", col("__off") + row_number().over(w) - 1)
+        .filter(col("__pos").isin(boundPos: _*))
+        .select(col("__pos") +: oNames.map(col): _*)
+        .collect().toSeq.sortBy(_.getLong(0))
+    }
+    // bucket = 1 + #(boundaries this row sorts strictly after); under a
+    // total order that equals 1 + #(boundary positions < row position),
+    // which is exactly the ntile bucket.
+    def sortsAfter(b: org.apache.spark.sql.Row): Column =
+      parsed.zipWithIndex.map { case ((c, asc), i) =>
+        val v = b.get(i + 1) // offset past __pos
+        val eq = if (v == null) c.isNull else c <=> lit(v)
+        // strictly-after under Spark's default null placement:
+        // asc_nulls_first → anything non-null is after null;
+        // desc_nulls_last → null is after anything non-null
+        val gt =
+          if (v == null) { if (asc) c.isNotNull else lit(false) }
+          else if (asc) c > lit(v)
+          else c.isNull || c < lit(v)
+        (gt, eq)
+      }.foldRight(lit(false): Column) {
+        case ((gt, eq), rest) => gt || (eq && rest)
+      }
+    val bucket = bRows.foldLeft(lit(1): Column) { (acc, b) =>
+      acc + when(sortsAfter(b), 1).otherwise(0) }
+    df.withColumn(out, bucket.cast("long"))
   }
 
   /** Distributed exact global position: SQL-identical to

@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Stale-dump guard (r19 verdict item 7): stamp the run's start BEFORE
+    // any dump is written. tools/selfcheck.py refuses any query dump older
+    // than this marker, so a query that THROWS here (leaving a previous
+    // run's dump in place) can no longer pass the gate silently.
+    Files.writeString(Paths.get(s"$outDir/run_started"),
+      java.time.Instant.now().toString)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>

@@ -16,4 +16,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object NativeColumn {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Decompose a possibly sort-order Column (`col("x").desc`) into its
+    * value column and direction (`true` = ascending). A plain column is
+    * ascending — the same default `repartitionByRange`/`orderBy` apply.
+    * Spark 4 wraps sort order in the internal ColumnNode layer, so this
+    * lives in the bridge next to the other node accessors. */
+  def sortOrder(c: Column): (Column, Boolean) = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      (Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Ascending)
+    case _ => (c, true)
+  }
 }

@@ -177,6 +177,49 @@ class QualitySpec extends AnyFunSuite {
     } finally conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  test("ntileByBoundaries matches the ntile builtin on every axis") {
+    // the r20 broadcast-boundary ntile (event_rfm's quartiles) must be
+    // bit-identical to the engine builtin: asc and desc orders, heavy
+    // ties broken by the key, doubles, n % buckets != 0, n < buckets,
+    // and nulls under Spark's default placement
+    import org.apache.spark.sql.expressions.Window
+    def builtin(df: org.apache.spark.sql.DataFrame, b: Int,
+        order: org.apache.spark.sql.Column*): Map[Long, Long] =
+      df.withColumn("tw", ntile(b).over(Window.orderBy(order: _*)).cast("long"))
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("tw")).toMap
+    def mine(df: org.apache.spark.sql.DataFrame, b: Int,
+        order: org.apache.spark.sql.Column*): Map[Long, Long] =
+      Q.ntileByBoundaries(df, b, "nb", order: _*)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("nb")).toMap
+    val src = Q.t(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    for (b <- Seq(2, 4, 7)) {
+      assert(mine(src, b, col("v"), col("k")) ==
+        builtin(src, b, col("v"), col("k")), s"asc doubles, b=$b")
+      assert(mine(src, b, col("v").desc, col("k")) ==
+        builtin(src, b, col("v").desc, col("k")), s"desc doubles, b=$b")
+    }
+    // heavy ties (7 distinct values), asc and desc on the tied column;
+    // o_orderkey is unique so (v, k) stays a total order
+    val tied = Q.t(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        pmod(col("o_orderkey"), lit(7)).cast("long").as("v"))
+    assert(mine(tied, 4, col("v"), col("k")) ==
+      builtin(tied, 4, col("v"), col("k")), "tied asc")
+    assert(mine(tied, 4, col("v").desc, col("k")) ==
+      builtin(tied, 4, col("v").desc, col("k")), "tied desc")
+    // n < buckets, and nulls first/last
+    import spark.implicits._
+    val tiny = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)),
+      (4L, None), (5L, Some(3.0))).toDF("k", "v")
+    for (b <- Seq(3, 4, 10)) {
+      assert(mine(tiny, b, col("v"), col("k")) ==
+        builtin(tiny, b, col("v"), col("k")), s"nulls asc, b=$b")
+      assert(mine(tiny, b, col("v").desc, col("k")) ==
+        builtin(tiny, b, col("v").desc, col("k")), s"nulls desc, b=$b")
+    }
+  }
+
   test("rolling corr: contiguous hourly grid, |r|<=1, frame caps at 24") {
     val rows = Stats.eventRollingCorr(spark, sf).collect()
     assert(rows.nonEmpty)

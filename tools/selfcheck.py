@@ -56,7 +56,21 @@ def compare(spark_df, duck_df, tol):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    # Stale-dump guard (round 20): graft.Verify stamps <out>/run_started
+    # before writing any dump. A query that throws during Verify leaves the
+    # PREVIOUS run's dump in place; comparing it would silently pass a
+    # broken query (this masked one real failure in round 19). Any dump
+    # older than the marker is a loud FAIL, and a missing marker means the
+    # dump dir predates the guard — re-run graft.Verify.
+    marker = f"{out_dir}/run_started"
+    if not os.path.exists(marker):
+        sys.exit(f"FATAL {out_dir}/run_started missing: dumps predate the "
+                 "stale-dump guard; re-run graft.Verify into this dir")
+    run_started = os.path.getmtime(marker)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if os.path.getmtime(f"{out_dir}/oracle_sql.json") < run_started:
+        sys.exit("FATAL oracle_sql.json predates run_started: "
+                 "the Verify run did not complete; re-run graft.Verify")
     con = duckdb.connect()
     for t in TABLES:
         # a table is either a single parquet file (driver testdata) or a
@@ -72,6 +86,13 @@ def main():
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        newest = max(os.path.getmtime(f) for f in files)
+        if newest < run_started:
+            print(f"FAIL {name}: STALE dump (written "
+                  f"{run_started - newest:.0f}s before this Verify run "
+                  "started — the query likely threw during Verify)")
             n_fail += 1
             continue
         try:
