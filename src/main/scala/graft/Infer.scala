@@ -251,16 +251,20 @@ object Infer {
 
   /** Curriculum staging for training: order the corpus easy→hard
     * (difficulty = document length, doc_id tie-break for a total order)
-    * and cut it into 5 equal stages with [[Q.distNtile]] — the
-    * distributed exact-ntile that matches the `ntile` builtin
-    * bit-for-bit with no single-partition sort. Per-stage profile
+    * and cut it into 5 equal stages with [[Q.ntileByBoundaries]] (round
+    * 20: the boundary pass range-shuffles only (n_chars, doc_id) — the
+    * text column never leaves the scan — and the stage label is a
+    * map-side comparison against 4 broadcast boundary rows, so the
+    * profile below aggregates map-side with no checkpoint or join-back),
+    * matching the `ntile` builtin bit-for-bit with no single-partition
+    * sort. Per-stage profile
     * (bounds + exact mean token count) is what a curriculum scheduler
     * consumes to pace sampling temperature across training. */
   def curriculumStages(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("n_chars"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
-    Q.distNtile(docs, 5, "stage", col("n_chars"), col("doc_id"))
+    Q.ntileByBoundaries(docs, 5, "stage", col("n_chars"), col("doc_id"))
       .groupBy("stage")
       .agg(count(lit(1)).as("docs"),
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),

@@ -465,13 +465,15 @@ object Learn {
 
   /** Decile QQ comparison of the spend distribution between two event
     * types: exact decile upper boundaries of each side, paired. Deciles
-    * come from [[Q.distNtile]] (range shuffle + parallel rank — no
-    * single-partition sort), bit-identical to the `ntile(10)` builtin;
-    * (value, event_id) makes the order total so both engines bucket
-    * identically. */
+    * come from [[Q.ntileByBoundaries]] (round 20: the narrow projection
+    * range-shuffles to find the 9 exact boundary rows, the bucket is a
+    * map-side broadcast comparison, and the max-per-decile below
+    * aggregates map-side off the scan — no checkpoint, no join-back),
+    * bit-identical to the `ntile(10)` builtin; (value, event_id) makes
+    * the order total so both engines bucket identically. */
   def statQq(s: SparkSession, d: String): DataFrame = {
     def side(typ: String, out: String): DataFrame =
-      distNtile(
+      ntileByBoundaries(
         t(s, d, "events").filter(col("event_type") === typ)
           .select(col("event_id"), col("value")),
         10, "dec", col("value"), col("event_id"))

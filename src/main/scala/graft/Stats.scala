@@ -558,13 +558,15 @@ object Stats {
     * ntile over a total order (amount, key) so it is reproducible.
     *
     * Scale: NOT a global `ntile` window (that is a single-partition sort
-    * of the fact table). [[Q.distNtile]] computes the identical buckets
-    * with a range shuffle + parallel per-partition ranks + broadcast
-    * partition offsets — the shuffle_epoch position-assignment topology —
-    * so every heavy stage parallelizes while staying bit-exact to the
-    * DuckDB `ntile` oracle. */
+    * of the fact table). Round 20: [[Q.ntileByBoundaries]] — only the
+    * narrow (amount, key) projection goes through the range shuffle to
+    * locate the buckets-1 exact boundary rows; the bin assignment is a
+    * map-side comparison against those broadcast boundaries, so the
+    * aggregation below runs map-side-partial straight off the scan with
+    * no checkpoint and no join-back (bit-exact to the `ntile` oracle by
+    * the same position math — r20's QualitySpec pin). */
   def binQuantile(s: SparkSession, d: String): DataFrame = {
-    Q.distNtile(t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey")),
+    Q.ntileByBoundaries(t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey")),
         Bins, "bin", col("o_totalprice"), col("o_orderkey"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
