@@ -57,8 +57,14 @@ object Bench {
     // run genuinely exposes less parallelism — the former fixed 8/4
     // capped every query at 8 tasks regardless of core count, which made
     // the driver's 8-vs-32-core scaling ratios read ≈1 by construction.
-    // cpus → parts = cpus, shuffle = cpus/2 (floors 8/4 keep tiny-core
-    // runs sane); at cpus=8 this reproduces the old 8/4 exactly, so the
+    // Derivation measured this round (r20 alternating clean legs at 32
+    // cores, sf0.1): parts = cpus, shuffle = cpus/4 (floors 8/4).
+    //   8/4 (old pin)  8.95 / 8.58 s   — but caps every stage at 8 tasks
+    //   32/16          11.14 / 10.55 s — post-shuffle task launch dominates
+    //   32/4           13.07 s         — 32 map tasks feeding 4 reducers
+    //   32/8           9.21 s          — scan parallelism follows cores,
+    //                                    q1 0.23→0.19; within noise of 8/4
+    // At cpus=8 the derivation reproduces the old 8/4 exactly, so the
     // historical 8-core artifacts stay comparable. Explicit env overrides
     // win, as before. At real scale the same knobs are sized to cores ×
     // executors; AQE (off here — its stage re-optimization costs more
@@ -66,7 +72,7 @@ object Bench {
     val cpusN = try cpus.trim.toInt catch { case _: NumberFormatException => 32 }
     val parts = envInt("SPARK_GRAFT_BENCH_PARTS", math.max(8, cpusN))
     val shuffle = envInt("SPARK_GRAFT_BENCH_SHUFFLE",
-      math.max(4, cpusN / 2)).toString
+      math.max(4, cpusN / 4)).toString
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -26,7 +26,7 @@ object PlanDump {
     val parts = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTS",
       math.max(8, cpusN).toString).toInt
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE",
-      math.max(4, cpusN / 2).toString)
+      math.max(4, cpusN / 4).toString)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
