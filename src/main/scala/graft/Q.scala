@@ -170,6 +170,21 @@ object Q {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Per-partition row counts by partition index — ONE no-shuffle job
+    * over the internal-row iterators. Replaces the
+    * `groupBy(spark_partition_id())` census, which paid a hash Exchange
+    * of the whole frame just to count partition sizes (round 20; the
+    * r19 StageProbe rows show that exchange on every census). The input
+    * must be pinned (localCheckpoint) when the caller reads it again:
+    * range shuffles re-sample boundaries on re-evaluation. */
+  private[graft] def partitionSizes(df: DataFrame): Array[Long] =
+    org.apache.spark.sql.graftcol.NativeFrame.toInternalRdd(df)
+      .mapPartitionsWithIndex { (i, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator((i, n))
+      }.collect().sortBy(_._1).map(_._2)
+
   /** Range-partition width for the exact-rank topology: follows the
     * session's shuffle parallelism so the same code is the plan at any
     * scale (a fixed literal would cap the sort's parallelism at 100×).
@@ -239,7 +254,6 @@ object Q {
     * pass plus once by the final consumer. */
   def ntileByBoundaries(df: DataFrame, buckets: Int, out: String,
       order: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftcol.NativeColumn
     // split each order Column into (value column, ascending?)
     val parsed: Seq[(Column, Boolean)] = order.map(NativeColumn.sortOrder)
@@ -250,12 +264,11 @@ object Q {
       .select(parsed.zip(oNames).map { case ((c, _), n) => c.as(n) }: _*)
       .repartitionByRange(rangeParts(df), sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
       // consumed twice (size census + boundary extraction): pin it
       .localCheckpoint()
-    val sizes = keyed.groupBy("__pid").agg(count(lit(1)).as("pn")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = sizes.map(_._2).sum
+    val sizes = partitionSizes(keyed)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val n = sizes.sum
     val q = n / buckets
     val r = n % buckets
     // last 0-based global position of bucket k (k = 1..buckets-1); the
@@ -266,26 +279,47 @@ object Q {
       else if (k <= r) k.toLong * (q + 1) - 1
       else r * (q + 1) + (k - r).toLong * q - 1
     }.filter(p => p >= 0 && p < n)
+    // pick the boundary rows straight off the checkpoint's sorted
+    // iterators — (partition, local index) is known from the census, so
+    // this is one no-shuffle job emitting buckets-1 rows (the previous
+    // formulation ranked the frame through a Window.partitionBy(__pid),
+    // which paid a full extra Exchange — see [[distPos]])
     val bRows: Seq[org.apache.spark.sql.Row] = if (boundPos.isEmpty) Seq.empty
     else {
-      val offsets = sizes.map(_._1)
-        .zip(sizes.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-      val spark = df.sparkSession
-      import spark.implicits._
-      val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-      val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
-      keyed.join(offDf, "__pid")
-        .withColumn("__pos", col("__off") + row_number().over(w) - 1)
-        .filter(col("__pos").isin(boundPos: _*))
-        .select(col("__pos") +: oNames.map(col): _*)
-        .collect().toSeq.sortBy(_.getLong(0))
+      val byPid: Map[Int, Seq[(Long, Long)]] = boundPos.map { p =>
+        var i = 0
+        while (i + 1 < offsets.length - 1 && offsets(i + 1) <= p) i += 1
+        (i, (p, p - offsets(i)))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val picked = org.apache.spark.sql.graftcol.NativeFrame
+        .toInternalRdd(keyed).mapPartitionsWithIndex { (i, it) =>
+          byPid.get(i) match {
+            case None => Iterator.empty
+            case Some(want) =>
+              val targets = want.sortBy(_._2).iterator
+              val out = Seq.newBuilder[(Long, org.apache.spark.sql.catalyst.InternalRow)]
+              var cur = if (targets.hasNext) targets.next() else null
+              var li = -1L
+              while (cur != null && it.hasNext) {
+                val row = it.next(); li += 1
+                if (li == cur._2) {
+                  out += ((cur._1, row.copy()))
+                  cur = if (targets.hasNext) targets.next() else null
+                }
+              }
+              out.result().iterator
+          }
+        }.collect()
+      val conv = org.apache.spark.sql.graftcol.NativeFrame
+        .toScalaRow(keyed.schema)
+      picked.sortBy(_._1).map(p => conv(p._2)).toSeq
     }
     // bucket = 1 + #(boundaries this row sorts strictly after); under a
     // total order that equals 1 + #(boundary positions < row position),
     // which is exactly the ntile bucket.
     def sortsAfter(b: org.apache.spark.sql.Row): Column =
       parsed.zipWithIndex.map { case ((c, asc), i) =>
-        val v = b.get(i + 1) // offset past __pos
+        val v = b.get(i)
         val eq = if (v == null) c.isNull else c <=> lit(v)
         // strictly-after under Spark's default null placement:
         // asc_nulls_first → anything non-null is after null;
@@ -305,27 +339,43 @@ object Q {
 
   /** Distributed exact global position: SQL-identical to
     * `row_number() OVER (ORDER BY order...) - 1` with no single-partition
-    * sort — the same range-shuffle → parallel per-partition rank →
-    * broadcast partition-offset topology as [[distNtile]], emitting the
-    * 0-based position itself. The order must be a total order. */
+    * sort. Topology (round 20): range shuffle on the order key →
+    * localCheckpoint pin → single-job partition-size census
+    * ([[partitionSizes]]) → ONE mapPartitions pass appending
+    * `offset(partition) + local index` straight off the checkpoint's
+    * sorted iterators. The previous formulation ranked via
+    * `Window.partitionBy(spark_partition_id())` + a broadcast offset
+    * join — which LOOKED parallel but paid a full extra Exchange (the
+    * checkpoint scan reports UnknownPartitioning, so the window
+    * re-shuffled the whole frame by `__pid`) plus a census exchange; the
+    * r19/r20 StageProbe rows show both. The order must be a total order. */
   def distPos(df: DataFrame, out: String, order: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.graftcol.NativeFrame
+    val spark = df.sparkSession
     val keyed = df
       .repartitionByRange(rangeParts(df), order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      // consumed twice (size census + rank join): pin partition contents
+      // consumed twice (size census + position pass): pin partition
+      // contents — range shuffles re-sample boundaries on re-evaluation
       .localCheckpoint()
-    val sizes = keyed.groupBy("__pid").agg(count(lit(1)).as("pn")).collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-    val w = Window.partitionBy("__pid").orderBy(order: _*)
-    keyed.join(offDf, "__pid")
-      .withColumn(out, col("__off") + row_number().over(w) - 1)
-      .drop("__pid", "__off")
+    val offsets = partitionSizes(keyed).scanLeft(0L)(_ + _)
+    val schema = StructType(keyed.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val rdd = NativeFrame.toInternalRdd(keyed).mapPartitionsWithIndex {
+      (i, it) =>
+        var pos = offsets(i) - 1
+        val tail = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        // rows may be reused by the scan; the joined view is consumed
+        // row-at-a-time downstream (any buffering operator copies), the
+        // same contract every InternalRow scan has
+        it.map { r =>
+          pos += 1; tail.update(0, pos)
+          joined(r, tail): org.apache.spark.sql.catalyst.InternalRow
+        }
+    }
+    NativeFrame.internalCreate(spark, rdd, schema)
   }
 
   // --- DuckDB oracle SQL fragments mirroring the helpers above ---
