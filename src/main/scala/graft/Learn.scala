@@ -323,26 +323,20 @@ object Learn {
     * never a single-partition window. The standard corpus-mixing /
     * importance-reweighting primitive. */
   def mixImportanceResample(s: SparkSession, d: String): DataFrame = {
-    val keyed = t(s, d, "documents")
-      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
-      .repartitionByRange(rangeParts(t(s, d, "documents")), col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("__pid", spark_partition_id())
-      // consumed twice (offset census + cumsum): pin the range shuffle
-      .localCheckpoint()
-    val offsets = keyed.groupBy("__pid").agg(sum("w").as("pw"))
-      .withColumn("off",
-        coalesce(sum(col("pw")).over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "off")
-    val tot = broadcast(keyed.agg(sum("w").as("tw")))
-    val run = Window.partitionBy("__pid").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    keyed.join(broadcast(offsets), "__pid")
-      .withColumn("cw", col("off") + sum("w").over(run))
-      .crossJoin(tot)
-      .withColumn("sample_idx", expr(s"(cw * ${ResampleM}L) div tw"))
-      .filter(col("sample_idx") > expr(s"((cw - w) * ${ResampleM}L) div tw"))
+    // Round 20: the census+window prefix sum paid TWO hidden exchanges
+    // (the groupBy(__pid) census and the Window.partitionBy(__pid)
+    // running sum — the checkpoint scan reports UnknownPartitioning, so
+    // the "parallel" window re-shuffled the whole frame). distPrefixSum
+    // emits offset(partition)+running sum in one mapPartitions pass off
+    // the pinned sorted iterators, and the grand total comes back from
+    // the same census instead of a separate aggregate over the pin.
+    val (cum, tw) = Q.distPrefixSumWithTotal(
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("w")),
+      "w", "cw", col("doc_id"))
+    cum
+      .withColumn("sample_idx", expr(s"(cw * ${ResampleM}L) div ${tw}L"))
+      .filter(col("sample_idx") > expr(s"((cw - w) * ${ResampleM}L) div ${tw}L"))
       .select(col("doc_id"), col("w"), col("cw"), col("sample_idx"))
       .orderBy("doc_id")
   }

@@ -1895,23 +1895,17 @@ object Pipeline {
     val inBlock = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = toks.withColumn("cum_in_blk", sum(col("est_tokens")).over(inBlock))
-    val blkTbl = toks.groupBy(col("blk")).agg(sum(col("est_tokens")).as("blk_sum"))
-      .repartitionByRange(rangeParts(toks), col("blk"))
-      .sortWithinPartitions("blk")
-      .withColumn("__bp", spark_partition_id())
-      // consumed twice (offset census + in-partition cumsum): pin it
-      .localCheckpoint()
-    val census = blkTbl.groupBy("__bp").agg(sum("blk_sum").as("ps"))
-      .withColumn("poff",
-        coalesce(sum(col("ps")).over(Window.orderBy("__bp")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__bp", "poff")
-    val inPart = Window.partitionBy("__bp").orderBy("blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val blockOff = blkTbl.join(broadcast(census), "__bp")
-      .withColumn("blk_off",
-        col("poff") + coalesce(sum(col("blk_sum")).over(inPart), lit(0L)))
-      .select(col("blk").as("ob"), col("blk_off"))
+    // Round 20: block offsets = exclusive prefix sum of block totals in
+    // blk order — [[Q.distPrefixSum]] (inclusive, minus the block's own
+    // sum) replaces the census exchange + offset window + in-partition
+    // window, the last of which re-shuffled the block table by __bp
+    // (the checkpoint scan reports UnknownPartitioning, so the
+    // "parallel" window paid a full hidden Exchange).
+    val blockOff = Q.distPrefixSum(
+        toks.groupBy(col("blk")).agg(sum(col("est_tokens")).as("blk_sum")),
+        "blk_sum", "blk_cum", col("blk"))
+      .select(col("blk").as("ob"),
+        (col("blk_cum") - col("blk_sum")).as("blk_off"))
     cum.join(broadcast(blockOff), col("blk") === col("ob"))
       .withColumn("start", col("blk_off") + col("cum_in_blk") - col("est_tokens"))
       .select(col("doc_id"), col("est_tokens"),
@@ -2956,22 +2950,16 @@ object Pipeline {
     * computed from actual partition contents. */
   def shuffleEpoch(s: SparkSession, d: String): DataFrame = {
     val seed = 42
-    val keyed = t(s, d, "documents")
-      .select(col("doc_id"), expr(md5Lane(s"concat('epoch$seed#', doc_id)")).as("k"))
-      .repartitionByRange(8, col("k"), col("doc_id"))
-      .sortWithinPartitions(col("k"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      // consumed twice (offsets + join): pin the materialized partition
-      // ids so both consumers see one evaluation of the range shuffle
-      .localCheckpoint()
-    val offsets = keyed.groupBy("pid").agg(count(lit(1)).as("n"))
-      .withColumn("offset",
-        coalesce(sum(col("n")).over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "offset")
-    val rank = Window.partitionBy("pid").orderBy("k", "doc_id")
-    keyed.join(broadcast(offsets), "pid")
-      .withColumn("pos", col("offset") + row_number().over(rank) - 1)
+    // Round 20: the position assignment IS [[Q.distPos]] — the inline
+    // census+rank-window copy paid two hidden exchanges (census groupBy
+    // and the Window.partitionBy(pid) rank over the checkpoint, whose
+    // scan reports UnknownPartitioning); distPos emits
+    // offset(partition)+local index in one no-shuffle mapPartitions pass.
+    Q.distPos(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            expr(md5Lane(s"concat('epoch$seed#', doc_id)")).as("k")),
+        "pos", col("k"), col("doc_id"))
       .select(col("pos"), col("doc_id"), col("k").as("shuffle_key"))
       .orderBy("pos")
   }

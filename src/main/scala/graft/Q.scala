@@ -378,6 +378,60 @@ object Q {
     NativeFrame.internalCreate(spark, rdd, schema)
   }
 
+  /** Distributed exact INCLUSIVE prefix sum of a LONG weight column over
+    * a total order — `sum(w) OVER (ORDER BY order ROWS UNBOUNDED
+    * PRECEDING)` with no single-partition window and (round 20) no
+    * hidden re-shuffle: range shuffle on the order key → localCheckpoint
+    * pin → one no-shuffle job summing each partition's weights → one
+    * mapPartitions pass emitting `offset(partition) + running sum`
+    * straight off the pinned sorted iterators (the same machinery as
+    * [[distPos]]). Null weights contribute 0, matching window-sum
+    * semantics. Also returns the grand total (= the last offset), which
+    * callers previously recomputed with a separate aggregate over the
+    * pin. The order must be a total order. */
+  private[graft] def distPrefixSumWithTotal(df: DataFrame, weight: String,
+      out: String, order: Column*): (DataFrame, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.graftcol.NativeFrame
+    val spark = df.sparkSession
+    val keyed = df
+      .repartitionByRange(rangeParts(df), order: _*)
+      .sortWithinPartitions(order: _*)
+      // consumed twice (weight census + prefix pass): pin the shuffle
+      .localCheckpoint()
+    val wOrd = keyed.schema.fieldIndex(weight)
+    require(keyed.schema(wOrd).dataType == LongType,
+      s"distPrefixSum needs a LONG weight, got ${keyed.schema(wOrd).dataType}")
+    val psums = NativeFrame.toInternalRdd(keyed).mapPartitionsWithIndex {
+      (i, it) =>
+        var s = 0L
+        while (it.hasNext) {
+          val r = it.next(); if (!r.isNullAt(wOrd)) s += r.getLong(wOrd)
+        }
+        Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = psums.scanLeft(0L)(_ + _)
+    val schema = StructType(keyed.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val rdd = NativeFrame.toInternalRdd(keyed).mapPartitionsWithIndex {
+      (i, it) =>
+        var run = offsets(i)
+        val tail = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        it.map { r =>
+          if (!r.isNullAt(wOrd)) run += r.getLong(wOrd)
+          tail.update(0, run)
+          joined(r, tail): org.apache.spark.sql.catalyst.InternalRow
+        }
+    }
+    (NativeFrame.internalCreate(spark, rdd, schema), offsets.last)
+  }
+
+  /** [[distPrefixSumWithTotal]] without the total. */
+  def distPrefixSum(df: DataFrame, weight: String, out: String,
+      order: Column*): DataFrame =
+    distPrefixSumWithTotal(df, weight, out, order: _*)._1
+
   // --- DuckDB oracle SQL fragments mirroring the helpers above ---
   def DSUM(e: String): String =
     s"CAST(sum(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
