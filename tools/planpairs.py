@@ -28,13 +28,19 @@ def normalize(text: str):
     t = re.sub(r"plan_id=\d+", "plan_id=N", t)
     t = re.sub(r"\[codegen id : \d+\]", "[codegen id : N]", t)
     t = re.sub(r"@[0-9a-f]{6,}", "@addr", t)
+    t = re.sub(r"Lambda\$\d+/0x[0-9a-f]+", "Lambda$N/0xN", t)
+    t = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+               "UUID", t)
     t = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", t)
     t = re.sub(r"localCheckpoint at \S+:\d+", "localCheckpoint at SITE", t)
     return t.splitlines()
 
 
+# fast_double_to_decimal on one side, cast(<expr> as decimal(p,s)) on the
+# other; <expr> may itself contain parens, so match on the "as decimal"
+# suffix rather than trying to balance them
 CAST_RE = re.compile(
-    r"fast_double_to_decimal|cast\([^)]*as decimal\(\d+,\d+\)\)", re.I)
+    r"fast_double_to_decimal|as decimal\(\d+,\d+\)", re.I)
 
 
 def classify(a_lines, b_lines):
