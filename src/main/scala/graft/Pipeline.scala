@@ -2906,12 +2906,28 @@ object Pipeline {
         datediff(to_date(col("max_ts")), to_date(col("last_ts"))).cast("long"))
       .select("user_id", "recency_days", "freq", "monetary")
       .localCheckpoint() // read by 3 boundary passes + the final assembly
-    val withQ = Seq[(String, Seq[Column])](
+    // The three boundary passes are independent jobs over the same pin:
+    // overlap them from driver threads (guide §2.6) so the cluster isn't
+    // idle between the serial narrow-shuffle launches; the assignment
+    // columns compose on this thread afterward.
+    val specs = Seq[(String, Seq[Column])](
       ("r_q", Seq(col("recency_days"), col("user_id"))),
       ("f_q", Seq(col("freq").desc, col("user_id"))),
       ("m_q", Seq(col("monetary").desc, col("user_id"))))
-      .foldLeft(scored) { case (df, (out, ord)) =>
-        Q.ntileByBoundaries(df, 4, out, ord: _*) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(specs.size)
+    val qCols: Seq[(String, Column)] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futs = specs.map { case (out, ord) =>
+          scala.concurrent.Future(out -> Q.ntileBucketCol(scored, 4, ord: _*))
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    val withQ = qCols.foldLeft(scored) { case (df, (out, c)) =>
+      df.withColumn(out, c) }
     withQ
       .withColumn("segment", concat(col("r_q"), col("f_q"), col("m_q")))
       .select("user_id", "recency_days", "freq", "monetary",

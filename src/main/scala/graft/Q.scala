@@ -253,7 +253,18 @@ object Q {
     * expensive — the frame is traversed once per ntile for the boundary
     * pass plus once by the final consumer. */
   def ntileByBoundaries(df: DataFrame, buckets: Int, out: String,
-      order: Column*): DataFrame = {
+      order: Column*): DataFrame =
+    df.withColumn(out, ntileBucketCol(df, buckets, order: _*))
+
+  /** The bucket expression behind [[ntileByBoundaries]]: runs the
+    * boundary jobs (narrow range shuffle + census + boundary picks)
+    * EAGERLY and returns the map-side assignment Column. Exposed so
+    * callers with several independent ntiles over one pinned frame can
+    * overlap the boundary jobs from driver threads (guide §2.6 —
+    * Spark's scheduler runs concurrent jobs; the assignment columns are
+    * then plain projections composed on the calling thread). */
+  def ntileBucketCol(df: DataFrame, buckets: Int,
+      order: Column*): Column = {
     import org.apache.spark.sql.graftcol.NativeColumn
     // split each order Column into (value column, ascending?)
     val parsed: Seq[(Column, Boolean)] = order.map(NativeColumn.sortOrder)
@@ -334,7 +345,7 @@ object Q {
       }
     val bucket = bRows.foldLeft(lit(1): Column) { (acc, b) =>
       acc + when(sortsAfter(b), 1).otherwise(0) }
-    df.withColumn(out, bucket.cast("long"))
+    bucket.cast("long")
   }
 
   /** Distributed exact global position: SQL-identical to
